@@ -1,0 +1,79 @@
+"""Benchmark harness: runs the headline declared queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is fully executed (count + a cheap checksum collect via
+``collect`` on an aggregated form would skew plans, so we use
+``df.write.format('noop')``) — noop write materializes every row
+without driver transfer, which is the fairest throughput measure.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "s1_scan_filter_project",
+    "j3_fact_dim_denormalize",
+    "j5_left_join_enrich",
+    "j2_two_hop_fk_resolution",
+    "p10_enum_decode_broadcast",
+    "a1_minmax_extent",
+    "o4_run_length_split",
+    "o5_topk_limit",
+    "w3_rank_per_group",
+    "d1_date_trunc_rollup",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    import __spark_entry__ as entrymod
+    from greenbuttonengine_spark.session import get_spark
+
+    spark = get_spark(app_name="gbe-bench")
+
+    qs = entrymod.queries()
+    names = [n for n in HEADLINE if n in qs]
+    # include extension headliners when present
+    for extra in ("dedup_exact", "dedup_minhash_lsh", "ann_bruteforce_topk", "text_quality_score"):
+        if extra in qs and extra not in names:
+            names.append(extra)
+
+    # warm the JVM + parquet footers once
+    qs["s1_scan_filter_project"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.time()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
