@@ -1,0 +1,226 @@
+"""denormalize_and_link as a declarative Spark plan.
+
+The reference's single-pass row loop (lib.rs:32-190) becomes:
+
+    facts ──join entries (title, rt resolution)──join reading_types──
+          ──8x broadcast enum decode──broadcast DST-year dim──project
+
+Every join carries ``source_file`` in its key so multi-file ingest is
+one job (the reference loops files single-threaded and UNION-ALLs).
+At scale the fact side never broadcasts; the dimension sides (entries,
+reading types, LTP, enum dim, year dim) are tiny per file and AQE
+converts the joins to broadcast at runtime.
+
+Quirk parity with the reference (each cited):
+* value = f32(raw) * f32(10^power_of_ten_multiplier) in FLOAT
+  arithmetic (lib.rs:171-173) — golden shows 58.000004.
+* DST shift on naive-UTC clock time, strict window (lib.rs:157-162).
+* enova provider patch: if the file's FIRST entry href contains
+  'enova', all costs x100 (timeseries.rs:173-178, lib.rs:187).
+* exactly one LocalTimeParameters row per file required
+  (lib.rs:42-50) — violating files go to the error channel instead of
+  aborting the whole job (S2 tolerance).
+* facts whose entry resolves to no reading type are errors
+  (lib.rs:168-169) — routed to the error channel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .dst import apply_local_time_shift, build_dst_dim
+from .enum_dim import decode_enum, load_enum_dim
+from .schemas import TIMESERIES_COLUMNS
+from .source import read_espi, split_tables
+
+_ENUM_FIELDS = [
+    ("accumulation_behaviour", "accumulationBehaviour"),
+    ("commodity", "commodity"),
+    ("currency", "currency"),
+    ("data_qualifier", "dataQualifier"),
+    ("flow_direction", "flowDirection"),
+    ("kind", "kind"),
+    ("phase", "phase"),
+    ("uom", "uom"),
+]
+
+
+def _validate_single_ltp(ltp: DataFrame, all_files: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Files must carry exactly one LTP row (lib.rs:42-50).
+
+    ``all_files`` is the distinct source_file universe from successfully
+    parsed files — needed because a file with ZERO LTP rows never appears
+    in the LTP table at all.  Returns (valid single-row ltp, error rows).
+    """
+    counts = all_files.join(
+        ltp.groupBy("source_file").agg(F.count("*").alias("n")), "source_file", "left"
+    ).withColumn("n", F.coalesce("n", F.lit(0)))
+    bad = counts.filter(F.col("n") != 1).select(
+        "source_file",
+        F.when(
+            F.col("n") > 1,
+            F.lit("Input with multiple LocalTimeParameters is currently unsupported."),
+        )
+        .otherwise(F.lit("Missing LocalTimeParameters."))
+        .alias("error"),
+    )
+    good = ltp.join(counts.filter(F.col("n") == 1).select("source_file"), "source_file", "left_semi")
+    return good, bad
+
+
+def resolve_reading_types(entries: DataFrame) -> DataFrame:
+    """J2: entry -> meter-reading entry -> reading-type entry (2-hop href
+    walk, lib.rs:58-83).  Output: (source_file, entry_index,
+    rt_entry_index) with NULL when the entry has no meter-reading link."""
+    e = entries.select(
+        "source_file",
+        "entry_index",
+        F.col("related_meter_reading_entry_href").alias("mr_href"),
+    )
+    mr = entries.select(
+        F.col("source_file").alias("mr_file"),
+        F.col("href").alias("mr_self_href"),
+        F.col("related_reading_type_entry_href").alias("rt_href"),
+    )
+    rt = entries.select(
+        F.col("source_file").alias("rt_file"),
+        F.col("href").alias("rt_self_href"),
+        F.col("entry_index").alias("rt_entry_index"),
+        F.col("entry_type").alias("rt_entry_type"),
+    )
+    hop1 = e.filter(F.col("mr_href") != "").join(
+        mr,
+        (F.col("source_file") == F.col("mr_file")) & (F.col("mr_href") == F.col("mr_self_href")),
+        "left",
+    )
+    hop2 = hop1.join(
+        rt,
+        (F.col("source_file") == F.col("rt_file")) & (F.col("rt_href") == F.col("rt_self_href")),
+        "left",
+    )
+    return hop2.select(
+        "source_file",
+        "entry_index",
+        F.when(F.col("rt_entry_type") == "reading_type", F.col("rt_entry_index")).alias(
+            "rt_entry_index"
+        ),
+    )
+
+
+def denormalize_and_link(
+    tables: dict[str, DataFrame],
+    enum_dim: DataFrame,
+    include_source_file: bool = False,
+) -> DataFrame:
+    """Four normalized tables -> the 15-column TimeSeries DataFrame."""
+    entries = tables["entries"]
+    facts = tables["interval_readings"]
+    rts = tables["reading_types"]
+    all_files = entries.select("source_file").distinct()
+    ltp, _ltp_errors = _validate_single_ltp(tables["local_time_parameters"], all_files)
+
+    # J3: fact -> entry (title) plus the resolved reading-type index
+    entry_dim = entries.select("source_file", "entry_index", "title")
+    rt_map = resolve_reading_types(entries)
+    f1 = (
+        facts.join(entry_dim, ["source_file", "entry_index"], "inner")
+        .join(rt_map, ["source_file", "entry_index"], "left")
+    )
+
+    # keep only files with a valid single LTP (error channel carries the rest)
+    f1 = f1.join(ltp.select("source_file"), "source_file", "left_semi")
+
+    # J4: fact -> reading type codes (missing reading type is an error row;
+    # inner join drops them, collect_errors() surfaces them)
+    rt_codes = rts.select(
+        "source_file",
+        F.col("entry_index").alias("rt_entry_index"),
+        *[c for c, _ in _ENUM_FIELDS if c != "phase"],
+        "phase",
+        "power_of_ten_multiplier",
+    )
+    f2 = f1.join(rt_codes, ["source_file", "rt_entry_index"], "inner")
+
+    # P6: value scaling in genuine FLOAT arithmetic (golden bit parity)
+    f2 = f2.withColumn(
+        "value_scaled",
+        (
+            F.col("value").cast("float")
+            * F.pow(F.lit(10.0), F.col("power_of_ten_multiplier").cast("double")).cast("float")
+        ).cast("float"),
+    )
+
+    # P11: DST/tz shift via the per-(file, year) broadcast dim
+    ts = F.timestamp_seconds(F.col("time_period_start_unix"))
+    f2 = f2.withColumn("reading_ts", ts).withColumn("year", F.year("reading_ts").cast("long"))
+    file_years = f2.select("source_file", "year").distinct()
+    dst_dim = build_dst_dim(ltp, file_years)
+    f3 = f2.join(F.broadcast(dst_dim), ["source_file", "year"], "left")
+    shifted = apply_local_time_shift(
+        F.col("reading_ts"),
+        F.col("dst_start_ts"),
+        F.col("dst_end_ts"),
+        F.col("dst_offset"),
+        F.col("tz_offset"),
+    )
+    f3 = f3.withColumn("shifted_unix", F.unix_timestamp(shifted))
+
+    # P12: enova provider cost patch, gated per file on the FIRST entry href
+    first_href = (
+        entries.groupBy("source_file")
+        .agg(F.min_by("href", "entry_index").alias("first_href"))
+        .select("source_file", F.col("first_href").contains("enova").alias("is_enova"))
+    )
+    f3 = f3.join(F.broadcast(first_href), "source_file", "left")
+    f3 = f3.withColumn(
+        "cost_patched",
+        F.when(F.coalesce(F.col("is_enova"), F.lit(False)), F.col("cost") * F.lit(100.0).cast("float"))
+        .otherwise(F.col("cost"))
+        .cast("float"),
+    )
+
+    # P10: enum decode — 8 reading-type columns + fact-side quality
+    decoded = decode_enum(f3, enum_dim, "quality", "quality_str", "QualityOfReading", scope="")
+    for code_col, xsd_field in _ENUM_FIELDS:
+        decoded = decode_enum(decoded, enum_dim, code_col, f"{code_col}_str", xsd_field)
+
+    # the cost NaN sentinel (interval_reading.rs:15-16) survives as NULL
+    # through the Arrow hop in the parse stage — restore NaN so the
+    # column is never-null like the reference's REQUIRED FLOAT
+    out_cols = [
+        F.col("title"),
+        F.coalesce(F.col("cost_patched"), F.lit(float("nan")).cast("float")).alias("cost"),
+        F.col("quality_str").alias("quality"),
+        F.col("value_scaled").alias("value"),
+        F.col("tou"),
+        F.col("shifted_unix").alias("time_period_start_unix"),
+        F.col("time_period_duration_seconds"),
+        *[F.col(f"{c}_str").alias(c) for c, _ in _ENUM_FIELDS],
+    ]
+    if include_source_file:
+        out_cols.insert(0, F.col("source_file"))
+    result = decoded.select(*out_cols)
+    ordered = ["source_file", *TIMESERIES_COLUMNS] if include_source_file else TIMESERIES_COLUMNS
+    return result.select(*ordered)
+
+
+def timeseries_from_files(
+    spark: SparkSession,
+    paths: str | list[str],
+    include_source_file: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """End-to-end: file paths -> (timeseries_df, errors_df).
+
+    The parsed union table is the single Python-stage output; it is
+    consumed by several branches (entries x3 aliases, facts, LTP), so we
+    persist it — one parse per file total, like the reference.
+    """
+    parsed = read_espi(spark, paths)
+    parsed.persist()
+    tables = split_tables(parsed)
+    all_files = tables["entries"].select("source_file").distinct()
+    _, ltp_errors = _validate_single_ltp(tables["local_time_parameters"], all_files)
+    errors = tables["errors"].unionByName(ltp_errors)
+    ts = denormalize_and_link(tables, load_enum_dim(spark), include_source_file)
+    return ts, errors
