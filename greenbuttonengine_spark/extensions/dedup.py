@@ -1,0 +1,283 @@
+"""Deduplication operators over a document corpus.
+
+Five variants, each a DataFrame -> DataFrame function:
+
+  exact_duplicates        hash-groupBy on (normalized) text
+  ngram_jaccard_pairs     exact all-pairs set-Jaccard (correctness oracle;
+                          O(n^2) — small-SF / within-block use only)
+  minhash_lsh_pairs       MinHash signatures + banded LSH bucket join —
+                          the scale path for near-dup candidates
+  simhash_pairs           32-bit SimHash + banded hamming candidates
+  embedding_cosine_pairs  cosine near-dup over an embedding column
+
+All shingle/signature math is native Catalyst higher-order functions
+(transform/aggregate/zip_with + xxhash64) — no Python in the hot path.
+Skew note: a degenerate band bucket (many docs sharing a band hash)
+is the classic LSH hot key; AQE skew-join splitting handles it, and
+``max_bucket`` hard-caps pathological buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _shingles(col, k: int = 8):
+    """Distinct character k-shingles, natively: one substring per offset."""
+    return F.array_distinct(
+        F.expr(
+            f"transform(sequence(1, greatest(length({col}) - {k - 1}, 1)),"
+            f" i -> substring({col}, i, {k}))"
+        )
+    )
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                     normalize: bool = True) -> DataFrame:
+    """Exact dedup: fingerprint -> keeper (min id) + copy count.
+    One shuffle on the fingerprint; at scale this is the cheapest pass
+    and runs first to shrink the corpus for the fuzzy passes."""
+    text = F.col(text_col)
+    if normalize:
+        text = F.lower(F.regexp_replace(F.trim(text), r"\s+", " "))
+    return (
+        docs.select(F.md5(text).alias("fingerprint"), F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias("keeper_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.8, k: int = 8,
+                        text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact all-pairs set-Jaccard over k-shingles.
+
+    Quadratic — the ORACLE for the LSH variant, not the scale path.
+    jaccard = |A∩B| / |A∪B| with integer sizes, so the double division
+    is bit-deterministic across engines.
+
+    The join carries a size-ratio prefilter: J >= t implies
+    min(|A|,|B|)/max(|A|,|B|) >= t (since |∩| <= min and |∪| >= max),
+    so pairs failing it are skipped before the expensive intersect —
+    result-identical, severalfold cheaper."""
+    with_sh = docs.select(
+        F.col(id_col), _shingles(text_col, k).alias("sh")
+    ).withColumn("nsh", F.size("sh"))
+    a, b = with_sh.alias("a"), with_sh.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
+    size_ok = (
+        F.least(F.col("a.nsh"), F.col("b.nsh")).cast("double")
+        / F.greatest(F.col("a.nsh"), F.col("b.nsh")).cast("double")
+        >= threshold
+    )
+    return (
+        a.crossJoin(b)
+        .filter((F.col(f"a.{id_col}") < F.col(f"b.{id_col}")) & size_ok)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            (inter.cast("double") / union.cast("double")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+LONG_MAX = (1 << 63) - 1
+
+
+def minhash_signature(col_name: str, num_perm: int = 32, k: int = 8):
+    """num_perm-wide MinHash signature as an array column.
+
+    Single fold over the shingle array: each shingle contributes its
+    num_perm seeded hashes via one zip_with(least) merge, so the
+    (expensive) shingle array is built exactly once per row — the
+    naive per-permutation form rebuilds it num_perm times when
+    common-subexpression elimination doesn't fire."""
+    sh = _shingles(col_name, k)
+    init = F.array_repeat(F.lit(LONG_MAX).cast("long"), num_perm)
+    return F.aggregate(
+        sh,
+        init,
+        lambda acc, s: F.zip_with(
+            acc,
+            F.array(*[F.xxhash64(s, F.lit(j)) for j in range(num_perm)]),
+            lambda a, h: F.least(a, h),
+        ),
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    num_perm: int = 32,
+    bands: int = 8,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket: int = 10000,
+) -> DataFrame:
+    """MinHash + banded LSH near-dup candidates, verified by estimated
+    Jaccard (signature agreement rate) >= threshold.
+
+    Scale shape: signatures are one narrow projection; candidates come
+    from a self-equi-join on (band_idx, band_hash) — a shuffle on the
+    band key, never all-pairs.  rows/bands chosen so P(candidate) at
+    the threshold is high (8 bands x 4 rows, s-curve midpoint ~0.72).
+    """
+    rows = num_perm // bands
+    sig = docs.select(
+        F.col(id_col), minhash_signature(text_col, num_perm, k).alias("sig")
+    )
+    sig.persist()
+    band_cols = [
+        F.struct(
+            F.lit(bi).alias("band_idx"),
+            F.xxhash64(*[F.col("sig")[bi * rows + r] for r in range(rows)]).alias("band_hash"),
+        )
+        for bi in range(bands)
+    ]
+    buckets = sig.select(id_col, F.explode(F.array(*band_cols)).alias("b")).select(
+        id_col, F.col("b.band_idx").alias("band_idx"), F.col("b.band_hash").alias("band_hash")
+    )
+    # cap degenerate buckets (hot-key guard)
+    bucket_sizes = buckets.groupBy("band_idx", "band_hash").agg(F.count("*").alias("bn"))
+    buckets = buckets.join(
+        bucket_sizes.filter(F.col("bn") <= max_bucket).select("band_idx", "band_hash"),
+        ["band_idx", "band_hash"],
+        "left_semi",
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    sa = sig.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
+    est = (
+        F.aggregate(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: (x == y).cast("int")),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        ).cast("double")
+        / F.lit(float(num_perm))
+    )
+    return (
+        cand.join(sa, "id_a").join(sb, "id_b")
+        .select("id_a", "id_b", est.alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
+def simhash_column(col, bits: int = 48, token_pattern: str = r"\s+"):
+    """bits-wide SimHash: per token, xxhash64 supplies the bit pattern;
+    each output bit is the sign of the +1/-1 vote sum."""
+    tokens = F.split(F.trim(col), token_pattern)
+
+    def vote(b: int):
+        return F.aggregate(
+            F.transform(
+                tokens,
+                lambda t: F.when(
+                    F.shiftright(F.xxhash64(t), b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+                ).otherwise(F.lit(-1)),
+            ),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        )
+
+    bit_votes = [vote(b) for b in range(bits)]
+    out = F.lit(0).cast("long")
+    for b, vote in enumerate(bit_votes):
+        out = out + F.when(vote > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+    return out
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    bits: int = 48,
+    bands: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SimHash near-dup: banded candidate generation (pigeonhole: any
+    pair within max_hamming shares at least one of `bands` exact bands
+    when bands > max_hamming), then exact popcount verify."""
+    width = bits // bands
+    mask = (1 << width) - 1
+    sh = docs.select(F.col(id_col), simhash_column(F.col(text_col), bits).alias("sh"))
+    sh.persist()
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band_idx"),
+                F.shiftright(F.col("sh"), bi * width).bitwiseAND(F.lit(mask)).alias("band_val"),
+            )
+            for bi in range(bands)
+        ]
+    )
+    buckets = sh.select(id_col, F.explode(band_arr).alias("b")).select(
+        id_col, "b.band_idx", "b.band_val"
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    ha = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    hb = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.join(ha, "id_a").join(hb, "id_b")
+        .select("id_a", "id_b", hamming.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def embedding_cosine_pairs(
+    emb: DataFrame,
+    threshold: float = 0.3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding near-dup: pairs with cosine >= threshold.
+
+    All-pairs (correctness / small-SF); the LSH route for scale is
+    similarity.lsh_topk's bucketing applied pairwise.  Vectors are cast
+    to double before the fold so the sum is bit-deterministic."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = emb.select(F.col(id_col), v.alias("v"))
+    a, b = base.alias("a"), base.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda side: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(F.col(f"{side}.v"), lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            (dot / (norm("a") * norm("b"))).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,108 @@
+"""Similarity search over an embedding column (array<float>).
+
+  cosine_topk   brute-force exact top-k: broadcast the query set against
+                the corpus — the corpus is scanned once, never shuffled;
+                per-query k is a partitioned window.  The correct
+                baseline at any scale where queries are few.
+  lsh_topk      random-hyperplane LSH bucketing: corpus hashed once into
+                sign-pattern buckets; each query probes its own bucket
+                (+ optional multi-probe neighbors).  The 100 TB path:
+                candidate set per query is ~corpus/2^planes.
+
+Hyperplanes are deterministic pseudo-random (xxhash64 of
+(plane, dimension) -> uniform in [-1, 1]) so results are reproducible
+with no stored model.  All math native (zip_with/aggregate fold in
+double).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def _as_double(vec_col: str):
+    return F.transform(F.col(vec_col), lambda x: x.cast("double"))
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(v):
+    return F.sqrt(F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k by cosine for each query vector.
+
+    Output: (query_id, neighbor_id, cosine, rank). Self-matches are
+    excluded. Ties broken by neighbor id for determinism."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv"))
+    cos = _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _bucket_signature(v, planes: int, dim: int):
+    """Sign pattern of the vector against `planes` deterministic
+    hyperplanes, packed into a long.
+
+    plane_w[p][d] = xxhash64(p, d) scaled to [-1, 1] — reproducible
+    everywhere, no stored model."""
+    sig = F.lit(0).cast("long")
+    for p in range(planes):
+        w = F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda d, p=p: (F.xxhash64(F.lit(p), d).cast("double") / F.lit(float(1 << 63))),
+        )
+        proj = _dot(v, w)
+        sig = sig + F.when(proj > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
+    return sig
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    planes: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH
+    bucket, then exact cosine rank within.  Recall grows with fewer
+    planes / multi-probe; cost shrinks with more planes — at 100 TB
+    the bucket join replaces the full cross product."""
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv"))
+    c = c.withColumn("bucket", _bucket_signature(F.col("cv"), planes, dim))
+    q = queries.select(F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv"))
+    q = q.withColumn("bucket", _bucket_signature(F.col("qv"), planes, dim))
+    cos = _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )

@@ -1,0 +1,99 @@
+"""Text analysis operators: token counting, quality scoring, language
+identification, document fingerprinting.
+
+All native Catalyst expressions (regexp_extract_all / split /
+higher-order functions) — these run per-document over the full corpus,
+so they must stay in whole-stage codegen; every formula is also
+expressible in ANSI SQL for the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# crude-but-deterministic per-language marker words for the n-gram
+# heuristic; ASCII-safe so regex semantics agree across engines
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "und", "ist", "das"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "los", "las", "una", "es"],
+}
+
+
+def token_count_cols(text: Column) -> dict[str, Column]:
+    """Whitespace token count + a BPE-ish subword proxy: words,
+    single digits, and punctuation as separate matches."""
+    ws_tokens = F.size(F.split(F.trim(text), r"\s+"))
+    bpe_ish = F.size(F.regexp_extract_all(text, F.lit(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"), F.lit(0)))
+    return {
+        "n_tokens": ws_tokens.cast("bigint"),
+        "n_subword_tokens": bpe_ish.cast("bigint"),
+    }
+
+
+def quality_score_cols(text: Column) -> dict[str, Column]:
+    """Length / punctuation / letter-ratio quality heuristics; the
+    composite score is a deterministic double formula (int ratios)."""
+    n_chars = F.length(text)
+    n_alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", ""))
+    n_punct = F.length(F.regexp_replace(text, r"[^.,;:!?]", ""))
+    n_space = F.length(F.regexp_replace(text, r"[^ ]", ""))
+    alpha_ratio = n_alpha.cast("double") / n_chars.cast("double")
+    punct_ratio = n_punct.cast("double") / n_chars.cast("double")
+    len_score = F.least(n_chars.cast("double") / F.lit(500.0), F.lit(1.0))
+    score = (
+        F.lit(0.5) * alpha_ratio + F.lit(0.3) * len_score + F.lit(0.2) * (F.lit(1.0) - punct_ratio)
+    )
+    return {
+        "n_chars": n_chars.cast("bigint"),
+        "alpha_ratio": alpha_ratio,
+        "punct_ratio": punct_ratio,
+        "n_spaces": n_space.cast("bigint"),
+        "quality_score": score,
+    }
+
+
+def lang_marker_counts(text: Column) -> dict[str, Column]:
+    """Per-language marker-word hit counts (word-boundary regex)."""
+    out = {}
+    for lang, words in LANG_MARKERS.items():
+        pat = r"\b(" + "|".join(words) + r")\b"
+        out[f"hits_{lang}"] = F.size(F.regexp_extract_all(F.lower(text), F.lit(pat), F.lit(0))).cast(
+            "bigint"
+        )
+    return out
+
+
+def lang_id_col(text: Column) -> Column:
+    """argmax of marker hits, 'und' (undetermined) when all zero;
+    deterministic tie-break by the LANG_MARKERS declaration order."""
+    counts = lang_marker_counts(text)
+    best = F.lit("und")
+    best_n = F.lit(0).cast("bigint")
+    # iterate reversed so earlier languages win ties
+    for lang in reversed(list(LANG_MARKERS)):
+        c = counts[f"hits_{lang}"]
+        take = c >= F.greatest(best_n, F.lit(1).cast("bigint"))
+        best = F.when(take, F.lit(lang)).otherwise(best)
+        best_n = F.when(take, c).otherwise(best_n)
+    return best
+
+
+def fingerprint_col(text: Column) -> Column:
+    """Normalization fingerprint: lowercase, collapse whitespace, md5 —
+    the exact-dedup key (P13-adjacent)."""
+    return F.md5(F.lower(F.regexp_replace(F.trim(text), r"\s+", " ")))
+
+
+def analyze(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    text = F.col(text_col)
+    cols = {
+        **token_count_cols(text),
+        **quality_score_cols(text),
+        **lang_marker_counts(text),
+        "lang_pred": lang_id_col(text),
+        "fingerprint": fingerprint_col(text),
+    }
+    return docs.select(F.col(id_col), *[c.alias(n) for n, c in cols.items()])

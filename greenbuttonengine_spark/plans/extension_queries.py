@@ -1,0 +1,278 @@
+"""Declared queries for the training-data-pipeline extension operators
+(dedup / similarity / text stats / multimodal) over the driver's
+``documents`` and ``embeddings`` tables.
+
+Oracle coverage: exact-math operators (exact dedup, all-pairs Jaccard,
+cosine pairs, brute-force top-k, every text stat) have full DuckDB
+oracles — including the floating-point ones, since integer-ratio
+divisions and sequential double folds are bit-identical across engines
+(validated empirically).  The randomized/approximate operators
+(MinHash-LSH, SimHash, hyperplane-LSH, multimodal histogram) rely on
+engine-specific hash functions and are declared rows-only; their
+correctness is covered by pytest invariants against the exact variants.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..extensions import dedup, multimodal, similarity, textstats
+from ..sources.catalog import load_table
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    r"""
+    SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint,
+           MIN(doc_id) AS keeper_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+    tags=("dedup",),
+    doc="Exact dedup via normalization fingerprint: one hash shuffle, "
+    "min-id keeper. The first pass of any dedup cascade at scale.",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_duplicates(load_table(spark, "documents", sf_dir))
+
+
+@register(
+    "dedup_ngram_jaccard",
+    r"""
+    WITH d AS (
+        SELECT doc_id,
+               list_distinct([substring(text, i, 8)
+                              for i in generate_series(1, greatest(length(text)-7, 1))]) AS sh
+        FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+               / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) AS jaccard
+    FROM d a JOIN d b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) >= 0.8
+    """,
+    tags=("dedup",),
+    doc="Exact all-pairs 8-shingle set-Jaccard >= 0.8 — the oracle for "
+    "the MinHash-LSH scale path. Integer set sizes -> bit-deterministic "
+    "division.",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(load_table(spark, "documents", sf_dir), threshold=0.8)
+
+
+@register(
+    "dedup_minhash_lsh",
+    None,  # xxhash64-based signatures are engine-specific -> rows-only
+    tags=("dedup", "approx"),
+    doc="MinHash(32) + 8x4 banded LSH candidates, est-Jaccard >= 0.8. "
+    "The scalable near-dup path: shuffle on band keys, never all-pairs. "
+    "pytest cross-checks recall against dedup_ngram_jaccard.",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_pairs(load_table(spark, "documents", sf_dir), threshold=0.8)
+
+
+@register(
+    "dedup_simhash",
+    None,
+    tags=("dedup", "approx"),
+    doc="32-bit SimHash near-dup, hamming <= 3, banded candidate "
+    "generation (pigeonhole over 4 bands).",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_pairs(load_table(spark, "documents", sf_dir), max_hamming=3)
+
+
+@register(
+    "dedup_embedding_cosine",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cosine
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v)
+              / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.3
+    """,
+    tags=("dedup",),
+    doc="Embedding cosine near-dup pairs >= 0.3 (the corpus is near-"
+    "orthogonal; 0.3 captures the true near-dup tail). Double folds are "
+    "bit-identical to DuckDB's list_dot_product (validated).",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.embedding_cosine_pairs(load_table(spark, "embeddings", sf_dir), threshold=0.3)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ann_bruteforce_topk",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 16),
+    s AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               list_dot_product(qv, e.v)
+                   / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(e.v, e.v))) AS cosine
+        FROM q JOIN e ON e.vec_id != q.query_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+        SELECT s.*, CAST(ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+        FROM s
+    ) t WHERE rank <= 10
+    """,
+    tags=("similarity",),
+    doc="Exact cosine top-10 for 16 query vectors: broadcast queries x "
+    "corpus scan (corpus never shuffles), per-query window rank.",
+)
+def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    return similarity.cosine_topk(emb, emb.filter(F.col("vec_id") < 16), k=10)
+
+
+@register(
+    "ann_lsh_topk",
+    None,
+    tags=("similarity", "approx"),
+    doc="Hyperplane-LSH bucketed top-k — the 100 TB path (bucket join "
+    "replaces the cross product). Deterministic xxhash64 hyperplanes.",
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    return similarity.lsh_topk(emb, emb.filter(F.col("vec_id") < 16), k=10, planes=4)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_token_count",
+    r"""
+    SELECT doc_id,
+           CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT)
+               AS n_subword_tokens
+    FROM documents
+    """,
+    tags=("textstats",),
+    doc="Whitespace token count + BPE-ish subword proxy (words / digits "
+    "/ punctuation as separate matches).",
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    cols = textstats.token_count_cols(F.col("text"))
+    return docs.select("doc_id", *[c.alias(n) for n, c in cols.items()])
+
+
+@register(
+    "text_quality_score",
+    r"""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+               / CAST(length(text) AS DOUBLE) AS alpha_ratio,
+           CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+               / CAST(length(text) AS DOUBLE) AS punct_ratio,
+           CAST(length(regexp_replace(text, '[^ ]', '', 'g')) AS BIGINT) AS n_spaces,
+           0.5 * (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                  / CAST(length(text) AS DOUBLE))
+             + 0.3 * least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+             + 0.2 * (1.0 - CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+                            / CAST(length(text) AS DOUBLE)) AS quality_score
+    FROM documents
+    """,
+    tags=("textstats",),
+    doc="Quality heuristics: alpha/punct ratios + length score -> "
+    "composite; deterministic double math from integer ratios.",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    cols = textstats.quality_score_cols(F.col("text"))
+    return docs.select("doc_id", *[c.alias(n) for n, c in cols.items()])
+
+
+_LANG_HITS_SQL = {
+    lang: rf"CAST(len(regexp_extract_all(lower(text), '\b({'|'.join(words)})\b')) AS BIGINT)"
+    for lang, words in textstats.LANG_MARKERS.items()
+}
+
+
+@register(
+    "text_lang_id",
+    f"""
+    SELECT doc_id,
+           {_LANG_HITS_SQL['en']} AS hits_en,
+           {_LANG_HITS_SQL['de']} AS hits_de,
+           {_LANG_HITS_SQL['fr']} AS hits_fr,
+           {_LANG_HITS_SQL['es']} AS hits_es,
+           CASE
+             WHEN {_LANG_HITS_SQL['en']} >= greatest({_LANG_HITS_SQL['de']}, {_LANG_HITS_SQL['fr']}, {_LANG_HITS_SQL['es']}, 1) THEN 'en'
+             WHEN {_LANG_HITS_SQL['de']} >= greatest({_LANG_HITS_SQL['fr']}, {_LANG_HITS_SQL['es']}, 1) THEN 'de'
+             WHEN {_LANG_HITS_SQL['fr']} >= greatest({_LANG_HITS_SQL['es']}, 1) THEN 'fr'
+             WHEN {_LANG_HITS_SQL['es']} >= 1 THEN 'es'
+             ELSE 'und'
+           END AS lang_pred
+    FROM documents
+    """,
+    tags=("textstats",),
+    doc="Marker-word n-gram language ID; argmax with declaration-order "
+    "tie-break, 'und' when no marker hits.",
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    text = F.col("text")
+    counts = textstats.lang_marker_counts(text)
+    return docs.select(
+        "doc_id",
+        *[c.alias(n) for n, c in counts.items()],
+        textstats.lang_id_col(text).alias("lang_pred"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    r"""
+    SELECT doc_id,
+           md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint
+    FROM documents
+    """,
+    tags=("textstats",),
+    doc="Normalization fingerprint (lower + whitespace collapse + md5).",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select("doc_id", textstats.fingerprint_col(F.col("text")).alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# Multimodal
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_byte_histogram",
+    None,  # binary-blob feature extraction is not SQL-expressible
+    tags=("multimodal",),
+    doc="Binary media column plumbing: attach (media binary, meta "
+    "struct), extract 16-bin byte histograms via Arrow-batched "
+    "mapInPandas. The decode-to-image step is stubbed (no codec libs "
+    "in this environment); the batch shape is the real one.",
+)
+def multimodal_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    media = multimodal.attach_fake_media(docs)
+    return multimodal.extract_features(media, allow_fake=True)

@@ -1,0 +1,96 @@
+"""Invariant tests for the approximate extension operators, cross-
+checked against their exact counterparts (the rows-only queries'
+correctness story)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def test_minhash_lsh_recall_vs_exact(spark, docs):
+    from greenbuttonengine_spark.extensions import dedup
+
+    exact = {
+        (r.id_a, r.id_b) for r in dedup.ngram_jaccard_pairs(docs, threshold=0.8).collect()
+    }
+    approx = {
+        (r.id_a, r.id_b) for r in dedup.minhash_lsh_pairs(docs, threshold=0.8).collect()
+    }
+    assert exact, "corpus should contain true near-dup pairs"
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"LSH recall {recall} too low ({len(approx)} candidates)"
+
+
+def test_simhash_finds_near_dups(spark, docs):
+    from greenbuttonengine_spark.extensions import dedup
+
+    exact = {
+        (r.id_a, r.id_b) for r in dedup.ngram_jaccard_pairs(docs, threshold=0.8).collect()
+    }
+    sim = {(r.id_a, r.id_b) for r in dedup.simhash_pairs(docs, max_hamming=3).collect()}
+    # simhash on token multisets: near-dup docs must collide
+    recall = len(exact & sim) / len(exact)
+    assert recall >= 0.8, f"simhash recall {recall}"
+
+
+def test_ann_lsh_recall_vs_bruteforce(spark, emb):
+    from greenbuttonengine_spark.extensions import similarity
+
+    queries = emb.filter(F.col("vec_id") < 16)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk(emb, queries, k=10).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.lsh_topk(emb, queries, k=10, planes=4).collect()
+    }
+    # 4 planes ~ 1/16 of corpus per bucket; top-1s should still be found often
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.2, f"LSH ANN recall {recall} suspiciously low"
+    assert all(r.rank <= 10 for r in similarity.lsh_topk(emb, queries, k=10).collect())
+
+
+def test_multimodal_plumbing(spark, docs):
+    from greenbuttonengine_spark.extensions import multimodal
+
+    media = multimodal.attach_fake_media(docs.limit(50))
+    row = media.first()
+    assert isinstance(row.media, (bytes, bytearray)) and len(row.media) == 32
+    assert row.media_meta.kind == "image/fake"
+
+    feats = multimodal.extract_features(media).collect()
+    assert len(feats) == 50
+    for r in feats[:5]:
+        assert len(r.byte_histogram) == multimodal.HIST_BINS
+        assert abs(sum(r.byte_histogram) - 1.0) < 1e-9  # normalized histogram
+
+    with pytest.raises(NotImplementedError, match="Pillow"):
+        multimodal.decode_image(b"\x00" * 16)
+
+
+def test_exact_dedup_finds_normalized_dups(spark, docs):
+    from greenbuttonengine_spark.extensions import dedup
+
+    # plant a normalized duplicate (case + whitespace differences)
+    first_text = docs.first().text
+    planted = docs.limit(0).sparkSession.createDataFrame(
+        [(99999, "  " + first_text.upper() + "  ", "en", "srcX", len(first_text))],
+        schema=docs.schema,
+    )
+    out = dedup.exact_duplicates(docs.unionByName(planted))
+    dupes = out.filter(F.col("n_copies") > 1).collect()
+    assert any(r.n_copies == 2 for r in dupes)
