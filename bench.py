@@ -60,6 +60,23 @@ def main() -> None:
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
 
+    # ESPI end-to-end: XML -> parse -> denormalize -> parquet (BASELINE.md
+    # protocol; the reference's own workload)
+    egd = "/root/reference/test_files/EGD_Gas_EnergyUsage_20221225_20241225.xml"
+    if os.path.exists(egd):
+        import shutil
+        import tempfile
+
+        from greenbuttonengine_spark.espi import timeseries_from_files
+        from greenbuttonengine_spark.sinks import write_parquet
+
+        out = tempfile.mkdtemp(prefix="bench_espi_")
+        t0 = time.time()
+        ts, _errors = timeseries_from_files(spark, egd)
+        write_parquet(ts, out)
+        timings["espi_xml_to_parquet"] = round(time.time() - t0, 3)
+        shutil.rmtree(out, ignore_errors=True)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
