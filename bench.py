@@ -32,6 +32,10 @@ HEADLINE = [
     "o5_topk_limit",
     "w3_rank_per_group",
     "d1_date_trunc_rollup",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "sessionize_events",
+    "asof_last_click_before_purchase",
 ]
 
 

@@ -1,0 +1,344 @@
+"""Advanced declared queries: the generic-engine surface beyond the
+reference's own operators (SURVEY §2.5 note: limits/set-ops/rankings
+come free in Spark; we declare them so the harness exercises them) plus
+composite OLAP shapes (sessionization, rollup, pivot, percentiles,
+as-of join) and the influx sink projection as an oracle-checked query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+from .registry import register
+
+
+def _dec(c, scale: int = 2):
+    return F.col(c).cast(f"decimal(18,{scale})")
+
+
+@register(
+    "sessionize_events",
+    """
+    WITH marked AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE OR
+                         LAG(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM marked
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           COUNT(*) AS n_events, MIN(ts) AS session_start, MAX(ts) AS session_end
+    FROM sess GROUP BY user_id, session_id
+    """,
+    tags=("window", "sessionization"),
+    doc="Sessionization: 30-minute inactivity gap -> session boundaries "
+    "via lag + running sum (one shuffle on user_id; the streaming analog "
+    "is session_window). The canonical event-pipeline operator.",
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")
+    marked = ev.withColumn(
+        "new_session",
+        F.when(F.lag("ts").over(w).isNull() | (gap > 30 * 60), 1).otherwise(0),
+    )
+    sess = marked.withColumn(
+        "session_id", F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, 0))
+    )
+    return sess.groupBy("user_id", F.col("session_id").cast("bigint").alias("session_id")).agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+@register(
+    "rollup_revenue",
+    """
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    tags=("agg", "rollup"),
+    doc="ROLLUP hierarchy totals (flag -> flag+status -> grand total) — "
+    "Catalyst expands to a single shuffle with grouping-id.",
+)
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.sum(_dec("l_extendedprice")).cast("double").alias("revenue"),
+    )
+
+
+@register(
+    "cube_counts",
+    """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    tags=("agg", "cube"),
+    doc="CUBE over two dims — all 4 grouping sets in one pass.",
+)
+def cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir)
+    return o.cube("o_orderstatus", "o_orderpriority").agg(F.count("*").alias("n"))
+
+
+@register(
+    "pivot_returnflag",
+    """
+    SELECT l_linestatus,
+           COUNT(*) FILTER (WHERE l_returnflag = 'A') AS A,
+           COUNT(*) FILTER (WHERE l_returnflag = 'N') AS N,
+           COUNT(*) FILTER (WHERE l_returnflag = 'R') AS R
+    FROM lineitem GROUP BY l_linestatus
+    """,
+    tags=("agg", "pivot"),
+    doc="Pivot (wide conditional aggregation); explicit value list keeps "
+    "the schema static — the scale-safe pivot form (no extra pass to "
+    "discover values).",
+)
+def pivot_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.count(F.lit(1)))
+    )
+
+
+@register(
+    "agg_percentiles",
+    """
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.25) AS p25,
+           quantile_cont(l_quantity, 0.5) AS p50,
+           quantile_cont(l_quantity, 0.75) AS p75,
+           MIN(l_quantity) AS q_min, MAX(l_quantity) AS q_max
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg", "percentile"),
+    doc="Exact interpolated percentiles per group (Spark percentile == "
+    "DuckDB quantile_cont: both (n-1)*p linear interpolation). For "
+    "100 TB use approx_percentile — declared exact here for the oracle.",
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", 0.25).alias("p25"),
+        F.percentile("l_quantity", 0.5).alias("p50"),
+        F.percentile("l_quantity", 0.75).alias("p75"),
+        F.min("l_quantity").alias("q_min"),
+        F.max("l_quantity").alias("q_max"),
+    )
+
+
+@register(
+    "asof_last_click_before_purchase",
+    """
+    WITH purchases AS (
+        SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
+        FROM events WHERE event_type = 'purchase'
+    ), clicks AS (
+        SELECT user_id, event_id AS click_id, ts AS click_ts
+        FROM events WHERE event_type = 'click'
+    ), joined AS (
+        SELECT p.user_id, p.purchase_id, p.purchase_ts, c.click_id, c.click_ts,
+               ROW_NUMBER() OVER (PARTITION BY p.purchase_id
+                                  ORDER BY c.click_ts DESC, c.click_id DESC) AS rn
+        FROM purchases p JOIN clicks c
+          ON c.user_id = p.user_id AND c.click_ts < p.purchase_ts
+    )
+    SELECT user_id, purchase_id, purchase_ts, click_id AS last_click_id,
+           click_ts AS last_click_ts
+    FROM joined WHERE rn = 1
+    """,
+    tags=("join", "asof"),
+    doc="As-of join (Spark has no native one): for each purchase, the "
+    "last strictly-earlier click by the same user — equi-join on the "
+    "entity + range filter + argmax window. At scale: bucketize time and "
+    "join on (user, bucket) to bound the range expansion, or "
+    "applyInPandas with merge_asof per user partition.",
+)
+def asof_last_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("purchase_ts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    joined = p.join(
+        c, (F.col("c_user") == F.col("user_id")) & (F.col("click_ts") < F.col("purchase_ts"))
+    )
+    w = W.partitionBy("purchase_id").orderBy(F.desc("click_ts"), F.desc("click_id"))
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "purchase_id",
+            "purchase_ts",
+            F.col("click_id").alias("last_click_id"),
+            F.col("click_ts").alias("last_click_ts"),
+        )
+    )
+
+
+@register(
+    "w4_ntile_percent_rank",
+    """
+    SELECT o_orderkey,
+           CAST(ntile(4) OVER w AS BIGINT) AS price_quartile,
+           percent_rank() OVER w AS price_pct_rank
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    """,
+    tags=("window",),
+    doc="ntile/percent_rank per group — distribution analytics windows.",
+)
+def w4_ntile_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir)
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        F.ntile(4).over(w).cast("bigint").alias("price_quartile"),
+        F.percent_rank().over(w).alias("price_pct_rank"),
+    )
+
+
+@register(
+    "s6_influx_line_projection",
+    r"""
+    SELECT concat(
+             regexp_replace(replace(p.p_name, ' ', '_'), '[^A-Za-z0-9_]', '', 'g'),
+             ',db=greenbutton,brand=', replace(p.p_brand, ' ', '\ '),
+             ',type=', replace(p.p_type, ' ', '\ '),
+             ' value=', CAST(l.l_quantity AS VARCHAR),
+             ',line=', CAST(l.l_linenumber AS VARCHAR),
+             ' ', CAST(CAST(floor(epoch(l.l_shipdate)) AS BIGINT) * 1000000000 AS VARCHAR)
+           ) AS line
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    """,
+    tags=("sink", "string"),
+    doc="S6 influx line-protocol sink body as an oracle-checked "
+    "projection: P13 measurement sanitize + P14 tag escaping + P15 ns "
+    "epoch, one string column built fully in codegen "
+    "(timeseries.rs:309-358).",
+)
+def s6_influx_line_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    p = load_table(spark, "part", sf_dir)
+    esc = lambda c: F.replace(F.col(c), F.lit(" "), F.lit("\\ "))  # noqa: E731
+    measurement = F.regexp_replace(
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")), "[^A-Za-z0-9_]", ""
+    )
+    line = F.concat(
+        measurement,
+        F.lit(",db=greenbutton,brand="), esc("p_brand"),
+        F.lit(",type="), esc("p_type"),
+        F.lit(" value="), F.col("l_quantity").cast("string"),
+        F.lit(",line="), F.col("l_linenumber").cast("string"),
+        F.lit(" "), (F.unix_timestamp("l_shipdate") * F.lit(1000000000)).cast("string"),
+    )
+    return li.join(F.broadcast(p), p["p_partkey"] == li["l_partkey"]).select(line.alias("line"))
+
+
+@register(
+    "q3_shipping_priority",
+    """
+    SELECT l.l_orderkey,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+               AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 20
+    """,
+    tags=("flagship", "join", "agg"),
+    doc="TPC-H Q3 shape: selective dims filter before the fact join "
+    "(predicate pushdown + join reordering), then top-20 by revenue — "
+    "TakeOrderedAndProject, no global sort.",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, "customer", sf_dir).filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, "orders", sf_dir).filter(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        F.col("l_shipdate") > F.lit("1995-03-15 00:00:00").cast("timestamp")
+    )
+    disc = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .join(li, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(disc).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(20)
+    )
+
+
+@register(
+    "q5_local_supplier_volume",
+    """
+    SELECT n.n_name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+               AS revenue
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    """,
+    tags=("flagship", "join", "agg"),
+    doc="TPC-H Q5 shape: 6-table join chain with a correlated nation "
+    "constraint; dims broadcast, the two facts co-shuffle on orderkey.",
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load_table(spark, "region", sf_dir).filter(F.col("r_name") == "ASIA")
+    n = load_table(spark, "nation", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+    disc = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    return (
+        F.broadcast(r)
+        .join(n, n["n_regionkey"] == r["r_regionkey"])
+        .join(c, c["c_nationkey"] == n["n_nationkey"])
+        .join(o, o["o_custkey"] == c["c_custkey"])
+        .join(li, li["l_orderkey"] == o["o_orderkey"])
+        .join(
+            F.broadcast(s),
+            (s["s_suppkey"] == li["l_suppkey"]) & (s["s_nationkey"] == c["c_nationkey"]),
+        )
+        .groupBy("n_name")
+        .agg(F.sum(disc).cast("double").alias("revenue"))
+    )
