@@ -259,6 +259,28 @@ def s6_influx_line_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "json_extract_props",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k,
+           CAST(json_extract_string(props, '$.missing') AS BIGINT) AS prop_missing
+    FROM events
+    """,
+    tags=("json",),
+    doc="JSON scalar extraction from a string payload column "
+    "(get_json_object stays in codegen; for repeated access at scale, "
+    "from_json to a struct once and prune fields).",
+)
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("prop_k"),
+        F.get_json_object("props", "$.missing").cast("bigint").alias("prop_missing"),
+    )
+
+
+@register(
     "q3_shipping_priority",
     """
     SELECT l.l_orderkey,
