@@ -259,6 +259,35 @@ def s6_influx_line_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a5_salted_skew_aggregate",
+    """
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events GROUP BY event_type
+    """,
+    tags=("agg", "skew"),
+    doc="Skew-safe two-phase aggregation: only 5 distinct event_type "
+    "keys means a plain groupBy sends each key's entire volume to one "
+    "reducer. Salting (key, hash%16) fans the hot keys across 16 "
+    "partial aggregates, then a cheap 5x16-row final combine — "
+    "result-identical to the plain groupBy (the oracle). At 100 TB this "
+    "is the manual fallback where AQE skew handling doesn't apply "
+    "(aggregation skew, not join skew).",
+)
+def a5_salted_skew_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    salt = F.pmod(F.xxhash64("event_id"), F.lit(16)).alias("salt")
+    partial = (
+        ev.select("event_type", salt, F.col("value").cast("decimal(18,6)").alias("v"))
+        .groupBy("event_type", "salt")
+        .agg(F.count("*").alias("pn"), F.sum("v").alias("pv"))
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pn").alias("n"), F.sum("pv").cast("double").alias("total_value")
+    )
+
+
+@register(
     "json_extract_props",
     """
     SELECT event_id,
