@@ -55,7 +55,12 @@ def main() -> None:
         if extra in qs and extra not in names:
             names.append(extra)
 
-    # warm the JVM + parquet footers once
+    # warm the JVM + every table's parquet footers once, so per-query
+    # timings measure the query, not first-touch listing costs
+    from greenbuttonengine_spark.sources.catalog import TABLES, load_table
+
+    for t in TABLES:
+        load_table(spark, t, sf_dir).write.format("noop").mode("overwrite").save()
     qs["s1_scan_filter_project"](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
