@@ -259,6 +259,59 @@ def s6_influx_line_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "o8_distinct",
+    """
+    SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+    """,
+    tags=("setop",),
+    doc="DISTINCT (hash-based dedup shuffle; partial dedup map-side).",
+)
+def o8_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.select("l_returnflag", "l_linestatus").distinct()
+
+
+@register(
+    "o9_intersect_all",
+    """
+    SELECT o_custkey AS c_key FROM orders WHERE o_totalprice > 50000.0
+    INTERSECT ALL
+    SELECT o_custkey AS c_key FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+    tags=("setop",),
+    doc="INTERSECT ALL (multiplicity-preserving set op).",
+)
+def o9_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir)
+    left = o.filter(F.col("o_totalprice") > 50000.0).select(F.col("o_custkey").alias("c_key"))
+    right = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("c_key")
+    )
+    return left.intersectAll(right)
+
+
+@register(
+    "espi_egd_timeseries",
+    None,  # input is the reference's XML corpus, not the oracle tables
+    tags=("espi", "flagship"),
+    doc="The ESPI pipeline end-to-end as a declared query: EGD provider "
+    "XML -> parse -> denormalize -> 15-column TimeSeries (rows-only "
+    "here; full value parity vs the reference's golden parquet is "
+    "enforced in tests/test_espi_golden.py).",
+)
+def espi_egd_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..espi import timeseries_from_files
+
+    egd = "/root/reference/test_files/EGD_Gas_EnergyUsage_20221225_20241225.xml"
+    if not os.path.exists(egd):  # environment without the reference corpus
+        return spark.createDataFrame([], "title string, value float")
+    ts, _errors = timeseries_from_files(spark, egd)
+    return ts
+
+
+@register(
     "a5_salted_skew_aggregate",
     """
     SELECT event_type, COUNT(*) AS n,
