@@ -259,6 +259,70 @@ def s6_influx_line_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "str2_string_functions",
+    """
+    SELECT p_partkey,
+           translate(p_brand, '#', '_') AS brand_t,
+           left(p_name, 5) AS name_l,
+           right(p_name, 5) AS name_r,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad,
+           reverse(p_brand) AS brand_rev,
+           split_part(p_type, ' ', 2) AS type_mid,
+           CAST(levenshtein(p_brand, 'Brand#00') AS BIGINT) AS brand_dist
+    FROM part
+    """,
+    tags=("string",),
+    doc="§2.6 string surface, part 2: translate/left/right/lpad/reverse/"
+    "split_part + levenshtein (the edit-distance primitive for "
+    "small-string fuzzy matching; for corpus-scale fuzzy dedup use the "
+    "shingle/LSH operators instead).",
+)
+def str2_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, "part", sf_dir)
+    return p.select(
+        "p_partkey",
+        F.translate("p_brand", "#", "_").alias("brand_t"),
+        F.expr("left(p_name, 5)").alias("name_l"),
+        F.expr("right(p_name, 5)").alias("name_r"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_pad"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.expr("split_part(p_type, ' ', 2)").alias("type_mid"),
+        F.levenshtein("p_brand", F.lit("Brand#00")).cast("bigint").alias("brand_dist"),
+    )
+
+
+@register(
+    "math1_functions",
+    """
+    SELECT l_orderkey, l_linenumber,
+           sign(l_extendedprice - 30000.0) AS price_sign,
+           abs(l_discount - 0.05) AS disc_dev,
+           CAST(mod(l_orderkey, 7) AS BIGINT) AS key_mod,
+           sqrt(l_quantity) AS qty_sqrt,
+           CAST(floor(l_extendedprice / 1000.0) AS BIGINT) AS price_kbucket,
+           CAST(ceil(l_quantity / 10.0) AS BIGINT) AS qty_decile
+    FROM lineitem
+    """,
+    tags=("math",),
+    doc="§2.6 math surface: sign/abs/mod/sqrt/floor/ceil (sqrt is IEEE "
+    "exact cross-engine; ln/exp are intentionally absent — last-ulp "
+    "libm differences break bit equality).",
+)
+def math1_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.signum(F.col("l_extendedprice") - 30000.0).alias("price_sign"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        (F.col("l_orderkey") % 7).cast("bigint").alias("key_mod"),
+        F.sqrt("l_quantity").alias("qty_sqrt"),
+        F.floor(F.col("l_extendedprice") / 1000.0).cast("bigint").alias("price_kbucket"),
+        F.ceil(F.col("l_quantity") / 10.0).cast("bigint").alias("qty_decile"),
+    )
+
+
+@register(
     "o8_distinct",
     """
     SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
