@@ -35,29 +35,7 @@ def _parse_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(out, columns=cols) if out else pd.DataFrame(columns=cols)
 
 
-def _ensure_package_shipped(spark: SparkSession) -> None:
-    """Ship this package to executor Python workers.
-
-    The parse UDF is pickled BY REFERENCE (it lives in an importable
-    module), so workers must be able to ``import greenbuttonengine_spark``
-    — true when the driver launches from the repo root, false otherwise.
-    A zip via ``addPyFile`` makes it location-independent (the standard
-    way to ship job code to a cluster).
-    """
-    sc = spark.sparkContext
-    if getattr(sc, "_gbe_pkg_shipped", False):
-        return
-    import tempfile
-    import zipfile
-    from pathlib import Path
-
-    pkg_root = Path(__file__).resolve().parents[1]
-    zip_path = Path(tempfile.mkdtemp()) / "greenbuttonengine_spark.zip"
-    with zipfile.ZipFile(zip_path, "w") as zf:
-        for py in pkg_root.rglob("*.py"):
-            zf.write(py, arcname=str(py.relative_to(pkg_root.parent)))
-    sc.addPyFile(str(zip_path))
-    sc._gbe_pkg_shipped = True
+from ..shipping import ensure_package_shipped as _ensure_package_shipped  # noqa: E402
 
 
 def read_espi(spark: SparkSession, paths: str | list[str]) -> DataFrame:
