@@ -143,6 +143,20 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_ivf_topk",
+    None,
+    tags=("similarity", "approx"),
+    doc="IVF approximate top-k: deterministic k-means coarse quantizer "
+    "(16 cells), queries probe their 4 nearest cells — a query scans "
+    "~25% of the corpus instead of all of it. pytest bounds recall vs "
+    "the brute-force oracle.",
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    return similarity.ivf_topk(emb, emb.filter(F.col("vec_id") < 16), k=10)
+
+
+@register(
     "ann_lsh_topk",
     None,
     tags=("similarity", "approx"),
@@ -152,6 +166,23 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
     return similarity.lsh_topk(emb, emb.filter(F.col("vec_id") < 16), k=10, planes=4)
+
+
+@register(
+    "approx_aggregates",
+    None,  # HLL / KLL sketches are engine-specific by construction
+    tags=("agg", "approx"),
+    doc="The 100 TB aggregate path: approx_count_distinct (HLL++) and "
+    "approx_percentile (KLL-ish) — sketch-based, mergeable, one pass. "
+    "pytest bounds their error against the exact values.",
+)
+def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_median_price"),
+        F.count("*").alias("n"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -240,6 +271,46 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         *[c.alias(n) for n, c in counts.items()],
         textstats.lang_id_col(text).alias("lang_pred"),
+    )
+
+
+@register(
+    "pipeline_quality_filter",
+    r"""
+    SELECT doc_id,
+           CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+    FROM documents
+    WHERE length(text) BETWEEN 100 AND 2000
+      AND CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+              / CAST(length(text) AS DOUBLE) >= 0.6
+      AND len(regexp_split_to_array(trim(text), '\s+')) BETWEEN 10 AND 500
+      AND len(regexp_extract_all(lower(text), '\b(the|and|of|to|is)\b')) >= 1
+    """,
+    tags=("textstats", "pipeline"),
+    doc="Composed training-data filter: length bounds + letter-ratio "
+    "floor + token bounds + an English-marker requirement — the "
+    "filter-cascade shape of a corpus-cleaning pass, one codegen'd "
+    "scan, every predicate pushable.",
+)
+def pipeline_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    text = F.col("text")
+    n_tokens = F.size(F.split(F.trim(text), r"\s+"))
+    alpha_ratio = (
+        F.length(F.regexp_replace(text, r"[^A-Za-z]", "")).cast("double")
+        / F.length(text).cast("double")
+    )
+    en_hits = F.size(
+        F.regexp_extract_all(F.lower(text), F.lit(r"\b(the|and|of|to|is)\b"), F.lit(0))
+    )
+    return (
+        docs.filter(
+            F.length(text).between(100, 2000)
+            & (alpha_ratio >= 0.6)
+            & n_tokens.between(10, 500)
+            & (en_hits >= 1)
+        )
+        .select("doc_id", n_tokens.cast("bigint").alias("n_tokens"))
     )
 
 

@@ -64,6 +64,44 @@ def test_ann_lsh_recall_vs_bruteforce(spark, emb):
     assert all(r.rank <= 10 for r in similarity.lsh_topk(emb, queries, k=10).collect())
 
 
+def test_ivf_recall_vs_bruteforce(spark, emb):
+    from greenbuttonengine_spark.extensions import similarity
+
+    queries = emb.filter(F.col("vec_id") < 16)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk(emb, queries, k=10).collect()
+    }
+    ivf = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ivf_topk(emb, queries, k=10, n_centroids=16, n_probe=4).collect()
+    }
+    recall = len(exact & ivf) / len(exact)
+    # probing 4/16 cells of a near-orthogonal corpus: recall well above
+    # the ~25% a random cell subset would give
+    assert recall >= 0.3, f"IVF recall {recall}"
+
+
+def test_approx_aggregates_bounded_error(spark):
+    from greenbuttonengine_spark.plans.extension_queries import approx_aggregates
+
+    got = {r.l_returnflag: r for r in approx_aggregates(spark, SF).collect()}
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    exact = {
+        r.l_returnflag: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_orderkey").alias("orders"),
+            F.expr("percentile(l_extendedprice, 0.5)").alias("median"),
+        )
+        .collect()
+    }
+    for flag, e in exact.items():
+        g = got[flag]
+        assert abs(g.approx_orders - e.orders) / e.orders < 0.05
+        assert abs(g.approx_median_price - e.median) / e.median < 0.05
+
+
 def test_multimodal_plumbing(spark, docs):
     from greenbuttonengine_spark.extensions import multimodal
 
