@@ -48,10 +48,15 @@ def cosine_topk(
         F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
     )
     c = corpus.select(F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv"))
+    return _score_and_rank(c.crossJoin(F.broadcast(q)), k)
+
+
+def _score_and_rank(candidates: DataFrame, k: int) -> DataFrame:
+    """Shared tail of every ANN variant: exact cosine over the
+    candidate (query, neighbor) pairs, deterministic per-query top-k."""
     cos = _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))
     scored = (
-        c.crossJoin(F.broadcast(q))
-        .filter(F.col("neighbor_id") != F.col("query_id"))
+        candidates.filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id", cos.alias("cosine"))
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
@@ -67,13 +72,18 @@ def _bucket_signature(v, planes: int, dim: int):
 
     plane_w[p][d] = xxhash64(p, d) scaled to [-1, 1] — reproducible
     everywhere, no stored model."""
+    def plane_weights(p: int):
+        # single-arg lambda: an arity-2 lambda would receive the array
+        # INDEX as its second argument, shadowing p and collapsing all
+        # planes to identical weights
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda d: (F.xxhash64(F.lit(p), d).cast("double") / F.lit(float(1 << 63))),
+        )
+
     sig = F.lit(0).cast("long")
     for p in range(planes):
-        w = F.transform(
-            F.sequence(F.lit(0), F.lit(dim - 1)),
-            lambda d, p=p: (F.xxhash64(F.lit(p), d).cast("double") / F.lit(float(1 << 63))),
-        )
-        proj = _dot(v, w)
+        proj = _dot(v, plane_weights(p))
         sig = sig + F.when(proj > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
     return sig
 
@@ -98,7 +108,7 @@ def ivf_topk(
     partitioned by cell, and a query touches n_probe/n_centroids of the
     data — the classic IVF trade (recall vs cells scanned)."""
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector
 
     c = corpus.select(F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv"))
     with_vec = c.withColumn("features", array_to_vector(F.col("cv")))
@@ -126,17 +136,7 @@ def ivf_topk(
         .select("query_id", "qv", "cell")
     )
 
-    cos = _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))
-    scored = (
-        assigned.join(F.broadcast(probes), "cell")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", cos.alias("cosine"))
-    )
-    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= k)
-    )
+    return _score_and_rank(assigned.join(F.broadcast(probes), "cell"), k)
 
 
 def lsh_topk(
@@ -147,23 +147,27 @@ def lsh_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     dim: int = 64,
+    multiprobe: bool = True,
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's LSH
-    bucket, then exact cosine rank within.  Recall grows with fewer
-    planes / multi-probe; cost shrinks with more planes — at 100 TB
-    the bucket join replaces the full cross product."""
+    bucket, then exact cosine rank within.
+
+    ``multiprobe`` additionally probes every bucket at Hamming
+    distance 1 from the query's signature (flip one plane's sign) —
+    the standard recall fix for sign-LSH: a near neighbor that falls
+    on the wrong side of ONE hyperplane is still found.  Candidates
+    grow from 1 to (1+planes) buckets of 2^planes — still a small
+    corpus fraction at scale."""
     c = corpus.select(F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv"))
     c = c.withColumn("bucket", _bucket_signature(F.col("cv"), planes, dim))
     q = queries.select(F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv"))
     q = q.withColumn("bucket", _bucket_signature(F.col("qv"), planes, dim))
-    cos = _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))
-    scored = (
-        c.join(F.broadcast(q), "bucket")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", cos.alias("cosine"))
-    )
-    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= k)
-    )
+    if multiprobe:
+        probe_buckets = F.array(
+            F.col("bucket"),
+            *[F.col("bucket").bitwiseXOR(F.lit(1 << p).cast("long")) for p in range(planes)],
+        )
+        q = q.select(
+            "query_id", "qv", F.explode(probe_buckets).alias("bucket")
+        )
+    return _score_and_rank(c.join(F.broadcast(q), "bucket"), k)

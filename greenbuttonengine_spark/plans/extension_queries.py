@@ -284,7 +284,7 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
               / CAST(length(text) AS DOUBLE) >= 0.6
       AND len(regexp_split_to_array(trim(text), '\s+')) BETWEEN 10 AND 500
-      AND len(regexp_extract_all(lower(text), '\b(the|and|of|to|is)\b')) >= 1
+      AND regexp_matches(lower(text), '\b(the|and|of|to|is)\b')
     """,
     tags=("textstats", "pipeline"),
     doc="Composed training-data filter: length bounds + letter-ratio "
@@ -300,15 +300,13 @@ def pipeline_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(F.regexp_replace(text, r"[^A-Za-z]", "")).cast("double")
         / F.length(text).cast("double")
     )
-    en_hits = F.size(
-        F.regexp_extract_all(F.lower(text), F.lit(r"\b(the|and|of|to|is)\b"), F.lit(0))
-    )
+    has_en_marker = F.lower(text).rlike(r"\b(the|and|of|to|is)\b")
     return (
         docs.filter(
             F.length(text).between(100, 2000)
             & (alpha_ratio >= 0.6)
             & n_tokens.between(10, 500)
-            & (en_hits >= 1)
+            & has_en_marker
         )
         .select("doc_id", n_tokens.cast("bigint").alias("n_tokens"))
     )

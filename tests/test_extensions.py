@@ -58,9 +58,15 @@ def test_ann_lsh_recall_vs_bruteforce(spark, emb):
         (r.query_id, r.neighbor_id)
         for r in similarity.lsh_topk(emb, queries, k=10, planes=4).collect()
     }
-    # 4 planes ~ 1/16 of corpus per bucket; top-1s should still be found often
+    # multi-probe scans (1+4)/16 of the corpus; recall must clearly beat
+    # that random-subset baseline on this near-orthogonal corpus
     recall = len(exact & approx) / len(exact)
-    assert recall >= 0.2, f"LSH ANN recall {recall} suspiciously low"
+    assert recall >= 0.3, f"LSH ANN recall {recall} suspiciously low"
+    single = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.lsh_topk(emb, queries, k=10, planes=4, multiprobe=False).collect()
+    }
+    assert len(exact & approx) > len(exact & single), "multi-probe should raise recall"
     assert all(r.rank <= 10 for r in similarity.lsh_topk(emb, queries, k=10).collect())
 
 
