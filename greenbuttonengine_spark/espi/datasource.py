@@ -50,8 +50,17 @@ class EspiDataSourceReader(DataSourceReader):
     def read(self, partition: EspiFilePartition):  # executor-side parse
         from .parser import parse_espi_feed
 
-        with open(partition.path, encoding="utf-8") as fh:
-            text = fh.read()
+        try:
+            with open(partition.path, encoding="utf-8") as fh:
+                text = fh.read()
+        except UnicodeDecodeError as ex:  # S2: bad encoding is a per-file error
+            bad = {
+                "row_kind": "error",
+                "source_file": partition.path,
+                "error": f"UnicodeDecodeError: {ex}",
+            }
+            yield tuple(bad.get(name) for name in _FIELDS)
+            return
         for row in parse_espi_feed(text, partition.path):
             yield tuple(row.get(name) for name in _FIELDS)
 

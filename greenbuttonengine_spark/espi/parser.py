@@ -76,11 +76,34 @@ def _parse_text(node: ET.Element, typ, default):
     return typ(text)
 
 
+_RFC3339_RE = re.compile(
+    r"\d{4}-\d{2}-\d{2}[Tt]\d{2}:\d{2}:\d{2}(\.\d+)?([Zz]|[+-]\d{2}:\d{2})$"
+)
+
+
 def _rfc3339_naive_utc_seconds(text: str) -> int:
     """Parse RFC-3339, drop the offset, re-interpret the clock time as
-    UTC — the reference's naive_local().and_utc() quirk (entry.rs:96-111)."""
+    UTC — the reference's naive_local().and_utc() quirk (entry.rs:96-111).
+
+    Strict: chrono's parse_from_rfc3339 requires the 'T' separator and
+    an explicit offset; fromisoformat alone would accept looser forms
+    the reference rejects."""
+    if not _RFC3339_RE.match(text):
+        raise EspiParseError(f"Invalid RFC-3339 timestamp: {text!r}")
     dt = datetime.fromisoformat(text)
     return int(dt.replace(tzinfo=timezone.utc).timestamp())
+
+
+_HEX_RE = re.compile(r"[0-9a-fA-F]{1,8}$")
+
+
+def _parse_hex_u32(text: str, field: str) -> int:
+    """Hex DST rule with the reference's u32 bounds
+    (u32::from_str_radix, local_time_parameters.rs:152-159): no sign,
+    no 0x prefix, must fit 32 bits."""
+    if not _HEX_RE.match(text):
+        raise EspiParseError(f"Invalid hex u32 for {field}: {text!r}")
+    return int(text, 16)
 
 
 def _parse_interval_reading(node: ET.Element, entry_index: int) -> dict[str, Any]:
@@ -119,6 +142,10 @@ def _parse_interval_reading(node: ET.Element, entry_index: int) -> dict[str, Any
                 raise EspiParseError("Missing duration")
             row["time_period_start_unix"] = start
             row["time_period_duration_seconds"] = duration
+        else:
+            # reference rejects unknown IntervalReading children
+            # (interval_reading.rs:43-47)
+            raise EspiParseError(f"Unmatched tag name: {tag!r}")
     if row["value"] is None:
         raise EspiParseError("Missing required field value in IntervalReading")
     if row["time_period_start_unix"] is None:
@@ -161,9 +188,9 @@ def _parse_local_time_parameters(node: ET.Element) -> dict[str, Any]:
     for child in node:
         tag = _local(child.tag)
         if tag == "dstStartRule":
-            row["dst_start_rule"] = int(_all_text(child), 16)
+            row["dst_start_rule"] = _parse_hex_u32(_all_text(child), "dstStartRule")
         elif tag == "dstEndRule":
-            row["dst_end_rule"] = int(_all_text(child), 16)
+            row["dst_end_rule"] = _parse_hex_u32(_all_text(child), "dstEndRule")
         elif tag == "dstOffset":
             row["dst_offset"] = _parse_text(child, int, 0)
         elif tag == "tzOffset":
@@ -275,6 +302,10 @@ def parse_espi_feed(xml_text: str, source_file: str) -> list[dict[str, Any]]:
             if _local(node.tag) == "entry":
                 rows.extend(_parse_entry(node, entry_index))
                 entry_index += 1
+        if not rows:
+            # an empty feed would otherwise vanish from every downstream
+            # table; the reference errors it at denormalize (lib.rs:46-50)
+            raise EspiParseError("Missing LocalTimeParameters.")
         for row in rows:
             row["source_file"] = source_file
         return rows

@@ -113,12 +113,29 @@ def denormalize_and_link(
     enum_dim: DataFrame,
     include_source_file: bool = False,
 ) -> DataFrame:
-    """Four normalized tables -> the 15-column TimeSeries DataFrame."""
+    """Four normalized tables -> the 15-column TimeSeries DataFrame.
+    Thin wrapper over :func:`denormalize_with_errors` for callers that
+    only want the data side."""
+    ts, _errors = denormalize_with_errors(tables, enum_dim, include_source_file)
+    return ts
+
+
+def denormalize_with_errors(
+    tables: dict[str, DataFrame],
+    enum_dim: DataFrame,
+    include_source_file: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """Four normalized tables -> (TimeSeries, per-file error rows).
+
+    Error rows cover: LTP cardinality violations (lib.rs:42-50) and
+    facts whose entry resolves to no reading type (lib.rs:168-169,
+    'Missing reading type') — in both cases the WHOLE file is excluded,
+    matching the reference's fail-the-file semantics."""
     entries = tables["entries"]
     facts = tables["interval_readings"]
     rts = tables["reading_types"]
     all_files = entries.select("source_file").distinct()
-    ltp, _ltp_errors = _validate_single_ltp(tables["local_time_parameters"], all_files)
+    ltp, ltp_errors = _validate_single_ltp(tables["local_time_parameters"], all_files)
 
     # J3: fact -> entry (title) plus the resolved reading-type index
     entry_dim = entries.select("source_file", "entry_index", "title")
@@ -131,8 +148,8 @@ def denormalize_and_link(
     # keep only files with a valid single LTP (error channel carries the rest)
     f1 = f1.join(ltp.select("source_file"), "source_file", "left_semi")
 
-    # J4: fact -> reading type codes (missing reading type is an error row;
-    # inner join drops them, collect_errors() surfaces them)
+    # J4: fact -> reading type codes. A fact that resolves to no reading
+    # type fails its WHOLE file into the error channel (lib.rs:168-169).
     rt_codes = rts.select(
         "source_file",
         F.col("entry_index").alias("rt_entry_index"),
@@ -140,7 +157,16 @@ def denormalize_and_link(
         "phase",
         "power_of_ten_multiplier",
     )
-    f2 = f1.join(rt_codes, ["source_file", "rt_entry_index"], "inner")
+    f2all = f1.join(rt_codes, ["source_file", "rt_entry_index"], "left")
+    missing_rt_files = (
+        f2all.filter(F.col("power_of_ten_multiplier").isNull())
+        .select("source_file")
+        .distinct()
+    )
+    rt_errors = missing_rt_files.select(
+        "source_file", F.lit("Missing reading type").alias("error")
+    )
+    f2 = f2all.join(missing_rt_files, "source_file", "left_anti")
 
     # P6: value scaling in genuine FLOAT arithmetic (golden bit parity)
     f2 = f2.withColumn(
@@ -202,7 +228,7 @@ def denormalize_and_link(
         out_cols.insert(0, F.col("source_file"))
     result = decoded.select(*out_cols)
     ordered = ["source_file", *TIMESERIES_COLUMNS] if include_source_file else TIMESERIES_COLUMNS
-    return result.select(*ordered)
+    return result.select(*ordered), ltp_errors.unionByName(rt_errors)
 
 
 def timeseries_from_files(
@@ -214,13 +240,16 @@ def timeseries_from_files(
 
     The parsed union table is the single Python-stage output; it is
     consumed by several branches (entries x3 aliases, facts, LTP), so we
-    persist it — one parse per file total, like the reference.
+    persist it — one parse per file total, like the reference.  The
+    cached blocks live until the session ends (or
+    ``spark.catalog.clearCache()``); callers doing many independent
+    ingests in one session should clear between them.
     """
     parsed = read_espi(spark, paths)
     parsed.persist()
     tables = split_tables(parsed)
-    all_files = tables["entries"].select("source_file").distinct()
-    _, ltp_errors = _validate_single_ltp(tables["local_time_parameters"], all_files)
-    errors = tables["errors"].unionByName(ltp_errors)
-    ts = denormalize_and_link(tables, load_enum_dim(spark), include_source_file)
+    ts, pipeline_errors = denormalize_with_errors(
+        tables, load_enum_dim(spark), include_source_file
+    )
+    errors = tables["errors"].unionByName(pipeline_errors)
     return ts, errors

@@ -30,7 +30,21 @@ def _parse_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         out: list[dict] = []
         for _, row in pdf.iterrows():
             content = row["content"]
-            text = content.decode("utf-8") if isinstance(content, (bytes, bytearray)) else str(content)
+            try:
+                text = (
+                    content.decode("utf-8")
+                    if isinstance(content, (bytes, bytearray))
+                    else str(content)
+                )
+            except UnicodeDecodeError as ex:  # S2: bad encoding is a per-file error
+                out.append(
+                    {
+                        "row_kind": "error",
+                        "source_file": row["path"],
+                        "error": f"UnicodeDecodeError: {ex}",
+                    }
+                )
+                continue
             out.extend(parse_espi_feed(text, row["path"]))
         yield pd.DataFrame(out, columns=cols) if out else pd.DataFrame(columns=cols)
 

@@ -129,6 +129,8 @@ def minhash_lsh_pairs(
     sig = docs.select(
         F.col(id_col), minhash_signature(text_col, num_perm, k).alias("sig")
     )
+    # signatures feed three branches (buckets + both verify sides); the
+    # cache lives until session end / spark.catalog.clearCache()
     sig.persist()
     band_cols = [
         F.struct(

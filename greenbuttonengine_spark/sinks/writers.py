@@ -65,9 +65,15 @@ def influx_lines_df(ts: DataFrame) -> DataFrame:
     measurement = F.regexp_replace(
         F.replace(F.col("title"), F.lit(" "), F.lit("_")), "[^A-Za-z0-9_]", ""
     )
+    finite = (
+        ~F.isnan("cost")
+        & ~F.col("cost").isNull()
+        & (F.col("cost") != F.lit(float("inf")))
+        & (F.col("cost") != F.lit(float("-inf")))
+    )
     has_cost = ts.agg(
         F.coalesce(
-            F.bool_or(~F.isnan("cost") & (F.col("cost") != 0.0) & ~F.col("cost").isNull()),
+            F.bool_or(finite & (F.col("cost") != 0.0)),
             F.lit(False),
         ).alias("has_cost")
     )
