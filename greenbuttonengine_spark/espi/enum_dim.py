@@ -25,6 +25,40 @@ def load_enum_dim(spark: SparkSession, path: str | None = None) -> DataFrame:
     return spark.read.parquet(path or ENUM_DIM_PATH)
 
 
+_MAPS_CACHE: dict[tuple[str, str], dict[int, str]] | None = None
+
+
+def enum_maps() -> dict[tuple[str, str], dict[int, str]]:
+    """The dictionary as plain Python maps, loaded once per process via
+    pyarrow (no Spark job).  Keyed by (type, field)."""
+    global _MAPS_CACHE
+    if _MAPS_CACHE is None:
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(ENUM_DIM_PATH, columns=["type", "field", "value", "app_info"])
+        maps: dict[tuple[str, str], dict[int, str]] = {}
+        for typ, field, value, app_info in zip(*(tbl.column(c).to_pylist() for c in tbl.column_names)):
+            maps.setdefault((typ, field), {})[value] = app_info
+        _MAPS_CACHE = maps
+    return _MAPS_CACHE
+
+
+def decode_enum_expr(code_col: str, field: str, scope: str = "ReadingType"):
+    """Enum decode as a literal MAP lookup — the Spark analog of the
+    reference's compile-time phf map (gb_type_details.rs:8-31).
+
+    Strictly cheaper than the broadcast-join form at any scale: no
+    exchange, no extra stage, evaluates inside whole-stage codegen.
+    Unknown / NULL codes -> 'Missing app info' (gb_type_details.rs:24-29).
+    """
+    mapping = enum_maps()[(scope, field)]
+    pairs: list = []
+    for code in sorted(mapping):
+        pairs.append(F.lit(code))
+        pairs.append(F.lit(mapping[code]))
+    return F.coalesce(F.create_map(*pairs)[F.col(code_col)], F.lit(MISSING_APP_INFO))
+
+
 def decode_enum(
     df: DataFrame,
     dim: DataFrame,

@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .dst import apply_local_time_shift, build_dst_dim
-from .enum_dim import decode_enum, load_enum_dim
+from .enum_dim import decode_enum_expr, load_enum_dim
 from .schemas import TIMESERIES_COLUMNS
 from .source import read_espi, split_tables
 
@@ -206,10 +206,13 @@ def denormalize_with_errors(
         .cast("float"),
     )
 
-    # P10: enum decode — 8 reading-type columns + fact-side quality
-    decoded = decode_enum(f3, enum_dim, "quality", "quality_str", "QualityOfReading", scope="")
+    # P10: enum decode — 8 reading-type columns + fact-side quality.
+    # Literal map lookups (the phf-map analog), one withColumns pass:
+    # no broadcast exchanges, single Catalyst analysis.
+    decode_cols = {"quality_str": decode_enum_expr("quality", "QualityOfReading", scope="")}
     for code_col, xsd_field in _ENUM_FIELDS:
-        decoded = decode_enum(decoded, enum_dim, code_col, f"{code_col}_str", xsd_field)
+        decode_cols[f"{code_col}_str"] = decode_enum_expr(code_col, xsd_field)
+    decoded = f3.withColumns(decode_cols)
 
     # the cost NaN sentinel (interval_reading.rs:15-16) survives as NULL
     # through the Arrow hop in the parse stage — restore NaN so the
