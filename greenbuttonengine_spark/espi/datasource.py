@@ -48,21 +48,15 @@ class EspiDataSourceReader(DataSourceReader):
         return [EspiFilePartition(f) for f in files]
 
     def read(self, partition: EspiFilePartition):  # executor-side parse
-        from .parser import parse_espi_feed
+        # Streaming parse: a multi-GB file never materializes — neither
+        # its bytes nor its DOM — only one <entry> subtree at a time.
+        # A mid-file failure (bad byte, bad tag) streams an error row;
+        # the denormalize plan anti-joins the file's partial rows away.
+        from .parser import iter_espi_stream
 
-        try:
-            with open(partition.path, encoding="utf-8") as fh:
-                text = fh.read()
-        except UnicodeDecodeError as ex:  # S2: bad encoding is a per-file error
-            bad = {
-                "row_kind": "error",
-                "source_file": partition.path,
-                "error": f"UnicodeDecodeError: {ex}",
-            }
-            yield tuple(bad.get(name) for name in _FIELDS)
-            return
-        for row in parse_espi_feed(text, partition.path):
-            yield tuple(row.get(name) for name in _FIELDS)
+        with open(partition.path, encoding="utf-8") as fh:
+            for row in iter_espi_stream(fh, partition.path):
+                yield tuple(row.get(name) for name in _FIELDS)
 
 
 class EspiDataSource(DataSource):

@@ -288,32 +288,67 @@ def _parse_entry(node: ET.Element, entry_index: int) -> list[dict[str, Any]]:
     return rows
 
 
-def parse_espi_feed(xml_text: str, source_file: str) -> list[dict[str, Any]]:
-    """Parse one ESPI Atom feed into PARSED_SCHEMA row dicts.
+def iter_espi_stream(source, source_file: str):
+    """Memory-bounded streaming parse (``ET.iterparse``): yields
+    PARSED_SCHEMA row dicts per completed ``<entry>``, never holding more
+    than one entry subtree in memory — the giant-file scale path (a
+    multi-GB provider export parses in O(one entry) executor memory,
+    where ``ET.fromstring`` would hold a DOM ~5-10x the raw bytes).
 
-    A failed file produces a single error row (S2 per-file tolerance)."""
+    ``source`` is a file-like object (text mode preserves the
+    reference's strict-UTF-8 read: a bad byte raises UnicodeDecodeError
+    mid-stream and becomes the file's error row).
+
+    Failure atomicity is RELATIONAL, not buffered: a mid-file error
+    yields a ``row_kind='error'`` row after whatever rows already
+    streamed out, and the denormalize plan anti-joins every table
+    against the error file set (lib.rs:32-50 fail-the-file semantics)
+    — so the parser never needs to retract, and memory stays bounded.
+    """
+    yielded = 0
     try:
-        root = ET.fromstring(xml_text)
-        if _local(root.tag) != "feed":
-            raise EspiParseError("Missing feed")
-        rows: list[dict[str, Any]] = []
+        it = ET.iterparse(source, events=("start", "end"))
+        depth = -1
         entry_index = 0
-        for node in root:
-            if _local(node.tag) == "entry":
-                rows.extend(_parse_entry(node, entry_index))
+        root: ET.Element | None = None
+        for event, elem in it:
+            if event == "start":
+                depth += 1
+                if depth == 0:
+                    root = elem
+                    if _local(elem.tag) != "feed":
+                        raise EspiParseError("Missing feed")
+                continue
+            depth -= 1
+            if depth == 0 and _local(elem.tag) == "entry":
+                for row in _parse_entry(elem, entry_index):
+                    row["source_file"] = source_file
+                    yielded += 1
+                    yield row
                 entry_index += 1
-        if not rows:
+                # drop the finished entry subtree from the root
+                root.clear()
+        if yielded == 0:
             # an empty feed would otherwise vanish from every downstream
             # table; the reference errors it at denormalize (lib.rs:46-50)
             raise EspiParseError("Missing LocalTimeParameters.")
-        for row in rows:
-            row["source_file"] = source_file
-        return rows
     except Exception as ex:  # noqa: BLE001 - error channel, not crash
-        return [
-            {
-                "row_kind": KIND_ERROR,
-                "source_file": source_file,
-                "error": f"{type(ex).__name__}: {ex}",
-            }
-        ]
+        yield {
+            "row_kind": KIND_ERROR,
+            "source_file": source_file,
+            "error": f"{type(ex).__name__}: {ex}",
+        }
+
+
+def parse_espi_feed(xml_text: str, source_file: str) -> list[dict[str, Any]]:
+    """Parse one ESPI Atom feed into PARSED_SCHEMA row dicts.
+
+    A failed file produces a SINGLE error row and nothing else (S2
+    per-file tolerance) — the buffered wrapper over the streaming
+    parser, for callers that already hold the text in memory."""
+    import io
+
+    rows = list(iter_espi_stream(io.StringIO(xml_text), source_file))
+    if rows and rows[-1]["row_kind"] == KIND_ERROR:
+        return [rows[-1]]
+    return rows

@@ -134,6 +134,18 @@ def denormalize_with_errors(
     entries = tables["entries"]
     facts = tables["interval_readings"]
     rts = tables["reading_types"]
+
+    # Fail-the-file atomicity for streaming parses: a file that errored
+    # mid-stream (iter_espi_stream) has already emitted partial rows —
+    # anti-join them away here so error files contribute NOTHING to any
+    # table (lib.rs:32-50).  The error set is tiny: broadcast anti-join.
+    err = tables.get("errors")
+    if err is not None:
+        err_files = F.broadcast(err.select("source_file").distinct())
+        entries = entries.join(err_files, "source_file", "left_anti")
+        facts = facts.join(err_files, "source_file", "left_anti")
+        rts = rts.join(err_files, "source_file", "left_anti")
+
     all_files = entries.select("source_file").distinct()
     ltp, ltp_errors = _validate_single_ltp(tables["local_time_parameters"], all_files)
 
@@ -231,7 +243,10 @@ def denormalize_with_errors(
         out_cols.insert(0, F.col("source_file"))
     result = decoded.select(*out_cols)
     ordered = ["source_file", *TIMESERIES_COLUMNS] if include_source_file else TIMESERIES_COLUMNS
-    return result.select(*ordered), ltp_errors.unionByName(rt_errors)
+    all_errors = ltp_errors.unionByName(rt_errors)
+    if err is not None:
+        all_errors = err.select("source_file", "error").unionByName(all_errors)
+    return result.select(*ordered), all_errors
 
 
 def timeseries_from_files(
@@ -251,8 +266,6 @@ def timeseries_from_files(
     parsed = read_espi(spark, paths)
     parsed.persist()
     tables = split_tables(parsed)
-    ts, pipeline_errors = denormalize_with_errors(
-        tables, load_enum_dim(spark), include_source_file
-    )
-    errors = tables["errors"].unionByName(pipeline_errors)
-    return ts, errors
+    # denormalize_with_errors folds tables["errors"] (parse failures)
+    # into its error channel alongside LTP/reading-type violations
+    return denormalize_with_errors(tables, load_enum_dim(spark), include_source_file)

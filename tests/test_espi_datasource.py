@@ -112,6 +112,64 @@ def test_provider_quirks(spark, tmp_path):
     assert rows[0].uom == "m3" and rows[0].quality == "other"
 
 
+def test_streaming_parse_partial_file_atomicity(spark, tmp_path):
+    """A file that fails MID-stream (after valid entries already parsed)
+    must contribute nothing to the timeseries — the streaming parser
+    emits partial rows + an error row, and the denormalize plan
+    anti-joins the partial rows away (fail-the-file, lib.rs:32-50)."""
+    from greenbuttonengine_spark.espi.datasource import register_espi_source
+    from greenbuttonengine_spark.espi.enum_dim import load_enum_dim
+    from greenbuttonengine_spark.espi.pipeline import denormalize_with_errors
+    from greenbuttonengine_spark.espi.source import split_tables
+
+    # valid quirk feed, then a final broken entry (unknown payload tag)
+    broken = QUIRK_XML.replace(
+        "</feed>",
+        """<entry><title>bad</title><published>2024-01-01T00:00:00Z</published>
+           <updated>2024-01-01T00:00:00Z</updated>
+           <link rel="self" href="https://x/e/1"/>
+           <content><espi:Bogus/></content></entry></feed>""",
+    )
+    good = tmp_path / "good.xml"
+    good.write_text(QUIRK_XML)
+    bad = tmp_path / "partial.xml"
+    bad.write_text(broken)
+
+    register_espi_source(spark)
+    parsed = spark.read.format("espi").load(str(tmp_path))
+    # streaming source DID emit partial rows for the broken file
+    from pyspark.sql import functions as F
+
+    bad_rows = parsed.filter(F.col("source_file").contains("partial.xml"))
+    kinds = {r.row_kind for r in bad_rows.collect()}
+    assert "error" in kinds and len(kinds) > 1  # partial rows + error row
+    ts, errors = denormalize_with_errors(split_tables(parsed), load_enum_dim(spark))
+    errs = errors.collect()
+    assert any("Unknown tag name" in e.error for e in errs)
+    # the broken file contributes nothing; the good file's 2 rows survive
+    assert ts.count() == 2
+
+
+def test_streaming_matches_buffered_on_golden_corpus(spark):
+    """iter_espi_stream and the buffered parse agree row-for-row on the
+    reference corpus file."""
+    import io
+
+    from greenbuttonengine_spark.espi.parser import iter_espi_stream, parse_espi_feed
+
+    text = open(EGD).read()
+
+    def norm(rows):  # NaN != NaN breaks plain dict equality
+        return [
+            {k: ("<nan>" if isinstance(v, float) and math.isnan(v) else v) for k, v in r.items()}
+            for r in rows
+        ]
+
+    streamed = norm(iter_espi_stream(io.StringIO(text), EGD))
+    buffered = norm(parse_espi_feed(text, EGD))
+    assert streamed == buffered
+
+
 def test_mixed_payload_types_is_file_error(spark, tmp_path):
     # inject a ReadingType payload next to the first IntervalBlock
     bad = QUIRK_XML.replace(
