@@ -36,6 +36,12 @@ HEADLINE = [
     "q5_local_supplier_volume",
     "sessionize_events",
     "asof_last_click_before_purchase",
+    # TPC-H-shaped heavies (plans/tpch_queries.py)
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "q18_large_volume_customer",
+    "q21_waiting_suppliers",
 ]
 
 
