@@ -14,11 +14,11 @@ analog:
   exactly the WASM contract.
 
 No watermarks/event-time windows: ESPI timestamps are DATA, not stream
-time (the reference has no late-data semantics to mirror).  The
-checkpoint gives at-least-once on the parquet append (a crash mid-batch
-can replay that batch; plain parquet is not transactional) — dedupe on
-(source_file) downstream, or swap the bronze store for a transactional
-table format where available, for exactly-once.
+time (the reference has no late-data semantics to mirror).  The bronze
+store is TRANSACTIONAL (streaming.bronze): per-epoch directories +
+atomic commit markers give exactly-once across crash/replay — a
+replayed epoch overwrites its own directory and re-publishes the same
+marker, so readers never see duplicates or partial writes.
 
 At scale this is the continuous-ingest topology: bronze is partitioned
 by ingest date; the denormalize query prunes to new partitions.
@@ -35,6 +35,7 @@ from ..espi.enum_dim import load_enum_dim
 from ..espi.parser import parse_espi_feed
 from ..espi.schemas import PARSED_SCHEMA
 from ..espi.source import split_tables
+from .bronze import commit_epoch, read_bronze
 
 
 def start_ingest_stream(
@@ -68,7 +69,7 @@ def start_ingest_stream(
                 yield pd.DataFrame(rows, columns=cols) if rows else pd.DataFrame(columns=cols)
 
         parsed = batch.mapInPandas(gen, schema=PARSED_SCHEMA)
-        parsed.write.mode("append").parquet(bronze_dir)
+        commit_epoch(parsed, bronze_dir, epoch_id)
 
     return (
         files.writeStream.outputMode("append")
@@ -84,7 +85,7 @@ def read_accumulated_timeseries(
     """Denormalize everything ingested so far, sorted (title, time) —
     the WASM ``get_timeseries_chunked`` contract over the accumulated
     whole."""
-    parsed = spark.read.schema(PARSED_SCHEMA).parquet(bronze_dir)
+    parsed = read_bronze(spark, bronze_dir, PARSED_SCHEMA)
     tables = split_tables(parsed)
     ts = denormalize_and_link(tables, load_enum_dim(spark), include_source_file)
     return ts.orderBy("title", "time_period_start_unix")

@@ -56,3 +56,33 @@ def test_streaming_ingest_accumulates(tmp_path, spark):
         assert ts2.select("source_file").distinct().count() == 2
     finally:
         q.stop()
+
+
+def test_bronze_store_exactly_once(tmp_path, spark):
+    """The commit-log protocol: epoch replay is idempotent, uncommitted
+    epochs are invisible, since_epoch prunes incrementally."""
+    from greenbuttonengine_spark.streaming.bronze import (
+        commit_epoch,
+        committed_epochs,
+        read_bronze,
+    )
+
+    bronze = str(tmp_path / "bronze")
+    schema = "id bigint, v string"
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], schema)
+    df2 = spark.createDataFrame([(3, "c")], schema)
+
+    commit_epoch(df1, bronze, 0)
+    # crash-replay of epoch 0 (even with a different plan) must be a no-op
+    commit_epoch(df1.union(df1), bronze, 0)
+    commit_epoch(df2, bronze, 1)
+    assert committed_epochs(bronze) == [0, 1]
+    assert read_bronze(spark, bronze, schema).count() == 3
+
+    # an epoch written WITHOUT its marker (simulated crash before
+    # publish) must stay invisible
+    df2.write.mode("overwrite").parquet(str(tmp_path / "bronze" / "epoch=2"))
+    assert read_bronze(spark, bronze, schema).count() == 3
+    # incremental consumer: only epochs after the cursor
+    rows = read_bronze(spark, bronze, schema, since_epoch=0).collect()
+    assert [r.id for r in rows] == [3]
