@@ -1,0 +1,107 @@
+"""Physical-plan guardrails: the scale properties the queries promise
+(SURVEY §4, BASELINE.md notes) must survive refactors.
+
+These assert on the INITIAL physical plan (pre-AQE finalization) at
+sf0.001 — broadcast hints, pushdown, and join strategy are all visible
+there; AQE can only improve on them at runtime (e.g. converting a
+sort-merge join to broadcast when the built side turns out small).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    import __spark_entry__ as e
+
+    df = e.queries()[name](spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# name -> (min broadcast-hash joins, max sort-merge joins)
+#   SMJ allowances are the genuinely fact-fact joins (lineitem x orders,
+#   lineitem self-joins, aggregate join-backs) where a shuffle join is
+#   the CORRECT 100 TB strategy and AQE downgrades it when small.
+JOIN_EXPECTATIONS = {
+    "j2_two_hop_fk_resolution": (2, 0),  # both dim hops broadcast
+    "p10_enum_decode_broadcast": (1, 0),
+    "q3_shipping_priority": (1, 1),
+    "q5_local_supplier_volume": (3, 2),
+    "q2_min_cost_supplier": (4, 1),  # dims broadcast; min join-back may SMJ
+    "q7_volume_shipping": (4, 1),
+    "q8_market_share": (5, 1),
+    "q9_product_profit": (3, 1),
+    "q10_returned_items": (2, 1),
+    "q16_parts_supplier_count": (2, 0),
+    "q18_large_volume_customer": (1, 2),
+    "q21_waiting_suppliers": (2, 3),
+}
+
+
+@pytest.mark.parametrize("name", sorted(JOIN_EXPECTATIONS))
+def test_join_strategies(spark, name):
+    min_bhj, max_smj = JOIN_EXPECTATIONS[name]
+    plan = _plan(spark, name)
+    assert plan.count("CartesianProduct") == 0, f"{name}: cartesian product"
+    assert plan.count("BroadcastHashJoin") >= min_bhj, (
+        f"{name}: expected >= {min_bhj} broadcast joins\n{plan}"
+    )
+    assert plan.count("SortMergeJoin") <= max_smj, (
+        f"{name}: dim join degraded to sort-merge\n{plan}"
+    )
+
+
+# queries whose every filter must reach the parquet scan
+PUSHDOWN = ["q6_forecast_revenue", "s1_scan_filter_project", "q1_pricing_summary"]
+
+
+@pytest.mark.parametrize("name", PUSHDOWN)
+def test_filters_push_to_scan(spark, name):
+    plan = _plan(spark, name)
+    assert "PushedFilters: [" in plan and "PushedFilters: []" not in plan, (
+        f"{name}: filters not pushed\n{plan}"
+    )
+
+
+def test_q6_scan_prunes_columns(spark):
+    """Q6 touches 4 of lineitem's 11 columns; the scan must read only
+    those (ReadSchema pruning)."""
+    plan = _plan(spark, "q6_forecast_revenue")
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    for col in ("l_shipdate", "l_discount", "l_quantity", "l_extendedprice"):
+        assert col in read_schema
+    for col in ("l_orderkey", "l_partkey", "l_returnflag", "l_tax"):
+        assert col not in read_schema, f"unpruned column {col}: {read_schema}"
+
+
+def test_topk_is_take_ordered(spark):
+    """o5 must plan as TakeOrderedAndProject (per-partition heap), not a
+    global sort."""
+    plan = _plan(spark, "o5_topk_limit")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_no_plan_regressions_across_inventory(spark):
+    """No query in the declared inventory may plan a cartesian product
+    or a row-at-a-time Python UDF (BatchEvalPython); Python stages are
+    allowed only as ArrowEvalPython / mapInPandas (the parse + the
+    explicitly-Arrow extension ops)."""
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    offenders = []
+    for name, fn in qs.items():
+        if name.startswith("espi"):  # espi reads reference XML, not sf dirs
+            continue
+        try:
+            s = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+        except Exception:
+            continue  # streaming-only/aux entries that need extra setup
+        if "CartesianProduct" in s:
+            offenders.append((name, "CartesianProduct"))
+        if "BatchEvalPython" in s:
+            offenders.append((name, "BatchEvalPython"))
+    assert not offenders, offenders
