@@ -72,6 +72,27 @@ def windowed_event_counts(events: DataFrame, window: str = "5 minutes",
     )
 
 
+def dedup_stream(
+    events: DataFrame,
+    key_cols: list[str] | None = None,
+    watermark: str = "10 minutes",
+    event_time_col: str = "ts",
+) -> DataFrame:
+    """Streaming exact dedup: first arrival per key wins; re-arrivals
+    within the watermark horizon are dropped.
+
+    ``dropDuplicatesWithinWatermark`` bounds the dedup state by event
+    time — keys older than the watermark are evicted, so state size is
+    O(keys per watermark window), not O(all keys ever) — the property
+    that makes continuous ingest dedup viable at 100 TB (the streaming
+    analog of the batch ``exact_duplicates`` operator).
+    """
+    key_cols = key_cols or ["event_id"]
+    return events.withWatermark(event_time_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )
+
+
 def _sessionize_group(
     key: tuple[Any, ...],
     batches: Iterator[pd.DataFrame],

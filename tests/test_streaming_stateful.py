@@ -109,3 +109,30 @@ def test_sessionize_stream_matches_batch(spark, event_stream):
         assert not missing, f"stream sessions absent from batch: {list(missing)[:3]}"
     finally:
         q.stop()
+
+
+def test_dedup_stream_drops_rearrivals(spark, event_stream):
+    """Duplicates injected across micro-batches within the watermark
+    must be dropped; the survivor set equals batch-distinct keys."""
+    from greenbuttonengine_spark.streaming.stateful import dedup_stream
+
+    stream, src = event_stream
+    # salt the stream with duplicates: every event arrives twice (the
+    # union doubles each micro-batch's rows; same event_id, same ts)
+    doubled = stream.union(stream)
+    q = (
+        dedup_stream(doubled, key_cols=["event_id"], watermark="120 minutes")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("deduped")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql(
+            "SELECT count(*) AS n, count(DISTINCT event_id) AS d FROM deduped"
+        ).first()
+        assert got.n == got.d, "emitted duplicates"
+        assert got.n == src.count(), "lost genuine events"
+    finally:
+        q.stop()
