@@ -570,3 +570,78 @@ def str1_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(F.col("c_name"), 10, 8).alias("name_tail"),
         F.trim("c_mktsegment").alias("seg_trim"),
     )
+
+
+@register(
+    "rj1_time_neighbor_pairs",
+    """
+    SELECT a.event_id AS id_a, b.event_id AS id_b,
+           CAST(abs(epoch_us(a.ts) - epoch_us(b.ts)) AS BIGINT) AS abs_diff_us
+    FROM events a, events b
+    WHERE a.event_id < b.event_id
+      AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 5000000
+    """,
+    tags=("join", "range"),
+    doc="Range (interval) self-join, Spark-first: a naive |t_a - t_b| <= W "
+    "condition has no equi key and plans as a nested-loop — instead each "
+    "row probes its W-wide time bucket and both neighbors, the join is a "
+    "plain shuffle equi-join on the bucket, and the exact |diff| <= W "
+    "predicate filters after. Every pair matches exactly once (the probe "
+    "value is unique per pair), so no dedup pass. At 100 TB the shuffle "
+    "is keyed by time bucket — naturally balanced for near-uniform event "
+    "rates; hot buckets split via AQE skew handling.",
+)
+def rj1_time_neighbor_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    W_US = 5_000_000
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", F.unix_micros("ts").alias("us")
+    )
+    bucketed = ev.withColumn("bucket", F.floor(F.col("us") / W_US))
+    probes = bucketed.select(
+        F.col("event_id").alias("id_l"),
+        F.col("us").alias("us_l"),
+        F.explode(
+            F.array(F.col("bucket") - 1, F.col("bucket"), F.col("bucket") + 1)
+        ).alias("probe"),
+    )
+    right = bucketed.select(
+        F.col("event_id").alias("id_r"), F.col("us").alias("us_r"), F.col("bucket")
+    )
+    return (
+        probes.join(right, probes["probe"] == right["bucket"])
+        .filter(
+            (F.col("id_l") < F.col("id_r"))
+            & (F.abs(F.col("us_l") - F.col("us_r")) <= W_US)
+        )
+        .select(
+            F.col("id_l").alias("id_a"),
+            F.col("id_r").alias("id_b"),
+            F.abs(F.col("us_l") - F.col("us_r")).cast("bigint").alias("abs_diff_us"),
+        )
+    )
+
+
+@register(
+    "gs1_grouping_sets",
+    """
+    SELECT event_type, user_id % 10 AS cohort, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY GROUPING SETS ((event_type), (user_id % 10), ())
+    """,
+    tags=("agg",),
+    doc="GROUPING SETS: three aggregation granularities (per type, per "
+    "cohort, grand total) in ONE shuffle — Spark expands the sets and "
+    "partial-aggregates each map-side; the hand-rolled alternative is "
+    "three jobs plus a union.",
+)
+def gs1_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir).withColumn(
+        "cohort", F.col("user_id") % 10
+    )
+    return ev.groupingSets(
+        [["event_type"], ["cohort"], []], "event_type", "cohort"
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+    )
