@@ -12,6 +12,16 @@ lib/personalgreenbutton/src/lib.rs:32-233):
     pipeline  denormalize_and_link as declarative joins + projections
 """
 
-from .pipeline import denormalize_and_link, denormalize_with_errors, timeseries_from_files
+from .pipeline import (
+    denormalize_and_link,
+    denormalize_with_errors,
+    espi_ingest,
+    timeseries_from_files,
+)
 
-__all__ = ["denormalize_and_link", "denormalize_with_errors", "timeseries_from_files"]
+__all__ = [
+    "denormalize_and_link",
+    "denormalize_with_errors",
+    "espi_ingest",
+    "timeseries_from_files",
+]

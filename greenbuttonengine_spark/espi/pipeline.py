@@ -26,6 +26,9 @@ Quirk parity with the reference (each cited):
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -33,6 +36,17 @@ from .dst import apply_local_time_shift, build_dst_dim
 from .enum_dim import decode_enum_expr, load_enum_dim
 from .schemas import TIMESERIES_COLUMNS
 from .source import read_espi, split_tables
+
+
+def _pin_utc(spark: SparkSession) -> None:
+    """ESPI timestamps are data, not wall clock: every year/timestamp
+    expression in this module must evaluate in UTC regardless of the
+    caller's session zone (ADVICE r1: a non-UTC session silently broke
+    golden parity)."""
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:  # pragma: no cover - static-conf sessions
+        pass
 
 _ENUM_FIELDS = [
     ("accumulation_behaviour", "accumulationBehaviour"),
@@ -131,6 +145,11 @@ def denormalize_with_errors(
     facts whose entry resolves to no reading type (lib.rs:168-169,
     'Missing reading type') — in both cases the WHOLE file is excluded,
     matching the reference's fail-the-file semantics."""
+    # The DST window compare and F.year/to_timestamp below evaluate in
+    # the session zone; golden parity (dst.py, reference lib.rs) assumes
+    # UTC.  get_spark pins it, but a caller-supplied session may not —
+    # pin here so the pipeline is correct in any session.
+    _pin_utc(tables["entries"].sparkSession)
     entries = tables["entries"]
     facts = tables["interval_readings"]
     rts = tables["reading_types"]
@@ -257,15 +276,39 @@ def timeseries_from_files(
     """End-to-end: file paths -> (timeseries_df, errors_df).
 
     The parsed union table is the single Python-stage output; it is
-    consumed by several branches (entries x3 aliases, facts, LTP), so we
-    persist it — one parse per file total, like the reference.  The
-    cached blocks live until the session ends (or
-    ``spark.catalog.clearCache()``); callers doing many independent
-    ingests in one session should clear between them.
+    consumed by several branches (entries x3 aliases, facts, LTP), so it
+    is materialized once via ``localCheckpoint(eager=False)`` — one
+    parse per file total, like the reference.  Unlike ``persist``, the
+    checkpoint blocks are released automatically (ContextCleaner) once
+    the returned DataFrames are garbage-collected, so repeated ingests
+    in one session don't accumulate cached blocks.  For deterministic,
+    scope-bound cleanup use :func:`espi_ingest`.
     """
-    parsed = read_espi(spark, paths)
-    parsed.persist()
+    parsed = read_espi(spark, paths).localCheckpoint(eager=False)
     tables = split_tables(parsed)
     # denormalize_with_errors folds tables["errors"] (parse failures)
     # into its error channel alongside LTP/reading-type violations
     return denormalize_with_errors(tables, load_enum_dim(spark), include_source_file)
+
+
+@contextmanager
+def espi_ingest(
+    spark: SparkSession,
+    paths: str | list[str],
+    include_source_file: bool = False,
+) -> Iterator[tuple[DataFrame, DataFrame]]:
+    """Scope-bound ingest: ``with espi_ingest(spark, p) as (ts, errors):``.
+
+    Identical to :func:`timeseries_from_files`, but the one-parse-total
+    cache is an explicit ``persist`` released on context exit, so a
+    long-lived session (CLI loops, notebooks, shared clusters) holds no
+    cached blocks afterwards.  Consume the DataFrames inside the scope.
+    """
+    parsed = read_espi(spark, paths).persist()
+    try:
+        tables = split_tables(parsed)
+        yield denormalize_with_errors(
+            tables, load_enum_dim(spark), include_source_file
+        )
+    finally:
+        parsed.unpersist()

@@ -50,35 +50,42 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc
 
 def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.8, k: int = 8,
                         text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Exact all-pairs set-Jaccard over k-shingles.
+    """Exact set-Jaccard over k-shingles via the sparse set-similarity
+    join (explode shingles, equi-join on shingle, count co-occurrences)
+    — the classic AllPairs/token-join shape, NOT a quadratic cross
+    join.  Cost is sum over shingles of C(docs_sharing_it, 2): near
+    all-pairs only for degenerate corpora where every doc shares
+    shingles.  jaccard = i / (|A| + |B| - i) with integer sizes, so the
+    double division is bit-deterministic across engines.
 
-    Quadratic — the ORACLE for the LSH variant, not the scale path.
-    jaccard = |A∩B| / |A∪B| with integer sizes, so the double division
-    is bit-deterministic across engines.
-
-    The join carries a size-ratio prefilter: J >= t implies
-    min(|A|,|B|)/max(|A|,|B|) >= t (since |∩| <= min and |∪| >= max),
-    so pairs failing it are skipped before the expensive intersect —
-    result-identical, severalfold cheaper."""
-    with_sh = docs.select(
-        F.col(id_col), _shingles(text_col, k).alias("sh")
-    ).withColumn("nsh", F.size("sh"))
-    a, b = with_sh.alias("a"), with_sh.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
-    union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
-    size_ok = (
-        F.least(F.col("a.nsh"), F.col("b.nsh")).cast("double")
-        / F.greatest(F.col("a.nsh"), F.col("b.nsh")).cast("double")
-        >= threshold
-    )
-    return (
-        a.crossJoin(b)
-        .filter((F.col(f"a.{id_col}") < F.col(f"b.{id_col}")) & size_ok)
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            (inter.cast("double") / union.cast("double")).alias("jaccard"),
+    At 100 TB: one hash shuffle on the shingle key; frequent-shingle
+    hot keys are the skew risk — AQE skew-join splitting applies, and
+    prefix filtering (sort shingles by global frequency, join only on
+    each doc's rarest ceil((1-t)*n)+1 shingles) is the standard
+    refinement if a corpus has pathological common n-grams."""
+    ex = docs.select(F.col(id_col), F.explode(_shingles(text_col, k)).alias("__sh"))
+    sizes = ex.groupBy(id_col).agg(F.count("*").alias("n"))
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.__sh") == F.col("b.__sh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count("*").alias("i"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
+    jac = F.col("i").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("i")
+    ).cast("double")
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 
@@ -150,9 +157,15 @@ def minhash_lsh_pairs(
     """
     rows = num_perm // bands
     sig = minhash_signatures(docs, text_col, id_col, num_perm, k)
-    # signatures feed three branches (buckets + both verify sides); the
-    # cache lives until session end / spark.catalog.clearCache()
-    sig.persist()
+    # Signatures feed four branches (buckets, bucket sizes, both verify
+    # sides).  localCheckpoint(eager=False) materializes them once on
+    # first use and — unlike DataFrame.persist, whose CacheManager entry
+    # lives until an explicit unpersist — its blocks are auto-freed by
+    # the ContextCleaner when the result DataFrame is garbage-collected,
+    # so repeated calls in one session don't pin executor memory.  On a
+    # multi-node cluster note localCheckpoint truncates lineage: an
+    # executor loss fails the job instead of recomputing.
+    sig = sig.localCheckpoint(eager=False)
     band_cols = [
         F.struct(
             F.lit(bi).alias("band_idx"),
@@ -236,7 +249,8 @@ def simhash_pairs(
     width = bits // bands
     mask = (1 << width) - 1
     sh = docs.select(F.col(id_col), simhash_column(F.col(text_col), bits).alias("sh"))
-    sh.persist()
+    # see minhash_lsh_pairs: auto-freed once consumers are GC'd
+    sh = sh.localCheckpoint(eager=False)
     band_arr = F.array(
         *[
             F.struct(

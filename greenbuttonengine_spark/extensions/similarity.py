@@ -97,23 +97,31 @@ def ivf_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     seed: int = 42,
+    fit_sample_fraction: float | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: k-means centroids
     partition the corpus into cells; each query scans only its
     ``n_probe`` nearest cells.
 
     The coarse quantizer is MLlib KMeans (fixed seed -> deterministic
-    model); assignment and probing are native joins.  At 100 TB the
-    centroid model is trained on a sample, the corpus is written
-    partitioned by cell, and a query touches n_probe/n_centroids of the
-    data — the classic IVF trade (recall vs cells scanned)."""
+    model); assignment and probing are native joins.  At 100 TB pass
+    ``fit_sample_fraction`` so the centroid model is trained on a
+    seeded sample (the fit is otherwise itself a full-corpus job; cell
+    quality needs only a representative sample), the corpus is written
+    partitioned by cell, and a query touches n_probe/n_centroids of
+    the data — the classic IVF trade (recall vs cells scanned)."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     c = corpus.select(F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv"))
     with_vec = c.withColumn("features", array_to_vector(F.col("cv")))
     km = KMeans(k=n_centroids, seed=seed, maxIter=10)
-    model = km.fit(with_vec)
+    fit_input = (
+        with_vec
+        if fit_sample_fraction is None
+        else with_vec.sample(fraction=fit_sample_fraction, seed=seed)
+    )
+    model = km.fit(fit_input)
     assigned = model.transform(with_vec).select(
         "neighbor_id", "cv", F.col("prediction").alias("cell")
     )

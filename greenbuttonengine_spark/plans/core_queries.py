@@ -364,7 +364,7 @@ def p11_bitfield_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM orders
     CROSS JOIN (SELECT bool_or(c_mktsegment = 'BUILDING') AS any_building FROM customer) g
     """,
-    tags=("agg", "join"),
+    tags=("agg", "join", "tiny-bnlj"),
     doc="P12 provider-bug patch (timeseries.rs:173-178): a global scalar "
     "predicate gates a column rewrite; scalar computed once, broadcast.",
 )

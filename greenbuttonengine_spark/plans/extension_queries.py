@@ -46,23 +46,30 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_ngram_jaccard",
     r"""
-    WITH d AS (
-        SELECT doc_id,
-               list_distinct([substring(text, i, 8)
-                              for i in generate_series(1, greatest(length(text)-7, 1))]) AS sh
+    WITH ex AS (
+        SELECT doc_id, unnest(list_distinct([substring(text, i, 8)
+                   for i in generate_series(1, greatest(length(text)-7, 1))])) AS sh
         FROM documents
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY doc_id
+    ), inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+        FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
     )
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-               / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) AS jaccard
-    FROM d a JOIN d b ON a.doc_id < b.doc_id
-    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-              / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) >= 0.8
+    SELECT id_a, id_b,
+           CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.8
     """,
     tags=("dedup",),
-    doc="Exact all-pairs 8-shingle set-Jaccard >= 0.8 — the oracle for "
-    "the MinHash-LSH scale path. Integer set sizes -> bit-deterministic "
-    "division.",
+    doc="Exact 8-shingle set-Jaccard >= 0.8 via the sparse set-"
+    "similarity join (explode + shingle equi-join + co-occurrence "
+    "count) — the oracle for the MinHash-LSH path, and itself a "
+    "shuffle-on-shingle plan rather than a quadratic cross join. "
+    "Integer set sizes -> bit-deterministic division.",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(load_table(spark, "documents", sf_dir), threshold=0.8)
@@ -102,7 +109,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE list_dot_product(a.v, b.v)
               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.3
     """,
-    tags=("dedup",),
+    tags=("dedup", "all-pairs"),
     doc="Embedding cosine near-dup pairs >= 0.3 (the corpus is near-"
     "orthogonal; 0.3 captures the true near-dup tail). Double folds are "
     "bit-identical to DuckDB's list_dot_product (validated).",
@@ -133,7 +140,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM s
     ) t WHERE rank <= 10
     """,
-    tags=("similarity",),
+    tags=("similarity", "all-pairs"),
     doc="Exact cosine top-10 for 16 query vectors: broadcast queries x "
     "corpus scan (corpus never shuffles), per-query window rank.",
 )
@@ -145,7 +152,7 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ann_ivf_topk",
     None,
-    tags=("similarity", "approx"),
+    tags=("similarity", "approx", "tiny-bnlj"),
     doc="IVF approximate top-k: deterministic k-means coarse quantizer "
     "(16 cells), queries probe their 4 nearest cells — a query scans "
     "~25% of the corpus instead of all of it. pytest bounds recall vs "

@@ -174,7 +174,7 @@ def j8_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders
     ) g
     """,
-    tags=("join", "agg"),
+    tags=("join", "agg", "tiny-bnlj"),
     doc="J6 single-row broadcast constant join (lib.rs:110-115: the one "
     "LocalTimeParameters row applied to every reading).",
 )
@@ -280,16 +280,51 @@ def a4_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROW_NUMBER() OVER (ORDER BY event_type, ts, event_id) AS global_rank
     FROM events
     """,
-    tags=("sort", "window"),
+    tags=("sort", "window", "tiny-global-window"),
     doc="O1 multi-key stable sort (timeseries.rs:116-138) made hash-checkable "
-    "via a global row_number. NOTE: a global total order serializes to one "
-    "partition — at 100 TB use repartitionByRange + per-partition rank + "
-    "offset; this declared form is the semantic spec.",
+    "via a global row_number, implemented scale-safely with NO full-data "
+    "window: repartitionByRange on the sort keys (range partitioner puts "
+    "partition i wholly before partition i+1), sortWithinPartitions, then "
+    "monotonically_increasing_id — whose documented layout is "
+    "(partition_id << 33) | in-partition-position — yields the local rank "
+    "for free in the same single pass. Per-partition counts (O(partitions) "
+    "rows; the only partition-less Window runs over that tiny aggregate) are "
+    "prefix-summed and broadcast-joined back as offsets. Total cost: 2 scans "
+    "+ 2 range shuffles, fully parallel; never a single-partition pass over "
+    "the data.",
 )
 def o1_multikey_sort_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, "events", sf_dir)
-    w = W.orderBy("event_type", "ts", "event_id")
-    return ev.select("event_id", F.row_number().over(w).cast("bigint").alias("global_rank"))
+    ev = load_table(spark, "events", sf_dir).select("event_id", "event_type", "ts")
+    keys = ["event_type", "ts", "event_id"]
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    mask = (1 << 33) - 1
+    ranked = (
+        ev.repartitionByRange(n_part, *keys)
+        .sortWithinPartitions(*keys)
+        .withColumn("_mid", F.monotonically_increasing_id())
+        .select(
+            "event_id",
+            F.shiftright("_mid", 33).alias("_pid"),
+            (F.col("_mid").bitwiseAND(F.lit(mask)) + F.lit(1)).alias("_local_rank"),
+        )
+    )
+    # Second (independent) pass computes only per-range-bucket counts: the
+    # range partitioner is deterministic for a given input, so bucket counts
+    # agree with the ranked pass. O(partitions) rows after the map-side
+    # partial count, so the prefix-sum window is trivially cheap.
+    counts = (
+        ev.repartitionByRange(n_part, *keys)
+        .groupBy(F.spark_partition_id().cast("long").alias("_pid"))
+        .agg(F.count("*").alias("_cnt"))
+    )
+    prefix = W.orderBy("_pid").rowsBetween(W.unboundedPreceding, -1)
+    offsets = counts.withColumn(
+        "_offset", F.coalesce(F.sum("_cnt").over(prefix), F.lit(0))
+    ).select("_pid", "_offset")
+    return ranked.join(F.broadcast(offsets), "_pid").select(
+        "event_id",
+        (F.col("_local_rank") + F.col("_offset")).cast("bigint").alias("global_rank"),
+    )
 
 
 @register(

@@ -33,6 +33,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from ..sources.catalog import load_table
 from .registry import register
@@ -94,8 +95,10 @@ _DISC_PRICE_SQL = (
     """,
     tags=("join", "subquery", "tpch"),
     doc="TPC-H Q2 shape (correlated MIN + join-back), supply facts from "
-    "lineitem since the schema has no partsupp. Decorrelated: per-part MIN "
-    "aggregate joined back on partkey; dims broadcast.",
+    "lineitem since the schema has no partsupp. Decorrelated as a single "
+    "pass: per-part MIN via a partitioned window over the already-built "
+    "eu_supply (one shuffle on partkey) instead of recomputing the "
+    "aggregate subtree for a join-back; dims broadcast.",
 )
 def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, "lineitem", sf_dir)
@@ -114,9 +117,9 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
               n["n_regionkey"] == F.col("r_regionkey"))
         .select("l_partkey", "l_suppkey", "supply_qty", "s_name", "s_acctbal", "n_name")
     )
-    min_per_part = eu.groupBy("l_partkey").agg(F.min("supply_qty").alias("min_qty"))
+    min_w = W.partitionBy("l_partkey")
     return (
-        eu.join(min_per_part, "l_partkey")
+        eu.withColumn("min_qty", F.min("supply_qty").over(min_w))
         .filter(F.col("supply_qty") == F.col("min_qty"))
         .join(F.broadcast(p), F.col("l_partkey") == p["p_partkey"])
         .select(
@@ -475,7 +478,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ORDER BY value DESC, l_partkey
     """,
-    tags=("agg", "subquery", "tpch"),
+    tags=("agg", "subquery", "tpch", "tiny-bnlj"),
     doc="TPC-H Q11 shape: per-key sum filtered against a scalar fraction "
     "of the global sum (uncorrelated scalar subquery -> broadcast one-row "
     "join). Both sums decimal-exact so the HAVING boundary is stable.",
@@ -1016,7 +1019,7 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) custsale
     GROUP BY cntrycode
     """,
-    tags=("agg", "subquery", "tpch"),
+    tags=("agg", "subquery", "tpch", "tiny-bnlj"),
     doc="TPC-H Q22 shape (country code = nationkey % 7 — no phone column; "
     "'never ordered' -> 'no order since 2000', every synthetic customer "
     "has at least one lifetime order): scalar-avg broadcast filter + "

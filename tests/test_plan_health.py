@@ -84,24 +84,61 @@ def test_topk_is_take_ordered(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+def _iter_physical_nodes(jplan):
+    stack = [jplan]
+    while stack:
+        node = stack.pop()
+        # AdaptiveSparkPlanExec reports no children; descend into the
+        # plan it wraps so the walk sees the real operators.
+        if node.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
+            stack.append(node.initialPlan())
+            continue
+        yield node
+        children = node.children()
+        for i in range(children.size()):
+            stack.append(children.apply(i))
+
+
 def test_no_plan_regressions_across_inventory(spark):
-    """No query in the declared inventory may plan a cartesian product
-    or a row-at-a-time Python UDF (BatchEvalPython); Python stages are
-    allowed only as ArrowEvalPython / mapInPandas (the parse + the
-    explicitly-Arrow extension ops)."""
+    """Scale-killer ban across the whole declared inventory:
+
+    * CartesianProduct — never.
+    * BatchEvalPython (row-at-a-time Python UDF) — never; Python stages
+      are allowed only as ArrowEvalPython / mapInPandas.
+    * BroadcastNestedLoopJoin — only in queries tagged ``all-pairs``
+      (the deliberately-quadratic oracles for the LSH/IVF scale paths)
+      or ``tiny-bnlj`` (a broadcast side that is O(centroids), not
+      data).  Anything else planning a BNLJ is a silent quadratic.
+    * A Window with an empty partition spec (single-partition pass over
+      ALL rows) — only in queries tagged ``tiny-global-window``, where
+      the window input is a per-partition aggregate (O(partitions)
+      rows), never the data itself.
+    """
     import __spark_entry__ as e
+    from greenbuttonengine_spark.plans import registry
 
     qs = e.queries()
     offenders = []
     for name, fn in qs.items():
         if name.startswith("espi"):  # espi reads reference XML, not sf dirs
             continue
+        tags = set(registry.QUERIES[name].tags)
         try:
-            s = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+            jplan = fn(spark, SF)._jdf.queryExecution().executedPlan()
         except Exception:
             continue  # streaming-only/aux entries that need extra setup
+        s = jplan.toString()
         if "CartesianProduct" in s:
             offenders.append((name, "CartesianProduct"))
         if "BatchEvalPython" in s:
             offenders.append((name, "BatchEvalPython"))
+        if "BroadcastNestedLoopJoin" in s and not tags & {"all-pairs", "tiny-bnlj"}:
+            offenders.append((name, "BroadcastNestedLoopJoin (untagged)"))
+        if "tiny-global-window" not in tags:
+            for node in _iter_physical_nodes(jplan):
+                if node.getClass().getSimpleName() == "WindowExec" and (
+                    node.partitionSpec().isEmpty()
+                ):
+                    offenders.append((name, "partition-less Window"))
+                    break
     assert not offenders, offenders
