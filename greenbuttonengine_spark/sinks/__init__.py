@@ -1,3 +1,11 @@
+from .charts import ChartChunk, chart_chunks
 from .writers import write_csv, write_parquet, write_influx_lines, influx_lines_df
 
-__all__ = ["write_csv", "write_parquet", "write_influx_lines", "influx_lines_df"]
+__all__ = [
+    "ChartChunk",
+    "chart_chunks",
+    "write_csv",
+    "write_parquet",
+    "write_influx_lines",
+    "influx_lines_df",
+]
