@@ -5,9 +5,12 @@ appends each dropped file into an accumulated TimeSeries and readers
 re-sort the whole (lib/wasm/src/lib.rs:6,15-42).  Structured-Streaming
 analog:
 
-* file-source stream over a drop directory (text, wholetext — one row
-  per file, exactly the batch parse input shape)
-* the SAME parse stage (parser.parse_espi_feed) inside foreachBatch
+* file-source stream over a drop directory (binaryFile — one row per
+  file, byte content: the EXACT batch parse input shape, so a
+  bad-encoding file routes to the per-file error channel identically
+  in both modes; the text source would silently U+FFFD-replace
+  invalid UTF-8 and diverge from the reference's strict read)
+* the SAME parse stage (espi.source._parse_batches) inside foreachBatch
 * accumulation = append-mode parquet of the union-typed parse output
   ("bronze"); ``read_accumulated_timeseries`` runs the batch
   denormalize over bronze on demand — re-sorting the accumulated whole,
@@ -27,14 +30,12 @@ by ingest date; the denormalize query prunes to new partitions.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from ..espi import denormalize_and_link
 from ..espi.enum_dim import load_enum_dim
-from ..espi.parser import parse_espi_feed
 from ..espi.schemas import PARSED_SCHEMA
-from ..espi.source import split_tables
+from ..espi.source import _parse_batches, split_tables
 from .bronze import commit_epoch, read_bronze
 
 
@@ -50,25 +51,20 @@ def start_ingest_stream(
 
     _ensure_package_shipped(spark)
 
+    # binaryFile, not text: the batch path's strict-UTF-8 decode runs
+    # inside _parse_batches, so an invalid-encoding file becomes an
+    # error row here exactly as in batch (source.py S2 semantics).
     files = (
-        spark.readStream.format("text")
-        .option("wholetext", "true")
+        spark.readStream.format("binaryFile")
+        .schema(  # binaryFile's fixed schema; streaming sources require it explicitly
+            "path string, modificationTime timestamp, length long, content binary"
+        )
         .load(drop_dir)
-        .select(F.input_file_name().alias("path"), F.col("value").alias("content"))
+        .select("path", "content")
     )
 
     def _parse_batch(batch: DataFrame, epoch_id: int) -> None:
-        import pandas as pd
-
-        def gen(it):
-            cols = [f.name for f in PARSED_SCHEMA.fields]
-            for pdf in it:
-                rows = []
-                for _, r in pdf.iterrows():
-                    rows.extend(parse_espi_feed(str(r["content"]), r["path"]))
-                yield pd.DataFrame(rows, columns=cols) if rows else pd.DataFrame(columns=cols)
-
-        parsed = batch.mapInPandas(gen, schema=PARSED_SCHEMA)
+        parsed = batch.mapInPandas(_parse_batches, schema=PARSED_SCHEMA)
         commit_epoch(parsed, bronze_dir, epoch_id)
 
     return (

@@ -16,12 +16,14 @@ Streaming primitives:
                           sessionize_events query.
 
 State scale notes: state is partitioned by the grouping key across
-executors (RocksDB-backed state store in production configs). Sessions
-close on OBSERVED data (NoTimeout); production deployments add
-GroupStateTimeout.ProcessingTimeTimeout to also flush sessions of
-users who stop sending entirely (and to bound state size) — omitted
-here because timeout-driven empty batches don't quiesce under the
-synchronous processAllAvailable used in tests.
+executors; :func:`use_rocksdb_state_store` switches the provider to the
+bundled RocksDB store (state spills off-heap/disk — required once keyed
+state exceeds executor memory at 100 TB).  Sessions close on OBSERVED
+data by default; pass ``idle_timeout_ms`` to also flush sessions of
+users who stop sending entirely via ProcessingTimeTimeout — the timeout
+fires when any later micro-batch runs after the deadline, emitting the
+idle user's open session and removing their state (bounding state
+size).
 """
 
 from __future__ import annotations
@@ -93,59 +95,107 @@ def dedup_stream(
     )
 
 
-def _sessionize_group(
-    key: tuple[Any, ...],
-    batches: Iterator[pd.DataFrame],
-    state: GroupState,
-) -> Iterator[pd.DataFrame]:
-    """Emit closed sessions for one user; keep the open session in state."""
-    (user_id,) = key
-
-    ts_us: list[int] = []
-    for pdf in batches:
-        ts_us.extend(int(t.value // 1000) for t in pd.to_datetime(pdf["ts"]))
-    ts_us.sort()
-
-    if state.exists:
-        start_us, last_us, n = state.get
-    else:
-        start_us, last_us, n = ts_us[0], ts_us[0], 0
-
-    closed: list[tuple[int, int, int]] = []
-    gap_us = SESSION_GAP_SECONDS * 1_000_000
-    for t in ts_us:
-        if t - last_us > gap_us:
-            closed.append((start_us, last_us, n))
-            start_us, n = t, 0
-        last_us = max(last_us, t)
-        n += 1
-
-    state.update((start_us, last_us, n))
-
-    if closed:
-        yield pd.DataFrame(
-            {
-                "user_id": [user_id] * len(closed),
-                "session_start": [pd.Timestamp(s, unit="us") for s, _, _ in closed],
-                "session_end": [pd.Timestamp(e, unit="us") for _, e, _ in closed],
-                "n_events": [c for _, _, c in closed],
-            }
-        )
+def _emit(user_id, closed: list[tuple[int, int, int]]) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "user_id": [user_id] * len(closed),
+            "session_start": [pd.Timestamp(s, unit="us") for s, _, _ in closed],
+            "session_end": [pd.Timestamp(e, unit="us") for _, e, _ in closed],
+            "n_events": [c for _, _, c in closed],
+        }
+    )
 
 
-def sessionize_stream(events: DataFrame) -> DataFrame:
+def _make_sessionize_group(idle_timeout_ms: int | None):
+    """Closure factory (the group fn pickles to executors; the timeout
+    setting rides along as a captured constant)."""
+
+    def _sessionize_group(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+
+        if idle_timeout_ms is not None and state.hasTimedOut:
+            # idle flush: the open session closes as-is, state is freed
+            if state.exists:
+                start_us, last_us, n = state.get
+                state.remove()
+                yield _emit(user_id, [(start_us, last_us, n)])
+            return
+
+        ts_us: list[int] = []
+        for pdf in batches:
+            ts_us.extend(int(t.value // 1000) for t in pd.to_datetime(pdf["ts"]))
+        ts_us.sort()
+
+        if state.exists:
+            start_us, last_us, n = state.get
+        else:
+            start_us, last_us, n = ts_us[0], ts_us[0], 0
+
+        closed: list[tuple[int, int, int]] = []
+        gap_us = SESSION_GAP_SECONDS * 1_000_000
+        for t in ts_us:
+            if t - last_us > gap_us:
+                closed.append((start_us, last_us, n))
+                start_us, n = t, 0
+            last_us = max(last_us, t)
+            n += 1
+
+        state.update((start_us, last_us, n))
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(idle_timeout_ms)
+
+        if closed:
+            yield _emit(user_id, closed)
+
+    return _sessionize_group
+
+
+def sessionize_stream(
+    events: DataFrame, idle_timeout_ms: int | None = None
+) -> DataFrame:
     """Custom stateful operator: streaming sessionization with a
-    30-minute inactivity gap, state per user across micro-batches."""
+    30-minute inactivity gap, state per user across micro-batches.
+
+    ``idle_timeout_ms`` arms a ProcessingTimeTimeout per user: if no
+    event for that user arrives within the duration, the next
+    micro-batch (triggered by ANY data or an empty trigger) flushes the
+    user's open session and removes their state — idle users' sessions
+    eventually emit, and state stays bounded."""
     from ..shipping import ensure_package_shipped
 
     ensure_package_shipped(events.sparkSession)
+    timeout = (
+        GroupStateTimeout.NoTimeout
+        if idle_timeout_ms is None
+        else GroupStateTimeout.ProcessingTimeTimeout
+    )
     return (
         events.groupBy("user_id")
         .applyInPandasWithState(
-            _sessionize_group,
+            _make_sessionize_group(idle_timeout_ms),
             outputStructType=SESSION_OUTPUT_SCHEMA,
             stateStructType=SESSION_STATE_SCHEMA,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=timeout,
         )
+    )
+
+
+def use_rocksdb_state_store(spark) -> None:
+    """Switch streaming state to the bundled RocksDB provider — the
+    production configuration once keyed state (sessions, dedup horizon)
+    exceeds executor heap: state lives off-heap/on-disk per task with
+    changelog checkpointing, instead of the default in-memory HDFS-
+    backed map."""
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "true",
     )

