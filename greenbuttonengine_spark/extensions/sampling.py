@@ -1,0 +1,63 @@
+"""Deterministic sampling operators for training-data mixing.
+
+A 100 TB corpus is never used whole: training mixes draw per-stratum
+rates (by language, quality band, source).  These samplers are
+DETERMINISTIC — membership is a pure function of the row key, not an
+RNG stream — so re-runs, backfills, and cross-engine audits select the
+same rows (the property ``df.sample()`` cannot give you across engines
+or even across partition layouts).
+
+  hash_bucket          key -> stable bucket in [0, buckets)
+  sample_stratified    per-stratum keep-rates via key bucketing
+
+Bucketing is an LCG mix kept strictly inside non-overflowing BIGINT
+range ((key % 2^31) * 1103515245 + 12345 < 2^62), discarding the weak
+low 16 bits — chosen over 64-bit multiplicative hashing because engines
+disagree on i64 overflow (Spark wraps, DuckDB raises), and a sampler's
+value is exactly its cross-engine reproducibility.  Validated
+bit-identical Spark vs DuckDB at sf0.01.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_BUCKETS = 10_000
+
+
+def hash_bucket(key: Column, buckets: int = _BUCKETS) -> Column:
+    """Stable pseudo-uniform bucket in [0, buckets) from an integer key.
+
+    All-integer arithmetic (the mix never exceeds 2^62, and the /65536
+    is a shift) — float division would round: 2^62 doesn't fit a
+    double's 53-bit mantissa."""
+    mixed = F.pmod(key.cast("long"), F.lit(2147483648)) * F.lit(1103515245) + F.lit(
+        12345
+    )
+    return F.pmod(F.shiftright(mixed, 16), F.lit(buckets).cast("long"))
+
+
+def sample_stratified(
+    df: DataFrame,
+    rates: dict[str, float],
+    stratum_col: str,
+    key_col: str,
+    default_rate: float = 0.0,
+    buckets: int = _BUCKETS,
+) -> DataFrame:
+    """Keep each row iff its key's bucket falls under its stratum's
+    rate: stratum s keeps ~rates[s] of its rows, deterministically.
+
+    Scale shape: a scan-stage filter — no shuffle, no RNG state, no
+    broadcast; the rate map rides the plan as a literal CASE
+    (O(strata)).  Composable with any downstream operator because
+    membership never changes across retries or repartitioning.
+    """
+    rate = F.lit(float(default_rate))
+    for s, r in sorted(rates.items()):
+        rate = F.when(F.col(stratum_col) == s, F.lit(float(r))).otherwise(rate)
+    keep = hash_bucket(F.col(key_col), buckets) < (
+        rate * F.lit(float(buckets))
+    ).cast("long")
+    return df.filter(keep)

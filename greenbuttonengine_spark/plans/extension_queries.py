@@ -352,3 +352,69 @@ def multimodal_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     media = multimodal.attach_fake_media(docs)
     return multimodal.extract_features(media, allow_fake=True)
+
+
+# ---------------------------------------------------------------------------
+# Embedding utilities + deterministic sampling (training-data mixing)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_quantize_int8",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s AS (SELECT vec_id, v,
+                 list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+          FROM e)
+    SELECT vec_id, u.dim AS dim, u.q AS q, scale FROM (
+        SELECT vec_id, scale,
+               unnest([{'dim': CAST(i - 1 AS INT),
+                        'q': CAST(floor(v[i] / scale + 0.5) AS INT)}
+                       for i in generate_series(1, len(v))]) AS u
+        FROM s) t
+    """,
+    tags=("embedding",),
+    doc="Symmetric per-vector int8 quantization (scale = max|v|/127, "
+    "q = floor(v/scale + 0.5)) — the 4x shrink before ANN index build "
+    "or trainer export. floor-based rounding is bit-deterministic "
+    "across engines where round() half-tie rules differ; output "
+    "exploded to scalars so the value-hash canonicalizes.",
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.embeddings import quantize_int8
+
+    return quantize_int8(load_table(spark, "embeddings", sf_dir))
+
+
+@register(
+    "sample_stratified_lang",
+    """
+    WITH b AS (
+        SELECT doc_id, lang, source,
+               ((doc_id % 2147483648) * 1103515245 + 12345) // 65536 % 10000
+                   AS bucket
+        FROM documents
+    )
+    SELECT doc_id, lang, source FROM b
+    WHERE bucket < CAST(
+        (CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.25
+                   WHEN 'de' THEN 0.10 ELSE 0.02 END) * 10000 AS BIGINT)
+    """,
+    tags=("sampling",),
+    doc="Deterministic stratified sampling for training mixes: keep "
+    "~rate[lang] of each language via an integer-only LCG bucket of "
+    "doc_id — membership is a pure key function (reproducible across "
+    "engines, retries, and partition layouts, unlike df.sample). "
+    "Scan-stage filter: no shuffle, no RNG state.",
+)
+def sample_stratified_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.sampling import sample_stratified
+
+    docs = load_table(spark, "documents", sf_dir)
+    return sample_stratified(
+        docs,
+        rates={"en": 0.5, "zh": 0.25, "de": 0.10},
+        stratum_col="lang",
+        key_col="doc_id",
+        default_rate=0.02,
+    ).select("doc_id", "lang", "source")

@@ -150,3 +150,50 @@ def test_exact_dedup_finds_normalized_dups(spark, docs):
     out = dedup.exact_duplicates(docs.unionByName(planted))
     dupes = out.filter(F.col("n_copies") > 1).collect()
     assert any(r.n_copies == 2 for r in dupes)
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    """Keep-rates land near targets per stratum, and membership is a
+    pure key function: two runs (and a repartitioned run) select the
+    identical row set."""
+    from greenbuttonengine_spark.extensions.sampling import sample_stratified
+    from greenbuttonengine_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.01")
+    rates = {"en": 0.5, "zh": 0.25, "de": 0.10}
+    kept = sample_stratified(docs, rates, "lang", "doc_id", default_rate=0.02)
+    tot = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    got = {r.lang: r.n for r in kept.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for lang, rate in rates.items():
+        frac = got.get(lang, 0) / tot[lang]
+        assert abs(frac - rate) < 0.12, (lang, frac, rate)
+
+    ids1 = {r.doc_id for r in kept.select("doc_id").collect()}
+    ids2 = {
+        r.doc_id
+        for r in sample_stratified(
+            docs.repartition(13), rates, "lang", "doc_id", default_rate=0.02
+        ).select("doc_id").collect()
+    }
+    assert ids1 == ids2, "sampling membership changed with partitioning"
+
+
+def test_quantize_int8_bounds_and_l2_normalize(spark, emb):
+    from greenbuttonengine_spark.extensions.embeddings import l2_normalize, quantize_int8
+
+    q = quantize_int8(emb)
+    stats = q.agg(
+        F.min("q").alias("lo"), F.max("q").alias("hi"), F.count("*").alias("n")
+    ).first()
+    assert -127 <= stats.lo and stats.hi <= 127
+    # every vector's peak magnitude maps to +/-127
+    peaks = q.withColumn("a", F.abs("q")).groupBy("vec_id").agg(F.max("a").alias("m"))
+    assert peaks.filter("m != 127").count() == 0
+
+    norms = l2_normalize(emb).select(
+        F.aggregate(
+            F.transform("unit", lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+        ).alias("nsq")
+    )
+    bad = norms.filter(F.abs(F.col("nsq") - 1.0) > 1e-9).count()
+    assert bad == 0
