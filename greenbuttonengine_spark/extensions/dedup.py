@@ -19,7 +19,7 @@ is the classic LSH hot key; AQE skew-join splitting handles it, and
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 
@@ -60,9 +60,8 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.8, k: int = 8,
 
     At 100 TB: one hash shuffle on the shingle key; frequent-shingle
     hot keys are the skew risk — AQE skew-join splitting applies, and
-    prefix filtering (sort shingles by global frequency, join only on
-    each doc's rarest ceil((1-t)*n)+1 shingles) is the standard
-    refinement if a corpus has pathological common n-grams."""
+    :func:`ngram_jaccard_pairs_prefix` is the exact-result refinement
+    that removes the hot keys from the candidate join entirely."""
     ex = docs.select(F.col(id_col), F.explode(_shingles(text_col, k)).alias("__sh"))
     sizes = ex.groupBy(id_col).agg(F.count("*").alias("n"))
     a, b = ex.alias("a"), ex.alias("b")
@@ -75,6 +74,82 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.8, k: int = 8,
         .groupBy(
             F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
         )
+        .agg(F.count("*").alias("i"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
+    jac = F.col("i").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("i")
+    ).cast("double")
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def ngram_jaccard_pairs_prefix(
+    docs: DataFrame, threshold: float = 0.8, k: int = 8,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Prefix-filtered exact set-similarity join (AllPairs/PPJoin
+    family: Bayardo et al., WWW'07; Xiao et al., WWW'08) — the
+    same exact result as :func:`ngram_jaccard_pairs`, with the
+    candidate join restricted to each document's PREFIX.
+
+    Pigeonhole: if J(A,B) >= t then |A∩B| >= ceil(t/(1+t)·(|A|+|B|)),
+    so A and B must share at least one shingle among the first
+    p = n - ceil(t·n) + 1 of their shingles under ANY fixed global
+    order.  Ordering by ascending global document-frequency makes the
+    prefix the RAREST shingles: the frequent (hot-key) shingles land
+    outside every prefix and never enter the join — the exact-result
+    cure for common-boilerplate skew.  Candidates are then verified
+    with one full intersection count (a semi-join-shaped second pass
+    over the exploded table restricted to candidate pairs).
+
+    Cost: one extra narrow aggregate (shingle -> df) + the candidate
+    join touches only prefix rows (~(1-t) of the exploded table).
+    """
+    ex = docs.select(F.col(id_col), F.explode(_shingles(text_col, k)).alias("__sh"))
+    ex = ex.localCheckpoint(eager=False)  # feeds prefix build + verify pass
+    sizes = ex.groupBy(id_col).agg(F.count("*").alias("n"))
+
+    # global order: ascending document frequency, shingle as tiebreak
+    df_rank = ex.groupBy("__sh").agg(F.count("*").alias("__df"))
+    ranked = ex.join(df_rank, "__sh")
+    pos = F.row_number().over(
+        W.partitionBy(id_col).orderBy("__df", "__sh")
+    )
+    with_pos = (
+        ranked.join(sizes, id_col)
+        .withColumn("__pos", pos)
+        # prefix length for Jaccard: n - ceil(t*n) + 1
+        .withColumn("__plen", F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1)
+    )
+    prefix = with_pos.filter(F.col("__pos") <= F.col("__plen")).select(id_col, "__sh")
+
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.__sh") == F.col("b.__sh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+    # verify: full intersection count for candidate pairs only — attach
+    # a-side shingles by id_a, then equi-join the b-side on BOTH
+    # (id_b, shingle), so only true matches materialize (never the
+    # per-pair shingle cross product)
+    ea = ex.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("sh_a"))
+    eb = ex.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("sh_b"))
+    inter = (
+        cand.join(ea, "id_a")
+        .join(eb, [cand["id_b"] == eb["id_b"], F.col("sh_a") == F.col("sh_b")])
+        .groupBy("id_a", cand["id_b"].alias("id_b"))
         .agg(F.count("*").alias("i"))
     )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))

@@ -76,6 +76,42 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_ngram_jaccard_prefix",
+    r"""
+    WITH ex AS (
+        SELECT doc_id, unnest(list_distinct([substring(text, i, 8)
+                   for i in generate_series(1, greatest(length(text)-7, 1))])) AS sh
+        FROM documents
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY doc_id
+    ), inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+        FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.8
+    """,
+    tags=("dedup",),
+    doc="Prefix-filtered exact Jaccard (AllPairs/PPJoin, Bayardo "
+    "WWW'07): candidate join restricted to each doc's rarest "
+    "n-ceil(t*n)+1 shingles under a global document-frequency order — "
+    "hot common shingles never enter the join, killing the skew the "
+    "plain sparse join is exposed to. Result-identical to "
+    "dedup_ngram_jaccard (same oracle); full-intersection verify on "
+    "candidates only.",
+)
+def dedup_ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs_prefix(
+        load_table(spark, "documents", sf_dir), threshold=0.8
+    )
+
+
+@register(
     "dedup_minhash_lsh",
     None,  # xxhash64-based signatures are engine-specific -> rows-only
     tags=("dedup", "approx"),

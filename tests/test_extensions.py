@@ -197,3 +197,19 @@ def test_quantize_int8_bounds_and_l2_normalize(spark, emb):
     )
     bad = norms.filter(F.abs(F.col("nsq") - 1.0) > 1e-9).count()
     assert bad == 0
+
+
+def test_prefix_filtered_jaccard_exact_equal(spark, docs):
+    """Prefix filtering (AllPairs/PPJoin) is an exact optimization:
+    identical pair set and jaccard values as the plain sparse join."""
+    from greenbuttonengine_spark.extensions import dedup
+
+    base = {
+        (r.id_a, r.id_b, round(r.jaccard, 12))
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.8).collect()
+    }
+    pref = {
+        (r.id_a, r.id_b, round(r.jaccard, 12))
+        for r in dedup.ngram_jaccard_pairs_prefix(docs, threshold=0.8).collect()
+    }
+    assert base == pref and base
