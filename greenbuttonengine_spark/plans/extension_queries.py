@@ -454,3 +454,22 @@ def sample_stratified_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         key_col="doc_id",
         default_rate=0.02,
     ).select("doc_id", "lang", "source")
+
+
+@register(
+    "pack_sequences_docs",
+    None,  # greedy bin packing is not SQL-expressible -> rows-only
+    tags=("packing",),
+    doc="Sequence packing (trainer prep): docs -> fixed token-budget "
+    "bins via deterministic group bucketing + per-group first-fit-"
+    "decreasing in applyInPandas (the sanctioned custom-operator "
+    "shape: the FFD loop has no native equivalent; groups are the "
+    "parallelism unit). pytest asserts budget, coverage, efficiency "
+    "and partition-invariance.",
+)
+def pack_sequences_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.packing import pack_sequences
+    from ..shipping import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+    return pack_sequences(load_table(spark, "documents", sf_dir), budget=512, n_groups=8)

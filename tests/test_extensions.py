@@ -213,3 +213,38 @@ def test_prefix_filtered_jaccard_exact_equal(spark, docs):
         for r in dedup.ngram_jaccard_pairs_prefix(docs, threshold=0.8).collect()
     }
     assert base == pref and base
+
+
+def test_pack_sequences_invariants(spark, docs):
+    """Every doc lands in exactly one bin; non-oversize bins respect
+    the budget; packing efficiency beats the trivial one-doc-per-bin
+    layout by a wide margin; membership is partition-invariant."""
+    from greenbuttonengine_spark.extensions.packing import pack_sequences
+    from greenbuttonengine_spark.shipping import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+    budget = 512
+    packed = pack_sequences(docs, budget=budget, n_groups=8).cache()
+    n_docs = docs.count()
+    assert packed.count() == n_docs
+    assert packed.select("doc_id").distinct().count() == n_docs
+
+    per_bin = (
+        packed.filter(~F.col("oversize"))
+        .groupBy("bin_id")
+        .agg(F.sum("n_tokens").alias("tok"))
+    )
+    assert per_bin.filter(F.col("tok") > budget).count() == 0
+
+    n_bins = packed.select("bin_id").distinct().count()
+    total_tokens = packed.agg(F.sum("n_tokens")).first()[0]
+    lower_bound = -(-total_tokens // budget)  # ceil: fewest possible bins
+    assert n_bins <= 1.5 * lower_bound + 8, (n_bins, lower_bound)
+    assert n_bins < n_docs / 2  # real packing happened
+
+    again = {
+        (r.doc_id, r.bin_id)
+        for r in pack_sequences(docs.repartition(13), budget=budget, n_groups=8).collect()
+    }
+    assert {(r.doc_id, r.bin_id) for r in packed.collect()} == again
+    packed.unpersist()
