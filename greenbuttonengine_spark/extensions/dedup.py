@@ -1,20 +1,29 @@
 """Deduplication operators over a document corpus.
 
-Five variants, each a DataFrame -> DataFrame function:
+Pair generation (each a DataFrame -> DataFrame function):
 
-  exact_duplicates        hash-groupBy on (normalized) text
-  ngram_jaccard_pairs     exact all-pairs set-Jaccard (correctness oracle;
-                          O(n^2) — small-SF / within-block use only)
-  minhash_lsh_pairs       MinHash signatures + banded LSH bucket join —
-                          the scale path for near-dup candidates
-  simhash_pairs           32-bit SimHash + banded hamming candidates
-  embedding_cosine_pairs  cosine near-dup over an embedding column
+  exact_duplicates           hash-groupBy on (normalized) text
+  ngram_jaccard_pairs        exact set-Jaccard via the sparse
+                             set-similarity join (shuffle on shingle)
+  ngram_jaccard_pairs_prefix same result, AllPairs/PPJoin prefix
+                             filter — skew-proof exact variant
+  minhash_lsh_pairs          MinHash signatures + banded LSH bucket
+                             join — the approximate scale path
+  simhash_pairs              48-bit SimHash + banded hamming candidates
+  embedding_cosine_pairs     cosine near-dup over an embedding column
+
+Cluster resolution (pairs are not transitively closed):
+
+  duplicate_clusters         connected components (iterative min-label
+                             propagation) -> (node, cluster_id)
+  dedup_keepers              one representative (min id) per component
 
 All shingle/signature math is native Catalyst higher-order functions
 (transform/aggregate/zip_with + xxhash64) — no Python in the hot path.
 Skew note: a degenerate band bucket (many docs sharing a band hash)
-is the classic LSH hot key; AQE skew-join splitting handles it, and
-``max_bucket`` hard-caps pathological buckets.
+is the classic LSH hot key; AQE skew-join splitting handles it,
+``max_bucket`` hard-caps pathological buckets, and the prefix-filtered
+exact join removes hot shingles from candidate generation entirely.
 """
 
 from __future__ import annotations
@@ -393,3 +402,79 @@ def embedding_cosine_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def duplicate_clusters(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over a duplicate-pair edge list:
+    (node, cluster_id) with cluster_id = min node id in the component.
+
+    The step EVERY dedup cascade needs after pair generation — near-dup
+    relations aren't transitive-closed, so keeping "one of each pair"
+    over-deletes; the correct unit is the component (keep min id per
+    cluster, drop the rest).
+
+    Iterative min-label propagation (the simplified map-reduce CC of
+    Kiveris et al.'s 'Connected Components in MapReduce and Beyond',
+    SoCC'14): each round joins labels across edges and takes the min;
+    rounds needed = component diameter (near-dup clusters are
+    clique-ish, so 2-4 in practice, bounded by ``max_iter``).  Each
+    round is one shuffle join + one aggregate; lineage is truncated
+    with localCheckpoint per round so plans stay flat.  Convergence is
+    detected by an exact count of changed labels (one action per
+    round — the driver loop is control flow only, never data).
+    """
+    edges = pairs.select(
+        F.col(a_col).cast("long").alias("src"), F.col(b_col).cast("long").alias("dst")
+    )
+    edges = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    edges = edges.localCheckpoint(eager=False)
+
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["node"] == nbr_min["src"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
+
+
+def dedup_keepers(
+    pairs: DataFrame, a_col: str = "id_a", b_col: str = "id_b"
+) -> DataFrame:
+    """(node, cluster_id, keep): cluster-resolved dedup decisions —
+    keep = (node == cluster_id), i.e. one representative (min id) per
+    connected component; everything else is a drop."""
+    cl = duplicate_clusters(pairs, a_col, b_col)
+    return cl.withColumn("keep", F.col("node") == F.col("cluster_id"))

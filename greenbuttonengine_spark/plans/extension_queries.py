@@ -473,3 +473,19 @@ def pack_sequences_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ensure_package_shipped(spark)
     return pack_sequences(load_table(spark, "documents", sf_dir), budget=512, n_groups=8)
+
+
+@register(
+    "dedup_clusters",
+    None,  # iterative fixpoint -> not single-statement-SQL-expressible
+    tags=("dedup", "iterative"),
+    doc="Connected components over the exact near-dup pairs (iterative "
+    "min-label propagation, Kiveris SoCC'14 style): the transitive-"
+    "closure step a dedup cascade needs before choosing keepers — "
+    "pairwise 'keep one of each' over-deletes. Rounds = component "
+    "diameter; one shuffle join per round; driver loop is control "
+    "flow only. pytest cross-checks against a Python union-find.",
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup.ngram_jaccard_pairs(load_table(spark, "documents", sf_dir), threshold=0.8)
+    return dedup.duplicate_clusters(pairs)

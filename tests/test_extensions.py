@@ -248,3 +248,43 @@ def test_pack_sequences_invariants(spark, docs):
     }
     assert {(r.doc_id, r.bin_id) for r in packed.collect()} == again
     packed.unpersist()
+
+
+def test_duplicate_clusters_match_union_find(spark, docs):
+    """Spark connected components == a reference union-find over the
+    same edge list (plus keeper semantics)."""
+    from greenbuttonengine_spark.extensions import dedup
+
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5)  # denser graph
+    edges = [(r.id_a, r.id_b) for r in pairs.collect()]
+    assert edges
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    want = {n: find(n) for n in parent}
+    # canonicalize reference roots to min-of-component
+    comp: dict[int, list[int]] = {}
+    for n, r in want.items():
+        comp.setdefault(find(r), []).append(n)
+    want = {n: root for root, members in comp.items() for n in members}
+
+    got = {r.node: r.cluster_id for r in dedup.duplicate_clusters(pairs).collect()}
+    assert got == want
+
+    keepers = dedup.dedup_keepers(pairs)
+    kept = keepers.filter("keep").count()
+    assert kept == len(set(want.values()))  # exactly one keeper per component
