@@ -87,6 +87,52 @@ def fingerprint_col(text: Column) -> Column:
     return F.md5(F.lower(F.regexp_replace(F.trim(text), r"\s+", " ")))
 
 
+def repetition_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Repetition-based quality signals (the Gopher/MassiveText rules,
+    Rae et al. 2021 §A1.1): docs dominated by one word or by repeated
+    bigrams are boilerplate/spam and get filtered before training.
+
+    Output: (doc_id, top_word_frac, n_words, dup_bigram_frac) where
+    top_word_frac = max word count / total words and dup_bigram_frac =
+    1 - distinct bigrams / total bigrams.  All ratios are integer
+    divisions in double -> bit-deterministic across engines.
+
+    Scale shape: the word-mode needs a shuffle keyed by (doc, word) —
+    partial counts combine map-side, so the wire carries one row per
+    distinct (doc, word); the bigram stats are pure array expressions
+    in the scan stage (no shuffle).
+    """
+    lowered = F.lower(F.trim(F.col(text_col)))
+    words = docs.select(
+        F.col(id_col), F.explode(F.split(lowered, r"\s+")).alias("__w")
+    )
+    wc = words.groupBy(id_col, "__w").agg(F.count("*").alias("__c"))
+    top = wc.groupBy(id_col).agg(
+        (F.max("__c").cast("double") / F.sum("__c").cast("double")).alias(
+            "top_word_frac"
+        ),
+        F.sum("__c").cast("long").alias("n_words"),
+    )
+    ws = F.split(lowered, r"\s+")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(ws) - 1),
+        lambda i: F.concat(
+            F.element_at(ws, i), F.lit(" "), F.element_at(ws, i + F.lit(1))
+        ),
+    )
+    bi = docs.select(
+        F.col(id_col),
+        (
+            F.lit(1.0)
+            - F.size(F.array_distinct(bigrams)).cast("double")
+            / F.size(bigrams).cast("double")
+        ).alias("dup_bigram_frac"),
+    )
+    return top.join(bi, id_col)
+
+
 def analyze(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     text = F.col(text_col)
     cols = {

@@ -489,3 +489,43 @@ def pack_sequences_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup.ngram_jaccard_pairs(load_table(spark, "documents", sf_dir), threshold=0.8)
     return dedup.duplicate_clusters(pairs)
+
+
+@register(
+    "text_repetition_stats",
+    r"""
+    WITH w AS (
+        SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+        FROM documents
+    ), wc AS (
+        SELECT doc_id, w, COUNT(*) AS c FROM w GROUP BY 1, 2
+    ), top AS (
+        SELECT doc_id,
+               CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top_word_frac,
+               CAST(SUM(c) AS BIGINT) AS n_words
+        FROM wc GROUP BY doc_id
+    ), bi AS (
+        SELECT doc_id,
+               1.0 - CAST(len(list_distinct(bg)) AS DOUBLE)
+                   / CAST(len(bg) AS DOUBLE) AS dup_bigram_frac
+        FROM (
+            SELECT doc_id,
+                   [ws[i] || ' ' || ws[i+1]
+                    for i in generate_series(1, len(ws) - 1)] AS bg
+            FROM (SELECT doc_id,
+                         string_split_regex(lower(trim(text)), '\s+') AS ws
+                  FROM documents) t
+        ) u
+    )
+    SELECT top.doc_id AS doc_id, top_word_frac, n_words, dup_bigram_frac
+    FROM top JOIN bi ON top.doc_id = bi.doc_id
+    """,
+    tags=("textstats",),
+    doc="Repetition quality signals (Gopher/MassiveText rules): top-"
+    "word dominance + duplicate-bigram fraction. Word mode shuffles "
+    "one row per distinct (doc, word) after map-side combine; bigram "
+    "ratios are scan-stage array expressions. Integer-ratio doubles "
+    "-> bit-deterministic.",
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.repetition_stats(load_table(spark, "documents", sf_dir))
