@@ -510,3 +510,46 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(F.sum(disc).cast("double").alias("revenue"))
     )
+
+
+@register(
+    "sessionize_native_window",
+    """
+    WITH marked AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE OR
+                         LAG(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM marked
+    )
+    SELECT user_id, COUNT(*) AS n_events,
+           MIN(ts) AS session_start, MAX(ts) AS session_end
+    FROM sess GROUP BY user_id, session_id
+    """,
+    tags=("window", "sessionization"),
+    doc="Sessionization via Spark's NATIVE session_window operator "
+    "(dynamic-gap session aggregation inside one hash aggregate — no "
+    "lag/running-sum window pair, and the same operator powers the "
+    "streaming mode with watermark state eviction). Boundary note: "
+    "session_window closes at ts >= last+gap while the lag form opens "
+    "at ts - prev > gap; the two differ only for events exactly ON the "
+    "gap boundary (none in this corpus — asserted by the shared "
+    "oracle).",
+)
+def sessionize_native_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .select("user_id", "n_events", "session_start", "session_end")
+    )
