@@ -38,15 +38,17 @@ def _registry():
     return registry
 
 
-# Slow rows-only entries run last so a time-budgeted gate spends its
-# window on oracle-backed queries first.
-_DEPRIORITIZED = ("espi_egd_timeseries",)
+# Rows-only entries (no oracle -> weaker check) run after every
+# oracle-backed query, so a time-budgeted gate spends its window on the
+# hard signal first; the slow ESPI ingest runs dead last.
+_LAST = ("espi_egd_timeseries",)
 
 
 def _ordered_names(reg) -> list[str]:
-    names = list(reg.QUERIES)
-    tail = [n for n in names if n in _DEPRIORITIZED]
-    return [n for n in names if n not in _DEPRIORITIZED] + tail
+    names = [n for n in reg.QUERIES if n not in _LAST]
+    oracle_backed = [n for n in names if n in reg.ORACLES]
+    rows_only = [n for n in names if n not in reg.ORACLES]
+    return oracle_backed + rows_only + [n for n in _LAST if n in reg.QUERIES]
 
 
 def entry(spark: SparkSession) -> DataFrame:
