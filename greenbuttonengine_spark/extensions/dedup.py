@@ -478,3 +478,56 @@ def dedup_keepers(
     connected component; everything else is a drop."""
     cl = duplicate_clusters(pairs, a_col, b_col)
     return cl.withColumn("keep", F.col("node") == F.col("cluster_id"))
+
+
+def dedup_cascade(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """End-to-end dedup pipeline: (doc_id, keep, reason).
+
+    The composition every training-data pipeline runs:
+
+      1. EXACT pass first (cheapest: one fingerprint shuffle) — only
+         min-id survivors advance, shrinking the fuzzy pass's input;
+      2. NEAR-DUP pairs over the survivors via the prefix-filtered
+         exact Jaccard join (swap in minhash_lsh_pairs at corpus sizes
+         where exact is too dear — same downstream shape);
+      3. CLUSTER resolution (connected components) so transitively-
+         linked near-dups collapse to ONE representative;
+      4. decisions: keep = exact-keeper AND cluster representative.
+
+    ``reason`` is 'exact_dup' (dropped by pass 1), 'near_dup' (dropped
+    by pass 2/3), or 'kept'.
+    """
+    exact = exact_duplicates(docs, text_col, id_col)
+    keepers = exact.select(F.col("keeper_id").alias(id_col))
+    survivors = docs.join(keepers, id_col, "left_semi")
+
+    pairs = ngram_jaccard_pairs_prefix(survivors, threshold, k, text_col, id_col)
+    clusters = duplicate_clusters(pairs)
+
+    decided = (
+        docs.select(F.col(id_col))
+        .join(keepers.withColumn("__exact_keep", F.lit(True)), id_col, "left")
+        .join(
+            clusters.select(
+                F.col("node").alias(id_col),
+                (F.col("node") == F.col("cluster_id")).alias("__cluster_keep"),
+            ),
+            id_col,
+            "left",
+        )
+    )
+    keep = F.coalesce(F.col("__exact_keep"), F.lit(False)) & F.coalesce(
+        F.col("__cluster_keep"), F.lit(True)
+    )
+    reason = (
+        F.when(~F.coalesce(F.col("__exact_keep"), F.lit(False)), F.lit("exact_dup"))
+        .when(~F.coalesce(F.col("__cluster_keep"), F.lit(True)), F.lit("near_dup"))
+        .otherwise(F.lit("kept"))
+    )
+    return decided.select(F.col(id_col), keep.alias("keep"), reason.alias("reason"))

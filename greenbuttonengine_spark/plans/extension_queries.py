@@ -529,3 +529,17 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.repetition_stats(load_table(spark, "documents", sf_dir))
+
+
+@register(
+    "dedup_cascade",
+    None,  # step 3 is an iterative fixpoint -> rows-only
+    tags=("dedup", "iterative"),
+    doc="The composed dedup pipeline: exact fingerprint pass (cheapest "
+    "first, shrinks the corpus) -> prefix-filtered exact Jaccard pairs "
+    "over survivors -> connected-component cluster resolution -> one "
+    "keep decision + reason per document. pytest asserts keeper-set "
+    "soundness (no kept near-dup pair, every drop has a kept witness).",
+)
+def dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.dedup_cascade(load_table(spark, "documents", sf_dir), threshold=0.8)

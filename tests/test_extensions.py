@@ -288,3 +288,34 @@ def test_duplicate_clusters_match_union_find(spark, docs):
     keepers = dedup.dedup_keepers(pairs)
     kept = keepers.filter("keep").count()
     assert kept == len(set(want.values()))  # exactly one keeper per component
+
+
+def test_dedup_cascade_soundness(spark, docs):
+    """Cascade decisions are sound: exactly one keeper per duplicate
+    relation — no two kept docs are near-dups or exact dups, and every
+    dropped doc has a kept (or transitively dropped-into-kept)
+    witness."""
+    from greenbuttonengine_spark.extensions import dedup
+
+    decisions = {r.doc_id: r for r in dedup.dedup_cascade(docs, threshold=0.8).collect()}
+    assert len(decisions) == docs.count()
+    kept = {d for d, r in decisions.items() if r.keep}
+    assert kept
+
+    # no kept pair may be an exact or near duplicate of another kept doc
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.8).collect()
+    }
+    for a, b in pairs:
+        assert not (a in kept and b in kept), (a, b)
+
+    exact = dedup.exact_duplicates(docs).collect()
+    n_exact_dups = sum(r.n_copies - 1 for r in exact)
+    dropped_exact = sum(1 for r in decisions.values() if r.reason == "exact_dup")
+    assert dropped_exact == n_exact_dups
+
+    # every near-dup drop is linked (directly) to some pair participant
+    near_dropped = {d for d, r in decisions.items() if r.reason == "near_dup"}
+    participants = {x for p in pairs for x in p}
+    assert near_dropped <= participants
