@@ -39,8 +39,16 @@ def quantize_int8(
         "scale",
         F.array_max(F.transform(F.col("v"), lambda x: F.abs(x))) / F.lit(127.0),
     )
+    # all-zero vector -> scale 0: quantize to 0 instead of dividing by
+    # zero (nullif/coalesce, mirrored exactly in the oracle SQL)
     q = F.transform(
-        F.col("v"), lambda x: F.floor(x / F.col("scale") + F.lit(0.5)).cast("int")
+        F.col("v"),
+        lambda x: F.coalesce(
+            F.floor(x / F.nullif(F.col("scale"), F.lit(0.0)) + F.lit(0.5)).cast(
+                "int"
+            ),
+            F.lit(0),
+        ),
     )
     return base.select(F.col(id_col), F.col("scale"), F.posexplode(q).alias("dim", "q")).select(
         F.col(id_col),

@@ -405,7 +405,8 @@ def multimodal_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT vec_id, u.dim AS dim, u.q AS q, scale FROM (
         SELECT vec_id, scale,
                unnest([{'dim': CAST(i - 1 AS INT),
-                        'q': CAST(floor(v[i] / scale + 0.5) AS INT)}
+                        'q': COALESCE(CAST(floor(v[i] / nullif(scale, 0.0) + 0.5)
+                                           AS INT), 0)}
                        for i in generate_series(1, len(v))]) AS u
         FROM s) t
     """,
