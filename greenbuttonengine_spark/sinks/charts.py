@@ -35,6 +35,38 @@ class ChartChunk:
     table: pa.Table  # all columns, rows sorted by time
 
 
+def aggregate_by_period(
+    ts: DataFrame,
+    period: str = "month",
+    title_col: str = "title",
+    time_col: str = "time_period_start_unix",
+    value_col: str = "value",
+    cost_col: str = "cost",
+) -> DataFrame:
+    """Per-series calendar rollup feeding the date-aggregated charts
+    (web-frontend/src/charts/date_aggregated_chart.ts: the UI sums
+    values per day/month/year bucket before rendering).
+
+    ``period`` is any ``date_trunc`` unit (day/week/month/year).
+    Epoch-seconds time column -> truncated bucket; one hash aggregate
+    (map-side partial) keyed (title, bucket) — the shuffle carries one
+    row per bucket, never the readings.  NaN costs (the missing-cost
+    sentinel) are excluded from the cost sum the way the reference's
+    chart ignores them; an all-NaN bucket yields cost NULL.
+    """
+    bucket = F.date_trunc(period, F.timestamp_seconds(F.col(time_col)))
+    cost_ok = ~F.isnan(F.col(cost_col)) & F.col(cost_col).isNotNull()
+    return (
+        ts.groupBy(F.col(title_col), bucket.alias("period_start"))
+        .agg(
+            F.sum(value_col).alias("total_value"),
+            F.sum(F.when(cost_ok, F.col(cost_col))).alias("total_cost"),
+            F.count("*").alias("n_readings"),
+        )
+        .orderBy(title_col, "period_start")
+    )
+
+
 def chart_chunks(
     ts: DataFrame,
     title_col: str = "title",

@@ -418,3 +418,37 @@ def test_no_cached_blocks_after_scoped_ingest(spark, tmp_path):
     # the scope added exactly one persisted RDD and released it on exit
     # (other tests' module fixtures may legitimately hold their own)
     assert jsc.getPersistentRDDs().size() == before
+
+
+def test_aggregate_by_period(synthetic):
+    """Calendar-bucket chart rollup == an independent pandas groupby
+    (NaN costs excluded, like the reference chart)."""
+    from greenbuttonengine_spark.sinks import aggregate_by_period
+
+    ts, got = synthetic
+    agg = aggregate_by_period(ts, "day").toPandas()
+
+    want = got.copy()
+    want["period_start"] = (
+        pd.to_datetime(want["time_period_start_unix"], unit="s").dt.floor("D")
+    )
+    ref = (
+        want.groupby(["title", "period_start"], as_index=False)
+        .agg(
+            total_value=("value", "sum"),
+            total_cost=("cost", lambda s: s.dropna()[~np.isnan(s.dropna())].sum()
+                        if s.notna().any() else np.nan),
+            n_readings=("value", "size"),
+        )
+        .sort_values(["title", "period_start"]) 
+        .reset_index(drop=True)
+    )
+    agg = agg.sort_values(["title", "period_start"]).reset_index(drop=True)
+    assert len(agg) == len(ref)
+    assert (agg["title"] == ref["title"]).all()
+    assert (
+        pd.to_datetime(agg["period_start"]).to_numpy()
+        == ref["period_start"].to_numpy()
+    ).all()
+    assert np.allclose(agg["total_value"], ref["total_value"], rtol=1e-6)
+    assert (agg["n_readings"].to_numpy() == ref["n_readings"].to_numpy()).all()
