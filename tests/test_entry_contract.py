@@ -26,3 +26,35 @@ def test_each_query_runs_smoke(spark, sf_dir):
         df = fn(spark, sf_dir)
         assert df.schema is not None, name
         assert df.limit(1).count() >= 0, name
+
+
+def test_sql_surface_via_registered_views(spark):
+    """register_views exposes the catalog to raw spark.sql — the
+    interface a SQL-first user drives — and results match the
+    DataFrame path (same catalog normalization, e.g. nanos
+    timestamps)."""
+    from greenbuttonengine_spark.sources import register_views, load_table
+
+    register_views(spark, "/root/testdata/sf0.001")
+    got = spark.sql(
+        """
+        SELECT n.n_name, COUNT(*) AS n_customers
+        FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+        GROUP BY n.n_name ORDER BY n.n_name
+        """
+    ).collect()
+    c = load_table(spark, "customer", "/root/testdata/sf0.001")
+    n = load_table(spark, "nation", "/root/testdata/sf0.001")
+    want = {
+        r.n_name: r.n_customers
+        for r in c.join(n, c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .count()
+        .withColumnRenamed("count", "n_customers")
+        .collect()
+    }
+    assert {r.n_name: r.n_customers for r in got} == want
+    # events view must carry the catalog's nanos-timestamp normalization
+    assert spark.sql(
+        "SELECT MIN(ts) AS t FROM events"
+    ).first().t is not None
