@@ -142,3 +142,41 @@ def test_no_plan_regressions_across_inventory(spark):
                     offenders.append((name, "partition-less Window"))
                     break
     assert not offenders, offenders
+
+
+def test_aqe_splits_skewed_join(spark):
+    """The declared skew posture (SCALING.md: 'AQE handles skew
+    splitting at scale') must actually engage: a 90%-one-key join,
+    with thresholds scaled down to test size, replans as
+    SortMergeJoin(skew=true) with a skewed AQEShuffleRead."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "20KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        a = spark.range(0, 200000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(0)).otherwise(F.col("id")).alias("k"),
+            F.col("id").alias("payload"),
+        )
+        b = spark.range(0, 50000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+        j = a.join(b, "k")
+        assert len(j.collect()) == 185000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
