@@ -96,3 +96,60 @@ def extract_features(
             )
 
     return media.select(F.col(id_col), "media").mapInPandas(batches, schema=FEATURE_SCHEMA)
+
+
+def attach_fake_video_meta(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic fake VIDEO metadata: duration/fps derived from the
+    text (stable across runs), the binary payload standing in for the
+    container bytes.  Real ingestion would read these fields from the
+    container header (ffprobe) at write time — the point is the column
+    SHAPE: (media binary, media_meta struct with temporal fields)."""
+    blob = F.unhex(F.concat(F.md5(F.col(text_col)), F.md5(F.reverse(F.col(text_col)))))
+    dur = (F.length(F.col(text_col)) % 300 + 5).cast("double")  # 5..304 s
+    fps = (F.length(F.col(text_col)) % 3 * 6 + 12).cast("double")  # 12/18/24
+    meta = F.struct(
+        F.lit("video/fake").alias("kind"),
+        dur.alias("duration_s"),
+        fps.alias("fps"),
+        F.length(blob).cast("long").alias("n_bytes"),
+    )
+    return docs.select(F.col(id_col), blob.alias("media"), meta.alias("media_meta"))
+
+
+def sample_frames(
+    media: DataFrame,
+    every_n_seconds: float = 10.0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Frame-sampling PLAN: one row per sampled frame with its
+    timestamp and frame index, computed purely from the metadata struct
+    (duration, fps) — no decode, pure Catalyst sequence/explode, so the
+    blob never enters the explode (it is dropped first; at 100 TB the
+    decoded-frame extraction joins back to the blob column by id inside
+    the scan-stage mapInPandas decoder).
+
+    Output: (doc_id, sample_idx, t_seconds, frame_idx) — frame_idx =
+    floor(t * fps), the exact input a seek-based decoder consumes."""
+    n_samples = F.floor(
+        F.col("media_meta.duration_s") / F.lit(float(every_n_seconds))
+    ).cast("int")
+    idx = F.explode(F.sequence(F.lit(0), n_samples))
+    out = (
+        media.select(F.col(id_col), "media_meta")
+        .withColumn("sample_idx", idx)
+        .withColumn(
+            "t_seconds", F.col("sample_idx") * F.lit(float(every_n_seconds))
+        )
+        .withColumn(
+            "frame_idx",
+            F.floor(F.col("t_seconds") * F.col("media_meta.fps")).cast("long"),
+        )
+    )
+    return out.select(
+        F.col(id_col),
+        F.col("sample_idx").cast("long").alias("sample_idx"),
+        F.col("t_seconds"),
+        "frame_idx",
+    )

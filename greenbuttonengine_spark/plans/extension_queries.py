@@ -544,3 +544,32 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_cascade(load_table(spark, "documents", sf_dir), threshold=0.8)
+
+
+@register(
+    "multimodal_frame_sample",
+    """
+    WITH m AS (
+        SELECT doc_id,
+               CAST(length(text) % 300 + 5 AS DOUBLE) AS duration_s,
+               CAST(length(text) % 3 * 6 + 12 AS DOUBLE) AS fps
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS sample_idx,
+           CAST(i AS DOUBLE) * 10.0 AS t_seconds,
+           CAST(floor(CAST(i AS DOUBLE) * 10.0 * fps) AS BIGINT) AS frame_idx
+    FROM m, UNNEST(generate_series(0, CAST(floor(duration_s / 10.0) AS INT))) AS t(i)
+    """,
+    tags=("multimodal",),
+    doc="Video frame-sampling plan: one row per sampled frame "
+    "(timestamp + frame index from the metadata struct's duration/fps "
+    "— floor(t*fps) is what a seek-based decoder consumes). Pure "
+    "Catalyst sequence/explode; the binary payload is dropped BEFORE "
+    "the explode so blobs never multiply. Deterministic fake meta -> "
+    "full oracle.",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    media = multimodal.attach_fake_video_meta(docs)
+    return multimodal.sample_frames(media, every_n_seconds=10.0)

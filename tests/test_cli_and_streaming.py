@@ -107,3 +107,47 @@ def test_bronze_store_exactly_once(tmp_path, spark):
     # incremental consumer: only epochs after the cursor
     rows = read_bronze(spark, bronze, schema, since_epoch=0).collect()
     assert [r.id for r in rows] == [3]
+
+
+def test_bronze_compaction(tmp_path, spark):
+    """compact_bronze merges epochs into one dir with identical rows,
+    keeps replay idempotency via tombstones, and survives repeated
+    compaction (generations)."""
+    import glob as _glob
+
+    from greenbuttonengine_spark.streaming.bronze import (
+        commit_epoch,
+        committed_epochs,
+        compact_bronze,
+        read_bronze,
+    )
+
+    bronze = str(tmp_path / "bronze")
+    schema = "id bigint, v string"
+    for e in range(4):
+        df = spark.createDataFrame([(e * 10 + i, f"v{e}") for i in range(5)], schema)
+        commit_epoch(df, bronze, e)
+    before = {(r.id, r.v) for r in read_bronze(spark, bronze, schema).collect()}
+    files_before = len(_glob.glob(f"{bronze}/epoch=*/**/*.parquet", recursive=True))
+
+    # compact epochs 0..2, keep 3 as the live tail
+    assert compact_bronze(spark, bronze, schema, up_to_epoch=2) == 3
+    assert committed_epochs(bronze) == [0, 3]
+    after = {(r.id, r.v) for r in read_bronze(spark, bronze, schema).collect()}
+    assert after == before
+    files_after = len(_glob.glob(f"{bronze}/epoch=*/**/*.parquet", recursive=True))
+    assert files_after < files_before
+
+    # replay of a subsumed epoch must stay a no-op (tombstoned marker)
+    dup = spark.createDataFrame([(999, "dup")], schema)
+    commit_epoch(dup, bronze, 1)
+    assert {(r.id, r.v) for r in read_bronze(spark, bronze, schema).collect()} == before
+
+    # incremental read above the compacted range still works
+    tail = read_bronze(spark, bronze, schema, since_epoch=0)
+    assert {r.v for r in tail.collect()} == {"v3"}
+
+    # second compaction folds the tail in (new generation)
+    assert compact_bronze(spark, bronze, schema) == 2
+    assert committed_epochs(bronze) == [0]
+    assert {(r.id, r.v) for r in read_bronze(spark, bronze, schema).collect()} == before
