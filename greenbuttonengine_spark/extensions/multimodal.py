@@ -153,3 +153,77 @@ def sample_frames(
         F.col("t_seconds"),
         "frame_idx",
     )
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("media", T.BinaryType(), False),
+        T.StructField(
+            "media_meta",
+            T.StructType(
+                [
+                    T.StructField("kind", T.StringType(), False),
+                    T.StructField("width", T.IntegerType(), False),
+                    T.StructField("height", T.IntegerType(), False),
+                    T.StructField("n_bytes", T.LongType(), False),
+                ]
+            ),
+            False,
+        ),
+    ]
+)
+
+
+def resize_images(
+    media: DataFrame,
+    width: int,
+    height: int,
+    allow_fake: bool = True,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Resize each image blob to (width, height) via mapInPandas.
+
+    Real path: PIL decode -> resize -> re-encode (requires Pillow,
+    absent in this container).  Fake path: deterministic nearest-
+    neighbor byte resampling to width*height bytes — same Arrow batch
+    shape, same output schema (blob + updated meta), so swapping the
+    codec in changes ONE function body, not the plumbing.
+
+    Scale: a narrow per-row transform in the scan stage; the resized
+    blob (typically much smaller) replaces the original before any
+    wide operation, shrinking every downstream shuffle.
+    """
+    if not allow_fake and not _HAS_PIL:
+        raise NotImplementedError(
+            "Image resize requires Pillow; install `pillow` on the "
+            "cluster image, or pass allow_fake=True for the "
+            "deterministic stand-in path."
+        )
+    n_out = width * height
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            blobs, metas = [], []
+            for blob in pdf["media"]:
+                arr = np.frombuffer(blob, dtype=np.uint8)
+                idx = (np.arange(n_out) * max(len(arr), 1) // n_out).clip(
+                    0, max(len(arr) - 1, 0)
+                )
+                out = arr[idx] if len(arr) else np.zeros(n_out, dtype=np.uint8)
+                blobs.append(out.tobytes())
+                metas.append(
+                    {
+                        "kind": "image/fake-resized",
+                        "width": width,
+                        "height": height,
+                        "n_bytes": n_out,
+                    }
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col], "media": blobs, "media_meta": metas}
+            )
+
+    return media.select(F.col(id_col), "media").mapInPandas(
+        batches, schema=RESIZED_SCHEMA
+    )

@@ -319,3 +319,19 @@ def test_dedup_cascade_soundness(spark, docs):
     near_dropped = {d for d, r in decisions.items() if r.reason == "near_dup"}
     participants = {x for p in pairs for x in p}
     assert near_dropped <= participants
+
+
+def test_multimodal_resize_plumbing(spark, docs):
+    from greenbuttonengine_spark.extensions import multimodal
+
+    media = multimodal.attach_fake_media(docs.limit(20))
+    resized = multimodal.resize_images(media, width=4, height=3).collect()
+    assert len(resized) == 20
+    for r in resized:
+        assert len(r.media) == 12
+        assert r.media_meta.width == 4 and r.media_meta.height == 3
+        assert r.media_meta.kind == "image/fake-resized"
+    # deterministic: same input -> identical bytes
+    again = {r.doc_id: bytes(r.media)
+             for r in multimodal.resize_images(media, width=4, height=3).collect()}
+    assert {r.doc_id: bytes(r.media) for r in resized} == again
