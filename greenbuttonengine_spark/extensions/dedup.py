@@ -136,25 +136,56 @@ def ngram_jaccard_pairs_prefix(
         # prefix length for Jaccard: n - ceil(t*n) + 1
         .withColumn("__plen", F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1)
     )
-    prefix = with_pos.filter(F.col("__pos") <= F.col("__plen")).select(id_col, "__sh")
+    prefix = with_pos.filter(F.col("__pos") <= F.col("__plen")).select(
+        id_col, "__sh", "__pos", "n"
+    )
 
+    # Candidate join with PPJoin's POSITIONAL filter: at a prefix match
+    # in (global-rarity) position pa/pb, the remaining possible overlap
+    # is at most min(na-pa, nb-pb)+1 (both suffixes follow the same
+    # global order), and J >= t requires overlap >= ceil(t/(1+t)·
+    # (na+nb)).  Rows failing that bound can't come from a qualifying
+    # pair — exact pruning that collapses the candidate set on corpora
+    # whose "rare" shingles still repeat across documents.
     a, b = prefix.alias("a"), prefix.alias("b")
+    min_overlap = F.ceil(
+        F.lit(threshold / (1.0 + threshold)) * (F.col("a.n") + F.col("b.n"))
+    )
+    pos_ok = (
+        F.least(
+            F.col("a.n") - F.col("a.__pos"), F.col("b.n") - F.col("b.__pos")
+        )
+        + 1
+        >= min_overlap
+    )
     cand = (
         a.join(
             b,
             (F.col("a.__sh") == F.col("b.__sh"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            & pos_ok,
         )
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
+        # feeds both the id-prune and the verify join
+        .localCheckpoint(eager=False)
     )
 
-    # verify: full intersection count for candidate pairs only — attach
-    # a-side shingles by id_a, then equi-join the b-side on BOTH
-    # (id_b, shingle), so only true matches materialize (never the
-    # per-pair shingle cross product)
-    ea = ex.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("sh_a"))
-    eb = ex.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("sh_b"))
+    # verify: full intersection count for candidate pairs only.  The
+    # exploded table is first pruned to documents that appear in ANY
+    # candidate (broadcast semi-join on the small candidate-id set) —
+    # on boilerplate-heavy corpora this drops ~everything before the
+    # verify join.  Then attach a-side shingles by id_a and equi-join
+    # the b-side on BOTH (id_b, shingle), so only true matches
+    # materialize (never the per-pair shingle cross product).
+    cand_ids = (
+        cand.select(F.col("id_a").alias(id_col))
+        .unionByName(cand.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    exc = ex.join(F.broadcast(cand_ids), id_col, "left_semi")
+    ea = exc.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("sh_a"))
+    eb = exc.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("sh_b"))
     inter = (
         cand.join(ea, "id_a")
         .join(eb, [cand["id_b"] == eb["id_b"], F.col("sh_a") == F.col("sh_b")])
