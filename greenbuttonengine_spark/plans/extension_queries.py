@@ -478,14 +478,42 @@ def pack_sequences_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_clusters",
-    None,  # iterative fixpoint -> not single-statement-SQL-expressible
+    r"""
+    WITH RECURSIVE ex AS (
+        SELECT doc_id, unnest(list_distinct([substring(text, i, 8)
+                   for i in generate_series(1, greatest(length(text)-7, 1))])) AS sh
+        FROM documents
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY doc_id
+    ), inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+        FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), pairs AS (
+        SELECT id_a, id_b FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.8
+    ), edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION SELECT id_b, id_a FROM pairs
+    ), labels(node, label) AS (
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT e.src, l.label FROM edges e JOIN labels l ON l.node = e.dst
+    )
+    SELECT CAST(node AS BIGINT) AS node, CAST(MIN(label) AS BIGINT) AS cluster_id
+    FROM labels GROUP BY node
+    """,
     tags=("dedup", "iterative"),
     doc="Connected components over the exact near-dup pairs (iterative "
     "min-label propagation, Kiveris SoCC'14 style): the transitive-"
     "closure step a dedup cascade needs before choosing keepers — "
     "pairwise 'keep one of each' over-deletes. Rounds = component "
     "diameter; one shuffle join per round; driver loop is control "
-    "flow only. pytest cross-checks against a Python union-find.",
+    "flow only. Oracle: DuckDB WITH RECURSIVE transitive closure + "
+    "min-reachable-id per node; pytest additionally cross-checks a "
+    "Python union-find.",
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup.ngram_jaccard_pairs(load_table(spark, "documents", sf_dir), threshold=0.8)
