@@ -517,6 +517,7 @@ def dedup_cascade(
     k: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    method: str = "prefix",
 ) -> DataFrame:
     """End-to-end dedup pipeline: (doc_id, keep, reason).
 
@@ -524,9 +525,11 @@ def dedup_cascade(
 
       1. EXACT pass first (cheapest: one fingerprint shuffle) — only
          min-id survivors advance, shrinking the fuzzy pass's input;
-      2. NEAR-DUP pairs over the survivors via the prefix-filtered
-         exact Jaccard join (swap in minhash_lsh_pairs at corpus sizes
-         where exact is too dear — same downstream shape);
+      2. NEAR-DUP pairs over the survivors — ``method='prefix'``
+         (exact, positional-filtered set-similarity join) or
+         ``method='minhash'`` (banded LSH candidates with est-Jaccard
+         verify, the cheaper approximate path for web-scale corpora);
+         both produce the same downstream pair shape;
       3. CLUSTER resolution (connected components) so transitively-
          linked near-dups collapse to ONE representative;
       4. decisions: keep = exact-keeper AND cluster representative.
@@ -538,7 +541,14 @@ def dedup_cascade(
     keepers = exact.select(F.col("keeper_id").alias(id_col))
     survivors = docs.join(keepers, id_col, "left_semi")
 
-    pairs = ngram_jaccard_pairs_prefix(survivors, threshold, k, text_col, id_col)
+    if method == "prefix":
+        pairs = ngram_jaccard_pairs_prefix(survivors, threshold, k, text_col, id_col)
+    elif method == "minhash":
+        pairs = minhash_lsh_pairs(
+            survivors, threshold, text_col=text_col, id_col=id_col, k=k
+        ).select("id_a", "id_b")
+    else:
+        raise ValueError(f"unknown dedup_cascade method: {method!r}")
     clusters = duplicate_clusters(pairs)
 
     decided = (

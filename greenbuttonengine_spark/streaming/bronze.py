@@ -172,3 +172,48 @@ def compact_bronze(
     for d in old_dirs:
         shutil.rmtree(d, ignore_errors=True)
     return len(ids)
+
+
+class BronzeCursor:
+    """Durable consumer offset for incremental bronze reads.
+
+    ``read_new`` returns only epochs committed since the cursor's last
+    position and advances it AFTER the caller's processing function
+    succeeds — at-least-once consumption with a one-line API:
+
+        cur = BronzeCursor(path)
+        df = cur.read_new(spark, bronze_dir, schema)
+        ... process df ...
+        cur.advance(bronze_dir)
+
+    The position is a single integer in a file, published by atomic
+    rename (same discipline as the commit markers).  Keep compaction
+    below every consumer's position (``compact_bronze(up_to_epoch=
+    min_of_cursors)``).
+    """
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def position(self) -> int:
+        try:
+            return int(open(self.path).read().strip())
+        except (OSError, ValueError):
+            return -1
+
+    def read_new(self, spark: SparkSession, bronze_dir: str, schema) -> DataFrame:
+        return read_bronze(spark, bronze_dir, schema, since_epoch=self.position())
+
+    def advance(self, bronze_dir: str) -> int:
+        """Move to the newest committed epoch; returns the new position."""
+        epochs = committed_epochs(bronze_dir)
+        if not epochs or epochs[-1] <= self.position():
+            return self.position()
+        new = epochs[-1]
+        d = os.path.dirname(os.path.abspath(self.path))
+        os.makedirs(d, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=d, prefix=".cursor.")
+        with os.fdopen(fd, "w") as fh:
+            fh.write(str(new))
+        os.rename(tmp, self.path)
+        return new
