@@ -601,3 +601,86 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     media = multimodal.attach_fake_video_meta(docs)
     return multimodal.sample_frames(media, every_n_seconds=10.0)
+
+
+@register(
+    "text_bigram_topk",
+    r"""
+    WITH w AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+        FROM documents
+    ), bg AS (
+        SELECT unnest([ws[i] || ' ' || ws[i+1]
+                       for i in generate_series(1, len(ws) - 1)]) AS bigram
+        FROM w
+    )
+    SELECT bigram, COUNT(*) AS n
+    FROM bg GROUP BY bigram
+    ORDER BY n DESC, bigram
+    LIMIT 50
+    """,
+    tags=("textstats",),
+    doc="Corpus vocabulary analysis: top-50 bigrams by frequency "
+    "(training-mix token audits / contamination screens). Map-side "
+    "partial counts collapse the exploded bigrams before the shuffle; "
+    "top-k is TakeOrderedAndProject (per-partition heaps). Full-order "
+    "tiebreak on the bigram string for cross-engine determinism.",
+)
+def text_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    ws = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(ws) - 1),
+        lambda i: F.concat(
+            F.element_at(ws, i), F.lit(" "), F.element_at(ws, i + F.lit(1))
+        ),
+    )
+    return (
+        docs.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "bigram")
+        .limit(50)
+    )
+
+
+@register(
+    "dedup_keeper_decisions",
+    r"""
+    WITH RECURSIVE ex AS (
+        SELECT doc_id, unnest(list_distinct([substring(text, i, 8)
+                   for i in generate_series(1, greatest(length(text)-7, 1))])) AS sh
+        FROM documents
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY doc_id
+    ), inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+        FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), pairs AS (
+        SELECT id_a, id_b FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.8
+    ), edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION SELECT id_b, id_a FROM pairs
+    ), labels(node, label) AS (
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT e.src, l.label FROM edges e JOIN labels l ON l.node = e.dst
+    )
+    SELECT CAST(node AS BIGINT) AS node,
+           CAST(MIN(label) AS BIGINT) AS cluster_id,
+           CAST(node = MIN(label) AS BOOLEAN) AS keep
+    FROM labels GROUP BY node
+    """,
+    tags=("dedup", "iterative"),
+    doc="Keeper decisions over near-dup clusters: one representative "
+    "(min id) per connected component, the rest marked for drop — "
+    "the terminal output of the dedup pipeline. Same recursive-CTE "
+    "oracle as dedup_clusters plus the keep flag.",
+)
+def dedup_keeper_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup.ngram_jaccard_pairs(load_table(spark, "documents", sf_dir), threshold=0.8)
+    return dedup.dedup_keepers(pairs)
