@@ -572,3 +572,50 @@ def dedup_cascade(
         .otherwise(F.lit("kept"))
     )
     return decided.select(F.col(id_col), keep.alias("keep"), reason.alias("reason"))
+
+
+def contamination_flags(
+    docs: DataFrame,
+    benchmark_filter,
+    k: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark-contamination scan: for every non-benchmark document,
+    count distinct character ``k``-shingles it shares with ANY document
+    of the benchmark set (rows matching ``benchmark_filter``), the
+    standard n-gram-overlap decontamination check run before training.
+
+    Output: (doc_id, n_shingles, n_shared, shared_frac, contaminated)
+    with shared_frac an integer-ratio double (bit-deterministic) and
+    contaminated = n_shared > 0.
+
+    Scale shape: the benchmark side is tiny by construction — its
+    DISTINCT shingle set broadcasts; the corpus side is an exploded
+    scan-stage projection, so the check is one broadcast semi-join plus
+    a (doc)-keyed count.  No all-pairs, no shuffle on the shingle key.
+    """
+    bench_sh = (
+        docs.filter(benchmark_filter)
+        .select(F.explode(_shingles(text_col, k)).alias("__sh"))
+        .distinct()
+    )
+    corpus = docs.filter(~benchmark_filter)
+    ex = corpus.select(F.col(id_col), F.explode(_shingles(text_col, k)).alias("__sh"))
+    sizes = ex.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
+    shared = (
+        ex.join(F.broadcast(bench_sh), "__sh")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_shared"))
+    )
+    out = sizes.join(shared, id_col, "left").select(
+        F.col(id_col),
+        F.col("n_shingles").cast("long").alias("n_shingles"),
+        F.coalesce(F.col("n_shared"), F.lit(0)).cast("long").alias("n_shared"),
+        (
+            F.coalesce(F.col("n_shared"), F.lit(0)).cast("double")
+            / F.col("n_shingles").cast("double")
+        ).alias("shared_frac"),
+        (F.coalesce(F.col("n_shared"), F.lit(0)) > 0).cast("int").alias("contaminated"),
+    )
+    return out

@@ -61,3 +61,38 @@ def sample_stratified(
         rate * F.lit(float(buckets))
     ).cast("long")
     return df.filter(keep)
+
+
+def sample_temperature(
+    df: DataFrame,
+    stratum_col: str,
+    key_col: str,
+    coefficient: float = 2.0,
+    buckets: int = _BUCKETS,
+) -> DataFrame:
+    """Temperature-flattened sampling (the multilingual-training mix
+    rule): each stratum keeps rate_s = min(1, c / sqrt(n_s)), so a
+    stratum 4x the size contributes only 2x the rows — small languages
+    are up-weighted relative to proportional sampling, exactly the
+    alpha = 0.5 temperature mix.  ``c`` is the caller's budget knob (at
+    scale you tune it to hit a token target).
+
+    The rate formula deliberately avoids any cross-stratum reduction
+    over doubles: sqrt is IEEE-correctly-rounded and the division is a
+    single exact operation, so rates — and therefore membership — are
+    bit-identical across engines and partition layouts.  The bucket
+    cutoff uses floor() (Spark's long cast truncates, DuckDB's rounds;
+    floor agrees everywhere).
+
+    Scale shape: one tiny stratum-count aggregate broadcast back onto
+    the scan-stage filter; no shuffle of the kept rows, no RNG state.
+    """
+    counts = df.groupBy(stratum_col).agg(F.count("*").alias("__n"))
+    rate = F.least(
+        F.lit(1.0), F.lit(float(coefficient)) / F.sqrt(F.col("__n").cast("double"))
+    )
+    rated = counts.select(F.col(stratum_col), rate.alias("__rate"))
+    keep = hash_bucket(F.col(key_col), buckets) < F.floor(
+        F.col("__rate") * F.lit(float(buckets))
+    ).cast("long")
+    return df.join(F.broadcast(rated), stratum_col).filter(keep).drop("__rate")

@@ -133,6 +133,87 @@ def repetition_stats(
     return top.join(bi, id_col)
 
 
+def chunk_documents(
+    docs: DataFrame,
+    size: int = 200,
+    stride: int = 150,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into overlapping fixed-size character chunks
+    (size=200, stride=150 -> 50-char overlap) — the standard prep for
+    context-window-bounded embedding / retrieval corpora.
+
+    Chunk starts are 1, 1+stride, 1+2*stride, ... while the start lies
+    inside the document, i.e. chunk_id in [0, floor((len-1)/stride)].
+    Pure scan-stage expressions: ``sequence`` + ``posexplode`` +
+    ``substring`` — no shuffle, no UDF; output is (doc, chunk) scalar
+    rows with provenance for joining features back later.
+    """
+    n = F.length(F.col(text_col))
+    idx = F.sequence(F.lit(0), F.floor((n - F.lit(1)) / F.lit(stride)).cast("int"))
+    out = docs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                idx,
+                lambda i: F.substring(
+                    F.col(text_col), i * F.lit(stride) + F.lit(1), size
+                ),
+            )
+        ).alias("chunk_id", "chunk_text"),
+    )
+    return out.select(
+        F.col(id_col),
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.col("chunk_text"),
+        F.length("chunk_text").cast("long").alias("chunk_len"),
+    )
+
+
+# PII patterns: ASCII-only, no backreferences/lookaround, so Java regex
+# (Spark) and RE2 (DuckDB) agree on every match boundary.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\b[0-9]{3}[- .][0-9]{3}[- .][0-9]{4}\b",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+    "ssn": r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b",
+}
+
+
+def pii_scan(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document PII signal counts + a redacted text column.
+
+    Counts are non-overlapping regex match counts per pattern family;
+    ``redacted`` replaces every match with a typed placeholder (applied
+    in a fixed pattern order so the output string is deterministic).
+    All native ``regexp_extract_all`` / ``regexp_replace`` — scan-stage,
+    no shuffle; at 100 TB this is the shape of a compliance sweep that
+    must touch every byte exactly once.
+    """
+    text = F.col(text_col)
+    counts = {
+        f"n_{name}": F.size(
+            F.regexp_extract_all(text, F.lit(pat), F.lit(0))
+        ).cast("long")
+        for name, pat in PII_PATTERNS.items()
+    }
+    redacted = text
+    for name, pat in PII_PATTERNS.items():
+        redacted = F.regexp_replace(redacted, pat, f"<{name.upper()}>")
+    any_pii = None
+    for c in counts.values():
+        any_pii = c if any_pii is None else (any_pii + c)
+    return docs.select(
+        F.col(id_col),
+        *[c.alias(n) for n, c in counts.items()],
+        (any_pii > 0).cast("int").alias("has_pii"),
+        redacted.alias("redacted"),
+    )
+
+
 def analyze(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     text = F.col(text_col)
     cols = {
