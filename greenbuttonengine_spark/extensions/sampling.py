@@ -86,13 +86,21 @@ def sample_temperature(
 
     Scale shape: one tiny stratum-count aggregate broadcast back onto
     the scan-stage filter; no shuffle of the kept rows, no RNG state.
+    NULL strata are a stratum like any other (null-safe join), matching
+    ``sample_stratified``'s keep-NULL behavior.
     """
     counts = df.groupBy(stratum_col).agg(F.count("*").alias("__n"))
     rate = F.least(
         F.lit(1.0), F.lit(float(coefficient)) / F.sqrt(F.col("__n").cast("double"))
     )
-    rated = counts.select(F.col(stratum_col), rate.alias("__rate"))
+    rated = counts.select(F.col(stratum_col).alias("__stratum"), rate.alias("__rate"))
     keep = hash_bucket(F.col(key_col), buckets) < F.floor(
         F.col("__rate") * F.lit(float(buckets))
     ).cast("long")
-    return df.join(F.broadcast(rated), stratum_col).filter(keep).drop("__rate")
+    return (
+        df.join(
+            F.broadcast(rated), df[stratum_col].eqNullSafe(F.col("__stratum"))
+        )
+        .filter(keep)
+        .drop("__rate", "__stratum")
+    )

@@ -75,8 +75,13 @@ def tfidf_top_terms(
 
     The IDF here is the raw inverse ratio N/df (no logarithm) so the
     weight is a product/quotient of exact integers — bit-identical
-    across engines, which a ``ln``-based idf cannot guarantee.  Ranking
-    is unaffected for single-corpus top-k (x -> ln keeps order).
+    across engines, which a ``ln``-based idf cannot guarantee.  Note
+    the ranking CAN differ from standard ln-based TF-IDF: the score is
+    tf*idf and ln applied to the idf factor alone is not a monotone
+    transform of the product (tf=1, N/df=100 scores 100 > tf=10,
+    N/df=5 scores 50, but with ln-idf 4.6 < 16.1).  Determinism is the
+    deliberate trade; callers wanting classic weights can ln-transform
+    the returned idf components themselves.
 
     Plan: tf pass (shuffle on (doc, term)) -> df pass (shuffle on term)
     -> tf x df join on term -> per-doc window top-k.  The window is

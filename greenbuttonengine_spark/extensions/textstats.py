@@ -146,12 +146,15 @@ def chunk_documents(
 
     Chunk starts are 1, 1+stride, 1+2*stride, ... while the start lies
     inside the document, i.e. chunk_id in [0, floor((len-1)/stride)].
+    Empty documents produce zero chunks (without the length filter,
+    ``sequence(0, -1)`` would descend and emit two spurious rows).
     Pure scan-stage expressions: ``sequence`` + ``posexplode`` +
     ``substring`` — no shuffle, no UDF; output is (doc, chunk) scalar
     rows with provenance for joining features back later.
     """
     n = F.length(F.col(text_col))
     idx = F.sequence(F.lit(0), F.floor((n - F.lit(1)) / F.lit(stride)).cast("int"))
+    docs = docs.filter(n > 0)
     out = docs.select(
         F.col(id_col),
         F.posexplode(

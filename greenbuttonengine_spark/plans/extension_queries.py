@@ -684,3 +684,68 @@ def text_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_keeper_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup.ngram_jaccard_pairs(load_table(spark, "documents", sf_dir), threshold=0.8)
     return dedup.dedup_keepers(pairs)
+
+
+# ---------------------------------------------------------------------------
+# Chunking + PII scan (context-window prep and compliance sweep)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_chunk_docs",
+    r"""
+    WITH nz AS (SELECT doc_id, text FROM documents WHERE length(text) > 0),
+    idx AS (
+        SELECT doc_id, text,
+               unnest(generate_series(0,
+                   CAST(floor((length(text)-1)/150) AS BIGINT))) AS chunk_id
+        FROM nz
+    )
+    SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+           substring(text, CAST(chunk_id*150 + 1 AS INT), 200) AS chunk_text,
+           CAST(length(substring(text, CAST(chunk_id*150 + 1 AS INT), 200))
+                AS BIGINT) AS chunk_len
+    FROM idx
+    """,
+    tags=("textstats", "chunking"),
+    doc="Overlapping fixed-size character chunks (size=200, stride=150) "
+    "for context-window-bounded embedding corpora; sequence + posexplode "
+    "+ substring, scan-stage only. Empty docs yield zero chunks.",
+)
+def text_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.chunk_documents(load_table(spark, "documents", sf_dir))
+
+
+def _pii_oracle_sql() -> str:
+    from ..extensions.textstats import PII_PATTERNS
+
+    counts = ",\n           ".join(
+        f"CAST(length(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_{name}"
+        for name, pat in PII_PATTERNS.items()
+    )
+    redacted = "text"
+    for name, pat in PII_PATTERNS.items():
+        redacted = f"regexp_replace({redacted}, '{pat}', '<{name.upper()}>', 'g')"
+    total = " + ".join(
+        f"length(regexp_extract_all(text, '{pat}'))" for pat in PII_PATTERNS.values()
+    )
+    return f"""
+    SELECT doc_id,
+           {counts},
+           CAST(({total}) > 0 AS INT) AS has_pii,
+           {redacted} AS redacted
+    FROM documents
+    """
+
+
+@register(
+    "text_pii_scan",
+    _pii_oracle_sql(),
+    tags=("textstats", "compliance"),
+    doc="PII signal counts + typed-placeholder redaction per document "
+    "(email/phone/ipv4/ssn; ASCII-only RE2/Java-agreeing patterns). "
+    "Native regexp_extract_all/regexp_replace, scan-stage, no shuffle — "
+    "the shape of a 100 TB compliance sweep.",
+)
+def text_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.pii_scan(load_table(spark, "documents", sf_dir))

@@ -86,6 +86,11 @@ _BM25_TERMS = ("hash", "join", "vector")
 
 
 def _bm25_sql(terms: tuple[str, ...]) -> str:
+    for t in terms:
+        if not t.isascii() or not t.isalpha() or t != t.lower():
+            raise ValueError(
+                f"BM25 oracle terms must match the [a-z]+ token alphabet: {t!r}"
+            )
     tf_cols = ",\n               ".join(
         f"SUM(CASE WHEN term = '{t}' THEN tf END) AS tf_{i}"
         for i, t in enumerate(terms)

@@ -43,6 +43,11 @@ def _ensure_nanos_readable(spark: SparkSession) -> None:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         # timestamps are data, not wall clock; DuckDB oracle is UTC-naive
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+        # micros-precision parquet timestamps must read as TIMESTAMP_LTZ
+        # (UTC session), not TIMESTAMP_NTZ: NTZ forbids cast-to-long, which
+        # the epoch-arithmetic queries (sessionization, as-of, range join)
+        # rely on, and LTZ@UTC renders identically to DuckDB's naive micros.
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     except Exception:  # pragma: no cover - static-conf sessions
         pass
 

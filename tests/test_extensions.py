@@ -335,3 +335,52 @@ def test_multimodal_resize_plumbing(spark, docs):
     again = {r.doc_id: bytes(r.media)
              for r in multimodal.resize_images(media, width=4, height=3).collect()}
     assert {r.doc_id: bytes(r.media) for r in resized} == again
+
+
+def test_chunk_documents_empty_and_boundaries(spark):
+    """Empty docs emit zero chunks (the sequence(0,-1) descent bug);
+    boundary lengths emit exactly floor((len-1)/stride)+1 chunks and
+    every chunk is a verbatim substring."""
+    from greenbuttonengine_spark.extensions.textstats import chunk_documents
+
+    rows = [(0, ""), (1, "x" * 150), (2, "y" * 151), (3, "z" * 200), (4, "w" * 351)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_documents(docs, size=200, stride=150).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert 0 not in by_doc, "empty doc produced chunks"
+    assert len(by_doc[1]) == 1 and by_doc[1][0].chunk_len == 150
+    assert len(by_doc[2]) == 2 and by_doc[2][1].chunk_len == 1
+    assert len(by_doc[3]) == 2 and by_doc[3][1].chunk_len == 50
+    assert len(by_doc[4]) == 3
+    for r in out:
+        text = dict(rows)[r.doc_id]
+        assert r.chunk_text == text[r.chunk_id * 150 : r.chunk_id * 150 + 200]
+
+
+def test_temperature_sample_null_stratum_and_flattening(spark):
+    """NULL-stratum rows are sampled as their own stratum (not dropped),
+    and a 4x-larger stratum contributes ~2x rows (alpha=0.5 mix)."""
+    from greenbuttonengine_spark.extensions.sampling import sample_temperature
+
+    rows = [(i, "big") for i in range(4000)]
+    rows += [(10_000 + i, "small") for i in range(1000)]
+    rows += [(20_000 + i, None) for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    kept = sample_temperature(df, "lang", "doc_id", coefficient=10.0)
+    got = {r.lang: r.n for r in kept.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert got.get(None, 0) > 0, "NULL-stratum rows were dropped"
+    # rate_big = 10/sqrt(4000), rate_small = 10/sqrt(1000): expect ~632 vs ~316
+    assert abs(got["big"] - 632) < 130, got
+    assert abs(got["small"] - 316) < 90, got
+    assert abs(got[None] - 316) < 90, got
+    # membership must be partition-invariant
+    ids1 = {r.doc_id for r in kept.select("doc_id").collect()}
+    ids2 = {
+        r.doc_id
+        for r in sample_temperature(
+            df.repartition(7), "lang", "doc_id", coefficient=10.0
+        ).select("doc_id").collect()
+    }
+    assert ids1 == ids2
