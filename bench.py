@@ -53,6 +53,12 @@ def main() -> None:
     from greenbuttonengine_spark.session import get_spark
 
     spark = get_spark(app_name="gbe-bench")
+    # Only the JSON line belongs on the bench transcript.  At default
+    # levels two benign log events dump ~200-line Java stack traces:
+    # FileStreamSink probing the multi-file glob path (FileNotFound
+    # WARN), and late accumulator updates from tasks that finish after
+    # clearCache() (DAGScheduler ERROR) — neither affects results.
+    spark.sparkContext.setLogLevel("OFF")
 
     qs = entrymod.queries()
     names = [n for n in HEADLINE if n in qs]

@@ -1,0 +1,100 @@
+"""Train/eval decontamination: flag training documents that share
+word n-grams with a held-out evaluation set.
+
+The canonical pretraining hygiene step (reference analog: the engine's
+dedup surface, generalized to cross-corpus overlap): any training
+document that contains a long-enough n-gram from an eval benchmark is
+suspect — keeping it inflates eval scores.  The industry-standard rule
+is "drop a training doc if it shares any N-gram (N≈8..13 words) with
+the eval set"; smaller corpora use smaller N.
+
+Scale shape (the part that must survive 100 TB):
+
+* The eval side is SMALL by construction (benchmarks are a few MB) —
+  its distinct n-gram set is built once and **broadcast**, so the
+  train side never shuffles: tokenize -> n-gram -> explode is
+  scan-stage, the join is a broadcast hash join, and the per-doc
+  overlap count is a partial-aggregated groupBy on doc_id (the same
+  key the explode preserved, so AQE coalesces it cheaply).
+* n-grams join on their **xxhash64**, not the string — 8 bytes per
+  key in the broadcast table instead of the raw n-gram text.  (The
+  oracle joins on the string; the hash is injective enough at eval-set
+  sizes that both give identical results — collisions would only
+  ever ADD a flagged doc, and a 64-bit collision inside a few-MB eval
+  set has probability ~1e-10.)
+* Everything is native Catalyst (split/transform/explode/join/agg):
+  no Python, no UDF, whole-stage codegen end to end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def word_ngrams(text: Column, n: int) -> Column:
+    """Distinct word n-grams of ``text`` as an array<string>.
+
+    Tokenization is whitespace-split (matching the corpus' generator
+    and the DuckDB oracle's string_split); the n-gram is the
+    space-joined window so it round-trips to exactly the source slice.
+    """
+    words = F.split(F.trim(text), r"\s+")
+    # slice(words, i, n) for i in 1..len-n+1, joined with single spaces.
+    # sequence(1, k) DESCENDS for k < 1, so short docs must short-circuit
+    # to an empty array rather than rely on the sequence bounds.
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - F.lit(n - 1)),
+            lambda i: F.array_join(F.slice(words, i, n), " "),
+        )
+    )
+    empty = F.array().cast("array<string>")
+    return F.when(F.size(words) >= n, grams).otherwise(empty)
+
+
+def flag_contamination(
+    train: DataFrame,
+    eval_df: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-training-doc contamination report against ``eval_df``.
+
+    Returns one row per train doc that shares >=1 word n-gram with the
+    eval set: (id_col, n_shared_ngrams, n_ngrams, share) where
+    ``share`` = fraction of the doc's distinct n-grams found in the
+    eval set.  Docs with zero overlap are absent (anti-join them back
+    for the clean list); callers drop or down-weight by ``share``.
+    """
+    eval_grams = (
+        eval_df.select(F.explode(word_ngrams(F.col(text_col), n)).alias("__g"))
+        .select(F.xxhash64("__g").alias("__gh"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    # One explode per train doc; the per-doc gram count is recovered from
+    # the exploded stream itself (grams are already distinct per doc), NOT
+    # via a second size(word_ngrams(...)) projection — CollapseProject
+    # would inline that array expression into the post-explode plan and
+    # recompute the whole array once per exploded row (O(grams^2) per
+    # doc; measured 16s vs 0.7s on 500 docs).
+    train_grams = train.select(
+        F.col(id_col), F.explode(word_ngrams(F.col(text_col), n)).alias("__g")
+    ).select(F.col(id_col), F.xxhash64("__g").alias("__gh"))
+    hits = train_grams.join(F.broadcast(eval_grams), "__gh", "left")
+    return (
+        hits.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_ngrams"),
+            F.count("__hit").alias("n_shared_ngrams"),
+        )
+        .filter(F.col("n_shared_ngrams") > 0)
+        .select(
+            F.col(id_col),
+            F.col("n_shared_ngrams").cast("bigint"),
+            F.col("n_ngrams").cast("bigint"),
+            (F.col("n_shared_ngrams") / F.col("n_ngrams")).alias("share"),
+        )
+    )

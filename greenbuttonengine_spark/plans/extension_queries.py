@@ -749,3 +749,144 @@ def _pii_oracle_sql() -> str:
 )
 def text_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.pii_scan(load_table(spark, "documents", sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Corpus audits + decontamination + temperature sampling
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_length_histogram",
+    """
+    WITH g AS (
+        SELECT CASE WHEN n_chars <= 0 THEN -1
+                    ELSE CAST(length(bin(n_chars)) - 1 AS BIGINT) END AS len_bucket,
+               n_chars
+        FROM documents
+    ), a AS (
+        SELECT len_bucket, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+               MIN(n_chars) AS min_len, MAX(n_chars) AS max_len
+        FROM g GROUP BY len_bucket
+    )
+    SELECT len_bucket, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(total_chars AS BIGINT) AS total_chars,
+           CAST(min_len AS BIGINT) AS min_len,
+           CAST(max_len AS BIGINT) AS max_len,
+           CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER () AS share
+    FROM a
+    """,
+    tags=("audit", "tiny-global-window"),
+    doc="Power-of-two document-length histogram (tokenizer budgeting / "
+    "truncation-policy audit). One hash-agg shuffle to O(buckets) rows; "
+    "the share denominator is a window over the AGGREGATE, so the corpus "
+    "is scanned once. Bucket = bit-length - 1 (integer-exact floor(log2) "
+    "on both engines; fp log2 is not cross-engine-stable at powers of 2).",
+)
+def corpus_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.audit import length_histogram
+
+    return length_histogram(load_table(spark, "documents", sf_dir))
+
+
+@register(
+    "corpus_source_report",
+    r"""
+    WITH g AS (
+        SELECT source, COUNT(*) AS n_docs,
+               COUNT(DISTINCT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))))
+                   AS n_distinct,
+               SUM(n_chars) AS total_chars,
+               MIN(n_chars) AS min_len, MAX(n_chars) AS max_len
+        FROM documents GROUP BY source
+    )
+    SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_distinct AS BIGINT) AS n_distinct,
+           1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_docs AS DOUBLE) AS dup_rate,
+           CAST(total_chars AS BIGINT) AS total_chars,
+           CAST(min_len AS BIGINT) AS min_len,
+           CAST(max_len AS BIGINT) AS max_len
+    FROM g
+    """,
+    tags=("audit",),
+    doc="Per-source corpus health report: volume, exact-duplicate rate "
+    "(same md5 normalization fingerprint as dedup_exact, so the report "
+    "and the dedup stage agree), length extent. COUNT(DISTINCT md5) is "
+    "a two-stage partial-distinct aggregate — one shuffle keyed on "
+    "source; this is the table per-source sampling weights read off.",
+)
+def corpus_source_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.audit import source_report
+
+    return source_report(load_table(spark, "documents", sf_dir))
+
+
+@register(
+    "decontam_ngram_overlap",
+    r"""
+    WITH ev AS (
+        SELECT DISTINCT unnest(list_distinct(
+                   [array_to_string(words[i:i+2], ' ')
+                    for i in generate_series(1, len(words) - 2)])) AS g
+        FROM (SELECT string_split_regex(trim(text), '\s+') AS words
+              FROM documents WHERE doc_id % 97 = 0)
+    ), tr AS (
+        SELECT doc_id, list_distinct(
+                   [array_to_string(words[i:i+2], ' ')
+                    for i in generate_series(1, len(words) - 2)]) AS grams
+        FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
+              FROM documents WHERE doc_id % 97 <> 0)
+    ), x AS (
+        SELECT doc_id, len(grams) AS n_ngrams, unnest(grams) AS g FROM tr
+    )
+    SELECT x.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_ngrams,
+           CAST(n_ngrams AS BIGINT) AS n_ngrams,
+           CAST(COUNT(*) AS DOUBLE) / CAST(n_ngrams AS DOUBLE) AS share
+    FROM x JOIN ev USING (g)
+    GROUP BY x.doc_id, n_ngrams
+    """,
+    tags=("decontam",),
+    doc="Train/eval decontamination: flag training docs sharing word "
+    "3-grams with a held-out eval slice (doc_id % 97 == 0). Eval n-gram "
+    "set is distinct-ed once and BROADCAST as 8-byte xxhash64 keys; the "
+    "train side is scan-stage tokenize/explode + broadcast hash join + "
+    "partial-agg count per doc — zero train-side shuffle before the "
+    "per-doc aggregate. The canonical pretraining hygiene sweep.",
+)
+def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.decontam import flag_contamination
+
+    docs = load_table(spark, "documents", sf_dir)
+    eval_df = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    return flag_contamination(train, eval_df, n=3)
+
+
+@register(
+    "sample_temperature_lang",
+    """
+    WITH c AS (
+        SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+    ), r AS (
+        SELECT lang, least(1.0, 8.0 / sqrt(CAST(n AS DOUBLE))) AS rate FROM c
+    )
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d JOIN r ON d.lang IS NOT DISTINCT FROM r.lang
+    WHERE ((d.doc_id % 2147483648) * 1103515245 + 12345) // 65536 % 10000
+          < CAST(floor(rate * 10000) AS BIGINT)
+    """,
+    tags=("sampling",),
+    doc="Temperature-flattened sampling (alpha=0.5 multilingual mix): "
+    "stratum keep-rate min(1, c/sqrt(n)) — a 4x-larger language gives "
+    "only 2x the rows. Stratum counts are a tiny aggregate broadcast "
+    "back onto a scan-stage LCG-bucket filter (null-safe join keeps "
+    "NULL strata); membership is a pure key function, reproducible "
+    "across engines, retries, and partition layouts.",
+)
+def sample_temperature_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.sampling import sample_temperature
+
+    docs = load_table(spark, "documents", sf_dir)
+    return sample_temperature(docs, "lang", "doc_id", coefficient=8.0).select(
+        "doc_id", "lang", "source"
+    )

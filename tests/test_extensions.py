@@ -384,3 +384,70 @@ def test_temperature_sample_null_stratum_and_flattening(spark):
         ).select("doc_id").collect()
     }
     assert ids1 == ids2
+
+
+def test_word_ngrams_and_contamination(spark):
+    """n-gram edges: short docs (< n words) give zero grams; a doc's
+    share reflects exactly its distinct-gram overlap with the eval set;
+    clean docs are absent from the report."""
+    from greenbuttonengine_spark.extensions.decontam import (
+        flag_contamination,
+        word_ngrams,
+    )
+
+    rows = [
+        (0, "the quick brown fox jumps"),          # eval doc
+        (1, "quick brown fox runs away"),          # shares 'quick brown fox'
+        (2, "totally clean document here ok"),     # no overlap
+        (3, "the quick brown fox jumps"),          # verbatim eval copy
+        (4, "two words"),                          # < n words: no grams
+        (5, ""),                                   # empty
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    grams = {
+        r.doc_id: r.g
+        for r in df.select(
+            "doc_id", word_ngrams(F.col("text"), 3).alias("g")
+        ).collect()
+    }
+    assert grams[0] == ["the quick brown", "quick brown fox", "brown fox jumps"]
+    assert grams[4] == [] and grams[5] == []
+
+    out = {
+        r.doc_id: r
+        for r in flag_contamination(
+            df.filter("doc_id > 0"), df.filter("doc_id = 0"), n=3
+        ).collect()
+    }
+    assert set(out) == {1, 3}
+    assert out[1].n_shared_ngrams == 1 and out[1].n_ngrams == 3
+    assert out[3].n_shared_ngrams == 3 and out[3].n_ngrams == 3
+    assert out[3].share == 1.0
+
+
+def test_length_histogram_buckets_and_shares(spark):
+    from greenbuttonengine_spark.extensions.audit import length_histogram
+
+    rows = [(0, 0), (1, 1), (2, 7), (3, 8), (4, 1023), (5, 1024)]
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    out = {r.len_bucket: r for r in length_histogram(df).collect()}
+    # exact power-of-two boundaries must not straddle buckets
+    assert set(out) == {-1, 0, 2, 3, 9, 10}
+    assert out[3].min_len == 8 and out[9].max_len == 1023 and out[10].min_len == 1024
+    assert abs(sum(r.share for r in out.values()) - 1.0) < 1e-12
+
+
+def test_source_report_dup_rate(spark):
+    from greenbuttonengine_spark.extensions.audit import source_report
+
+    rows = [
+        (0, "aaa  bbb", "s1", 8),   # fingerprint-equal to doc 1
+        (1, "AAA BBB", "s1", 7),    # (whitespace collapse + lowercase)
+        (2, "ccc", "s1", 3),
+        (3, "ddd", "s2", 3),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string, n_chars long")
+    out = {r.source: r for r in source_report(df).collect()}
+    assert out["s1"].n_docs == 3 and out["s1"].n_distinct == 2
+    assert abs(out["s1"].dup_rate - (1 - 2 / 3)) < 1e-12
+    assert out["s2"].dup_rate == 0.0
