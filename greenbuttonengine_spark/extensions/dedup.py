@@ -619,3 +619,53 @@ def contamination_flags(
         (F.coalesce(F.col("n_shared"), F.lit(0)) > 0).cast("int").alias("contaminated"),
     )
     return out
+
+
+def incremental_dedup(
+    new_batch: DataFrame,
+    corpus_fingerprints: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    normalize: bool = True,
+) -> DataFrame:
+    """Admission decision for a NEW batch against an already-deduped
+    corpus — the pass a production pipeline runs per crawl drop, where
+    re-fingerprinting 100 TB of accepted corpus per batch is not an
+    option.
+
+    ``corpus_fingerprints`` is the running fingerprint store (one
+    ``fingerprint`` column, e.g. ``exact_duplicates(...)`` output or a
+    bronze table the pipeline appends accepted fingerprints to).
+
+    Returns one row per new doc: (id, fingerprint, verdict) with
+    verdict in {'accept', 'dup_of_corpus', 'dup_in_batch'} — batch-
+    internal copies keep the min-id representative (which can still be
+    rejected as dup_of_corpus; its siblings stay dup_in_batch).
+
+    Scale shape: fingerprint the NEW batch only (scan-stage md5), one
+    window per fingerprint for batch-internal min-id (shuffles just the
+    batch), and a LEFT join against the store on the fingerprint — at
+    scale the store side is bucketed/partitioned by fingerprint so the
+    join co-locates with no store shuffle; the small batch side streams
+    through it.
+    """
+    from pyspark.sql.window import Window
+
+    text = F.col(text_col)
+    if normalize:
+        text = F.lower(F.regexp_replace(F.trim(text), r"\s+", " "))
+    fp = new_batch.select(F.col(id_col), F.md5(text).alias("fingerprint"))
+    first_in_batch = F.min(id_col).over(Window.partitionBy("fingerprint"))
+    fp = fp.withColumn("__first", first_in_batch == F.col(id_col))
+    store = corpus_fingerprints.select(
+        F.col("fingerprint"), F.lit(True).alias("__known")
+    ).distinct()
+    verdict = (
+        F.when(~F.col("__first"), F.lit("dup_in_batch"))
+        .when(F.col("__known").isNotNull(), F.lit("dup_of_corpus"))
+        .otherwise(F.lit("accept"))
+    )
+    return (
+        fp.join(store, "fingerprint", "left")
+        .select(F.col(id_col), "fingerprint", verdict.alias("verdict"))
+    )

@@ -890,3 +890,42 @@ def sample_temperature_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_temperature(docs, "lang", "doc_id", coefficient=8.0).select(
         "doc_id", "lang", "source"
     )
+
+
+@register(
+    "dedup_incremental",
+    r"""
+    WITH fp AS (
+        SELECT doc_id,
+               md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint
+        FROM documents WHERE doc_id % 5 = 4
+    ), store AS (
+        SELECT DISTINCT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+                   AS fingerprint
+        FROM documents WHERE doc_id % 5 <> 4
+    ), firsts AS (
+        SELECT doc_id, fingerprint,
+               MIN(doc_id) OVER (PARTITION BY fingerprint) = doc_id AS is_first
+        FROM fp
+    )
+    SELECT doc_id, fingerprint,
+           CASE WHEN NOT is_first THEN 'dup_in_batch'
+                WHEN fingerprint IN (SELECT fingerprint FROM store)
+                    THEN 'dup_of_corpus'
+                ELSE 'accept' END AS verdict
+    FROM firsts
+    """,
+    tags=("dedup", "incremental"),
+    doc="Incremental admission dedup: fingerprint only the NEW batch "
+    "(docs with doc_id%5==4 here), window min-id for batch-internal "
+    "copies, LEFT join against the accepted-corpus fingerprint store "
+    "(rest of documents) for cross-batch copies. The per-crawl-drop "
+    "pass at 100 TB: the store is never re-fingerprinted, and bucketed "
+    "by fingerprint the join needs no store-side shuffle.",
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    batch = docs.filter(F.col("doc_id") % 5 == 4)
+    corpus = docs.filter(F.col("doc_id") % 5 != 4)
+    store = dedup.exact_duplicates(corpus).select("fingerprint")
+    return dedup.incremental_dedup(batch, store)

@@ -1,0 +1,81 @@
+"""JSONL corpus source/sink: the lingua franca of LLM training-data
+interchange (one JSON document per line).
+
+Mirrors the ESPI ingest's error posture (reference:
+lib/personalgreenbutton/src/lib.rs per-file tolerance) at line
+granularity: a corrupt line never fails the job — it is routed to an
+errors DataFrame with the raw line preserved, and the good rows flow
+on.  At 100 TB this is non-negotiable: a crawl drop WILL contain
+truncated/garbled lines, and a pipeline that dies on line 40 billion
+is not a pipeline.
+
+Scale shape:
+
+* JSONL is line-splittable — Spark assigns file ranges to tasks with
+  no coordination, so read parallelism is free (unlike multi-line
+  JSON, which must be parsed whole-file).
+* The schema is REQUIRED, never inferred: schema inference is a full
+  extra pass over the data before the real one.
+* PERMISSIVE mode + ``columnNameOfCorruptRecord`` keeps parsing in
+  the JVM's Jackson path (whole-stage codegen downstream) — no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# documents-table schema (TESTDATA.md): the interchange contract
+DOCUMENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+_CORRUPT = "_corrupt_record"
+
+
+def write_jsonl(df: DataFrame, path: str, compression: str | None = None) -> None:
+    """One JSON object per line; optionally gzip/zstd per file.
+    Partition count = file count — callers coalesce/repartition to set
+    output file sizes (aim ~128-512 MB per file at scale)."""
+    w = df.write.mode("overwrite")
+    if compression:
+        w = w.option("compression", compression)
+    w.json(path)
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType = DOCUMENTS_SCHEMA,
+) -> tuple[DataFrame, DataFrame]:
+    """Tolerant JSONL read -> (good, errors).
+
+    good: rows matching ``schema``.  errors: (raw_line,) for every
+    line Jackson could not parse into the schema.  Counting either
+    side triggers its own scan; neither blocks the other.
+    """
+    # read.text + from_json rather than read.json: Spark forbids plans
+    # that reference ONLY the internal corrupt-record column of a JSON
+    # scan (the errors channel is exactly that plan), and this form
+    # keeps one scan feeding both channels with no special cases.
+    # Parsing still runs in the JVM's Jackson path.
+    full = T.StructType(schema.fields + [T.StructField(_CORRUPT, T.StringType())])
+    parsed = spark.read.text(path).select(
+        F.col("value"),
+        F.from_json(
+            "value", full, {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": _CORRUPT}
+        ).alias("__j"),
+    )
+    bad = F.col(f"__j.{_CORRUPT}").isNotNull()
+    good = parsed.filter(~bad).select(
+        *[F.col(f"__j.{f.name}").alias(f.name) for f in schema.fields]
+    )
+    errors = parsed.filter(bad).select(F.col("value").alias("raw_line"))
+    return good, errors

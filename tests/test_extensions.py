@@ -451,3 +451,61 @@ def test_source_report_dup_rate(spark):
     assert out["s1"].n_docs == 3 and out["s1"].n_distinct == 2
     assert abs(out["s1"].dup_rate - (1 - 2 / 3)) < 1e-12
     assert out["s2"].dup_rate == 0.0
+
+
+def test_jsonl_roundtrip_and_corrupt_tolerance(spark, docs, tmp_path):
+    """documents -> JSONL -> read back is value-identical; corrupt
+    lines are routed to the errors channel without failing the job or
+    polluting the good rows."""
+    from greenbuttonengine_spark.sources.text_corpus import read_jsonl, write_jsonl
+
+    out = str(tmp_path / "corpus_jsonl")
+    write_jsonl(docs, out)
+    good, errors = read_jsonl(spark, out)
+    assert errors.count() == 0
+    orig = {r.doc_id: r for r in docs.collect()}
+    back = {r.doc_id: r for r in good.collect()}
+    assert set(orig) == set(back)
+    some = next(iter(orig))
+    assert orig[some].text == back[some].text
+    assert orig[some].n_chars == back[some].n_chars
+
+    # a partially-garbled shard arrives as its own file (appending to an
+    # existing part file would invalidate Hadoop's .crc sidecar)
+    with open(f"{out}/garbage.json", "w") as f:
+        f.write('{"doc_id": broken!!\n')
+        f.write('{"doc_id": 999999, "text": "ok", "lang": "en", "source": "x", "n_chars": 2}\n')
+        f.write("not json at all\n")
+    spark.catalog.refreshByPath(out)
+    good2, errors2 = read_jsonl(spark, out)
+    assert good2.count() == len(orig) + 1
+    bad = sorted(r.raw_line for r in errors2.collect())
+    assert bad == ["not json at all", '{"doc_id": broken!!']
+
+
+def test_incremental_dedup_verdicts(spark):
+    from greenbuttonengine_spark.extensions.dedup import incremental_dedup
+
+    store = (
+        spark.range(1)
+        .select(F.explode(F.array(F.lit("already accepted"), F.lit("other known"))).alias("t"))
+        .select(F.md5(F.col("t")).alias("fingerprint"))
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "already accepted"),   # in store -> dup_of_corpus
+            (11, "fresh text"),         # accept
+            (12, "Fresh   TEXT"),       # normalizes == 11 -> dup_in_batch
+            (13, "already  ACCEPTED"),  # batch copy of 10: dup_in_batch
+            (14, "OTHER known"),        # first in batch, in store
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.verdict for r in incremental_dedup(batch, store).collect()}
+    assert out == {
+        10: "dup_of_corpus",
+        11: "accept",
+        12: "dup_in_batch",
+        13: "dup_in_batch",
+        14: "dup_of_corpus",
+    }
