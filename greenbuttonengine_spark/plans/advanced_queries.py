@@ -553,3 +553,106 @@ def sessionize_native_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("user_id", "n_events", "session_start", "session_end")
     )
+
+
+# ---------------------------------------------------------------------------
+# Funnel + retention (classic event-analytics shapes)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "funnel_conversion",
+    """
+    WITH u AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+        FROM events GROUP BY user_id
+    ), c AS (
+        SELECT e.user_id, u.t_view,
+               MIN(CASE WHEN e.event_type = 'click' AND e.ts >= u.t_view
+                        THEN e.ts END) AS t_click
+        FROM events e JOIN u USING (user_id)
+        GROUP BY e.user_id, u.t_view
+    ), p AS (
+        SELECT e.user_id, c.t_view, c.t_click,
+               MIN(CASE WHEN e.event_type = 'purchase' AND e.ts >= c.t_click
+                        THEN e.ts END) AS t_purchase
+        FROM events e JOIN c USING (user_id)
+        GROUP BY e.user_id, c.t_view, c.t_click
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(COUNT(t_view) AS BIGINT) AS n_view,
+           CAST(COUNT(t_click) AS BIGINT) AS n_click_after_view,
+           CAST(COUNT(t_purchase) AS BIGINT) AS n_purchase_after_click
+    FROM p
+    """,
+    tags=("window", "analytics"),
+    doc="Ordered conversion funnel view -> click -> purchase: each "
+    "stage's timestamp must follow the previous stage's. One shuffle "
+    "on user_id; the three stage minima are window passes sharing the "
+    "same partition spec (Catalyst collapses them onto one sort), then "
+    "a per-user collapse and a single global count row.",
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir).select("user_id", "ts", "event_type")
+    w = W.partitionBy("user_id")
+    t = F.col("event_type")
+    x = ev.withColumn("t_view", F.min(F.when(t == "view", F.col("ts"))).over(w))
+    x = x.withColumn(
+        "t_click",
+        F.min(
+            F.when((t == "click") & (F.col("ts") >= F.col("t_view")), F.col("ts"))
+        ).over(w),
+    )
+    x = x.withColumn(
+        "t_purchase",
+        F.min(
+            F.when((t == "purchase") & (F.col("ts") >= F.col("t_click")), F.col("ts"))
+        ).over(w),
+    )
+    per_user = x.groupBy("user_id").agg(
+        F.max("t_view").alias("t_view"),
+        F.max("t_click").alias("t_click"),
+        F.max("t_purchase").alias("t_purchase"),
+    )
+    return per_user.agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.count("t_view").cast("bigint").alias("n_view"),
+        F.count("t_click").cast("bigint").alias("n_click_after_view"),
+        F.count("t_purchase").cast("bigint").alias("n_purchase_after_click"),
+    )
+
+
+@register(
+    "retention_cohorts",
+    """
+    WITH f AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+        FROM events GROUP BY user_id
+    ), a AS (
+        SELECT DISTINCT e.user_id, f.cohort_day, CAST(e.ts AS DATE) AS active_day
+        FROM events e JOIN f USING (user_id)
+    )
+    SELECT cohort_day,
+           CAST(datediff('day', cohort_day, active_day) AS BIGINT) AS day_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_active
+    FROM a GROUP BY cohort_day, day_offset
+    """,
+    tags=("analytics",),
+    doc="Retention triangle: users grouped by first-seen day, counted "
+    "on each subsequent active day offset. first-seen agg, join back "
+    "(both sides already partitioned by user_id — one shuffle total), "
+    "per-day distinct, small groupBy.",
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir).select("user_id", "ts")
+    f = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("cohort_day"))
+    a = (
+        ev.join(f, "user_id")
+        .select("user_id", "cohort_day", F.to_date("ts").alias("active_day"))
+        .distinct()
+    )
+    return a.groupBy(
+        "cohort_day",
+        F.datediff("active_day", "cohort_day").cast("bigint").alias("day_offset"),
+    ).agg(F.count("*").cast("bigint").alias("n_active"))

@@ -73,10 +73,12 @@ def text_postings_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM scored)
     WHERE rank <= 3
     """,
-    tags=("search",),
+    tags=("search", "tiny-bnlj"),
     doc="Top-3 characteristic terms per doc by TF-IDF with a ratio idf "
-    "(N/df, no ln — same ranking, bit-deterministic weights).  Window "
-    "partitioned per doc: no global sort.",
+    "(N/df, no ln — bit-deterministic weights; ranking can differ from "
+    "ln-idf since ln(idf) is not monotone in the tf*idf product).  "
+    "Window partitioned per doc: no global sort; the n_docs scalar is "
+    "a one-row broadcast (tiny-bnlj).",
 )
 def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search.tfidf_top_terms(load_table(spark, "documents", sf_dir), k=3)
@@ -136,7 +138,7 @@ def _bm25_sql(terms: tuple[str, ...]) -> str:
 @register(
     "search_bm25_topk",
     _bm25_sql(_BM25_TERMS),
-    tags=("search",),
+    tags=("search", "tiny-bnlj"),
     doc="BM25 top-10 for the query {hash, join, vector} (k1=1.2, "
     "b=0.75), ratio-form idf.  One (doc,term) shuffle doubles as the "
     "doc-length pass; corpus stats reduce to one broadcast row; "
