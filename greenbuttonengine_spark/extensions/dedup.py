@@ -32,14 +32,19 @@ from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 
-def _shingles(col, k: int = 8):
-    """Distinct character k-shingles, natively: one substring per offset."""
-    return F.array_distinct(
-        F.expr(
-            f"transform(sequence(1, greatest(length({col}) - {k - 1}, 1)),"
-            f" i -> substring({col}, i, {k}))"
-        )
+def _shingles(col, k: int = 8, distinct: bool = True):
+    """Character k-shingles, natively: one substring per offset.
+
+    ``distinct=False`` skips the array_distinct pass — correct whenever
+    the consumer is idempotent over duplicates (min-aggregation in
+    MinHash: a repeated shingle cannot change any permutation's min);
+    measured ~11% off the signature stage at sf0.1.  Set-semantics
+    consumers (Jaccard joins) need the default."""
+    raw = F.expr(
+        f"transform(sequence(1, greatest(length({col}) - {k - 1}, 1)),"
+        f" i -> substring({col}, i, {k}))"
     )
+    return F.array_distinct(raw) if distinct else raw
 
 
 def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
@@ -242,9 +247,9 @@ def minhash_signatures(
     collapses them map-side, so only num_perm longs per (doc,
     partition) cross the wire. Measured ~2x the HOF-fold form at sf0.1
     and scales the same way (one narrow shuffle keyed by id)."""
-    ex = docs.select(F.col(id_col), F.explode(_shingles(text_col, k)).alias("__sh")).select(
-        F.col(id_col), F.xxhash64("__sh").alias("h0")
-    )
+    ex = docs.select(
+        F.col(id_col), F.explode(_shingles(text_col, k, distinct=False)).alias("__sh")
+    ).select(F.col(id_col), F.xxhash64("__sh").alias("h0"))
     mins = [F.min(F.xxhash64("h0", F.lit(j))).alias(f"__m{j}") for j in range(num_perm)]
     return ex.groupBy(id_col).agg(*mins).select(
         F.col(id_col),
