@@ -40,6 +40,23 @@ DOCUMENTS_SCHEMA = T.StructType(
 _CORRUPT = "_corrupt_record"
 
 
+def _split_lines(lines: DataFrame, schema: T.StructType) -> tuple[DataFrame, DataFrame]:
+    """Shared batch/streaming parse: raw text lines -> (good, errors)."""
+    full = T.StructType(schema.fields + [T.StructField(_CORRUPT, T.StringType())])
+    parsed = lines.select(
+        F.col("value"),
+        F.from_json(
+            "value", full, {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": _CORRUPT}
+        ).alias("__j"),
+    )
+    bad = F.col(f"__j.{_CORRUPT}").isNotNull()
+    good = parsed.filter(~bad).select(
+        *[F.col(f"__j.{f.name}").alias(f.name) for f in schema.fields]
+    )
+    errors = parsed.filter(bad).select(F.col("value").alias("raw_line"))
+    return good, errors
+
+
 def write_jsonl(df: DataFrame, path: str, compression: str | None = None) -> None:
     """One JSON object per line; optionally gzip/zstd per file.
     Partition count = file count — callers coalesce/repartition to set
@@ -66,16 +83,28 @@ def read_jsonl(
     # scan (the errors channel is exactly that plan), and this form
     # keeps one scan feeding both channels with no special cases.
     # Parsing still runs in the JVM's Jackson path.
-    full = T.StructType(schema.fields + [T.StructField(_CORRUPT, T.StringType())])
-    parsed = spark.read.text(path).select(
-        F.col("value"),
-        F.from_json(
-            "value", full, {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": _CORRUPT}
-        ).alias("__j"),
-    )
-    bad = F.col(f"__j.{_CORRUPT}").isNotNull()
-    good = parsed.filter(~bad).select(
-        *[F.col(f"__j.{f.name}").alias(f.name) for f in schema.fields]
-    )
-    errors = parsed.filter(bad).select(F.col("value").alias("raw_line"))
-    return good, errors
+    return _split_lines(spark.read.text(path), schema)
+
+
+def stream_jsonl(
+    spark: SparkSession,
+    drop_dir: str,
+    schema: T.StructType = DOCUMENTS_SCHEMA,
+    max_files_per_trigger: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Streaming variant of :func:`read_jsonl`: watch ``drop_dir`` for
+    new JSONL shards, emit (good, errors) STREAMING DataFrames with the
+    same per-line tolerance contract as batch.
+
+    The continuous-crawl ingest topology: each crawl drop lands as
+    files; good rows flow to a bronze append sink, error lines to a
+    quarantine sink, and every downstream batch operator (dedup,
+    quality, decontam) reads bronze on demand.  ``maxFilesPerTrigger``
+    bounds per-micro-batch work so one giant drop cannot stall the
+    stream.  Same scan shape as batch (text source + JVM from_json):
+    identical lines produce identical rows in both modes.
+    """
+    reader = spark.readStream.format("text").schema("value string")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return _split_lines(reader.load(drop_dir), schema)

@@ -169,3 +169,67 @@ def test_bronze_cursor(tmp_path, spark):
     # crash-replay shape: a cursor re-created from disk resumes correctly
     cur2 = BronzeCursor(cur.path)
     assert cur2.position() == 1
+
+
+def test_stream_jsonl_good_and_error_channels(spark, tmp_path):
+    """Streaming JSONL ingest: shards dropped across micro-batches land
+    in the bronze sink; corrupt lines land in quarantine; restart-safe
+    via checkpoint (same contract as batch read_jsonl)."""
+    import json
+
+    from greenbuttonengine_spark.sources.text_corpus import stream_jsonl
+
+    drop = tmp_path / "drop"
+    bronze = str(tmp_path / "bronze")
+    quarantine = str(tmp_path / "quarantine")
+    drop.mkdir()
+
+    def shard(name, rows, garbage=0):
+        with open(drop / name, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+            for g in range(garbage):
+                f.write(f"garbled <<{name}:{g}>>\n")
+
+    doc = lambda i: {"doc_id": i, "text": f"t{i}", "lang": "en", "source": "s", "n_chars": 2}
+    shard("a.jsonl", [doc(1), doc(2)])
+    good, errors = stream_jsonl(spark, str(drop), max_files_per_trigger=1)
+    q1 = (
+        good.writeStream.format("parquet")
+        .option("path", bronze)
+        .option("checkpointLocation", str(tmp_path / "cp_good"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2 = (
+        errors.writeStream.format("parquet")
+        .option("path", quarantine)
+        .option("checkpointLocation", str(tmp_path / "cp_err"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q1.awaitTermination(120); q2.awaitTermination(120)
+    assert {r.doc_id for r in spark.read.parquet(bronze).collect()} == {1, 2}
+
+    # second drop: one good row + two garbage lines, then resume
+    shard("b.jsonl", [doc(3)], garbage=2)
+    good, errors = stream_jsonl(spark, str(drop), max_files_per_trigger=1)
+    q1 = (
+        good.writeStream.format("parquet")
+        .option("path", bronze)
+        .option("checkpointLocation", str(tmp_path / "cp_good"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2 = (
+        errors.writeStream.format("parquet")
+        .option("path", quarantine)
+        .option("checkpointLocation", str(tmp_path / "cp_err"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q1.awaitTermination(120); q2.awaitTermination(120)
+    assert {r.doc_id for r in spark.read.parquet(bronze).collect()} == {1, 2, 3}, \
+        "shard a must not be re-ingested after restart"
+    errs = [r.raw_line for r in spark.read.parquet(quarantine).collect()]
+    assert len(errs) == 2 and all(e.startswith("garbled") for e in errs)
