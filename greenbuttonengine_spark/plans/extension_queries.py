@@ -929,3 +929,101 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.filter(F.col("doc_id") % 5 != 4)
     store = dedup.exact_duplicates(corpus).select("fingerprint")
     return dedup.incremental_dedup(batch, store)
+
+
+@register(
+    "pipeline_training_mix",
+    r"""
+    WITH q AS (
+        SELECT doc_id, text, lang, source FROM documents
+        WHERE length(text) BETWEEN 100 AND 2000
+          AND CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                  / CAST(length(text) AS DOUBLE) >= 0.6
+          AND len(regexp_split_to_array(trim(text), '\s+')) BETWEEN 10 AND 500
+          AND regexp_matches(lower(text), '\b(the|and|of|to|is)\b')
+          AND doc_id % 97 <> 0
+    ), ev AS (
+        SELECT DISTINCT unnest(list_distinct(
+                   [array_to_string(words[i:i+2], ' ')
+                    for i in generate_series(1, len(words) - 2)])) AS g
+        FROM (SELECT string_split_regex(trim(text), '\s+') AS words
+              FROM documents WHERE doc_id % 97 = 0)
+    ), tr AS (
+        SELECT doc_id, list_distinct(
+                   [array_to_string(words[i:i+2], ' ')
+                    for i in generate_series(1, len(words) - 2)]) AS grams
+        FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS words FROM q)
+    ), x AS (
+        SELECT doc_id, len(grams) AS n_ngrams, unnest(grams) AS g FROM tr
+    ), contam AS (
+        SELECT x.doc_id FROM x JOIN ev USING (g)
+        GROUP BY x.doc_id, n_ngrams
+        HAVING CAST(COUNT(*) AS DOUBLE) / CAST(n_ngrams AS DOUBLE) >= 0.2
+    ), survive AS (
+        SELECT * FROM q WHERE doc_id NOT IN (SELECT doc_id FROM contam)
+    ), keep AS (
+        SELECT doc_id, lang, source FROM (
+            SELECT doc_id, lang, source,
+                   MIN(doc_id) OVER (PARTITION BY
+                       md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))))
+                       AS keeper
+            FROM survive)
+        WHERE doc_id = keeper
+    ), c AS (
+        SELECT lang, COUNT(*) AS n FROM keep GROUP BY lang
+    ), r AS (
+        SELECT lang, least(1.0, 8.0 / sqrt(CAST(n AS DOUBLE))) AS rate FROM c
+    )
+    SELECT k.doc_id, k.lang, k.source
+    FROM keep k JOIN r ON k.lang IS NOT DISTINCT FROM r.lang
+    WHERE ((k.doc_id % 2147483648) * 1103515245 + 12345) // 65536 % 10000
+          < CAST(floor(rate * 10000) AS BIGINT)
+    """,
+    tags=("pipeline", "dedup", "decontam", "sampling"),
+    doc="The end-to-end training-data build as ONE declared plan: "
+    "quality filter (scan-stage predicates) -> eval-set "
+    "decontamination (broadcast n-gram probe, drop share>=0.2) -> "
+    "exact-dedup keepers (one fingerprint window) -> temperature-"
+    "flattened language mix (broadcast rates + LCG bucket filter). "
+    "Every stage is deterministic, so the whole composition is "
+    "oracle-checkable; at 100 TB it is one scan, one broadcast "
+    "probe, and two narrow shuffles (fingerprint, lang counts).",
+)
+def pipeline_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ..extensions.decontam import flag_contamination
+    from ..extensions.sampling import sample_temperature
+
+    docs = load_table(spark, "documents", sf_dir)
+    text = F.col("text")
+    n_tokens = F.size(F.split(F.trim(text), r"\s+"))
+    alpha_ratio = (
+        F.length(F.regexp_replace(text, r"[^A-Za-z]", "")).cast("double")
+        / F.length(text).cast("double")
+    )
+    quality = docs.filter(
+        F.length(text).between(100, 2000)
+        & (alpha_ratio >= 0.6)
+        & n_tokens.between(10, 500)
+        & F.lower(text).rlike(r"\b(the|and|of|to|is)\b")
+        & (F.col("doc_id") % 97 != 0)
+    ).select("doc_id", "text", "lang", "source")
+
+    eval_df = docs.filter(F.col("doc_id") % 97 == 0)
+    contaminated = flag_contamination(quality, eval_df, n=3).filter(
+        F.col("share") >= 0.2
+    )
+    survive = quality.join(contaminated.select("doc_id"), "doc_id", "left_anti")
+
+    keeper = F.min("doc_id").over(
+        Window.partitionBy(textstats.fingerprint_col(F.col("text")))
+    )
+    keep = (
+        survive.withColumn("__keeper", keeper)
+        .filter(F.col("doc_id") == F.col("__keeper"))
+        .select("doc_id", "lang", "source")
+    )
+    return sample_temperature(keep, "lang", "doc_id", coefficient=8.0).select(
+        "doc_id", "lang", "source"
+    )
