@@ -27,8 +27,12 @@ def length_histogram(
     from pyspark.sql.window import Window
 
     n = F.col(len_col).cast("bigint")
+    # bit-length - 1, NOT floor(log2(double)): Math.log(x)/Math.log(2)
+    # rounds unpredictably exactly at the power-of-two bucket
+    # boundaries, and the whole point of the bucket id is that both
+    # engines agree on it bit-for-bit.
     bucket = F.when(n <= 0, F.lit(-1)).otherwise(
-        F.floor(F.log2(n.cast("double")))
+        F.length(F.bin(n)) - F.lit(1)
     )
     # share denominator via an unpartitioned window over the AGGREGATED
     # result — O(buckets) rows, not the corpus — so the corpus is
