@@ -674,3 +674,71 @@ def incremental_dedup(
         fp.join(store, "fingerprint", "left")
         .select(F.col(id_col), "fingerprint", verdict.alias("verdict"))
     )
+
+
+def semantic_dedup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    n_clusters: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+    fit_sample_fraction: float | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic near-dup pairs: k-means-cluster the
+    embedding space, then exact cosine only WITHIN each cluster.
+
+    The published recipe for embedding-level dedup at corpus scale
+    (cluster first, compare within cells): two semantically-identical
+    documents land in the same cell with near-certainty, so the
+    quadratic comparison shrinks from C(n,2) to sum C(cell,2) — with
+    n_clusters sized ~n/target_cell, per-cell work is bounded and the
+    comparison is an EQUI-join on the cell id (one shuffle), never a
+    cross join.  Set ``fit_sample_fraction`` at scale so the coarse
+    model fits on a seeded sample (same posture as IVF).
+
+    Verification stays exact: every emitted pair carries its true
+    cosine >= threshold.  Recall loss is confined to pairs split
+    across a cell boundary — rare for the near-identical pairs dedup
+    targets (pytest asserts recall against the all-pairs oracle).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = emb.select(F.col(id_col), v.alias("v")).withColumn(
+        "features", array_to_vector(F.col("v"))
+    )
+    km = KMeans(k=n_clusters, seed=seed, maxIter=10)
+    fit_input = (
+        base if fit_sample_fraction is None
+        else base.sample(fraction=fit_sample_fraction, seed=seed)
+    )
+    model = km.fit(fit_input)
+    assigned = model.transform(base).select(
+        F.col(id_col), "v", F.col("prediction").alias("__cell")
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    norm = lambda side: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(F.col(f"{side}.v"), lambda x: x * x),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.__cell") == F.col("b.__cell"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            (dot / (norm("a") * norm("b"))).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1027,3 +1027,23 @@ def pipeline_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_temperature(keep, "lang", "doc_id", coefficient=8.0).select(
         "doc_id", "lang", "source"
     )
+
+
+@register(
+    "dedup_semantic",
+    None,  # KMeans cells are engine-specific -> rows-only; pytest
+    # asserts recall against the exact all-pairs cosine oracle
+    tags=("dedup", "semantic"),
+    doc="SemDeDup-style semantic near-dup pairs: k-means cells, exact "
+    "cosine within cells only - the comparison is an equi-join on the "
+    "cell id (one shuffle, sum C(cell,2) work), never a cross join. "
+    "Emitted pairs carry their true cosine, so precision is exact; "
+    "recall vs the all-pairs oracle is pytest-asserted.",
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # threshold 0.3 = the synthetic corpus' same-label similarity band
+    # (it has no planted near-identical vectors); pytest covers the
+    # high-threshold regime with planted copies
+    return dedup.semantic_dedup_pairs(
+        load_table(spark, "embeddings", sf_dir), threshold=0.3
+    )

@@ -541,3 +541,46 @@ def test_corpus_shards_and_manifest(spark, docs, tmp_path):
     assert reduce(xor, (r.content_hash for r in m1)) == reduce(
         xor, (r.content_hash for r in m2)
     )
+
+
+def test_semantic_dedup_recall_and_precision(spark, emb):
+    """Within-cell comparison must find (nearly) all true near-dup
+    pairs - near-identical vectors co-cluster - and every emitted pair
+    is exactly verified (cosine recomputed >= threshold).  The corpus
+    has no high-cosine pairs (its 0.3-pairs are weak same-label
+    similarity, which SemDeDup does not target), so plant 30
+    near-identical copies: vec' = vec + small deterministic noise."""
+    from greenbuttonengine_spark.extensions import dedup
+
+    rows = emb.limit(30).collect()
+    planted = spark.createDataFrame(
+        [
+            (100_000 + r.vec_id,
+             [v + 0.01 * ((i * 7 + r.vec_id) % 3 - 1) for i, v in enumerate(r.embedding)],
+             r.label)
+            for r in rows
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    corpus = emb.unionByName(planted)
+    thr = 0.95
+    exact = {
+        (r.id_a, r.id_b)
+        for r in dedup.embedding_cosine_pairs(corpus, threshold=thr).collect()
+    }
+    assert len(exact) >= 30, f"planting failed: {len(exact)} pairs"
+    sem_pairs = {
+        (r.id_a, r.id_b)
+        for r in dedup.semantic_dedup_pairs(corpus, threshold=thr, n_clusters=16).collect()
+    }
+    assert sem_pairs <= exact, "within-cell verify must be exact (no false pairs)"
+    recall = len(sem_pairs & exact) / len(exact)
+    assert recall >= 0.8, f"semantic dedup recall {recall}"
+    # sampled-fit configuration (the 100 TB posture) keeps the invariant
+    sem_s = {
+        (r.id_a, r.id_b)
+        for r in dedup.semantic_dedup_pairs(
+            corpus, threshold=thr, n_clusters=16, fit_sample_fraction=0.5
+        ).collect()
+    }
+    assert sem_s <= exact and len(sem_s & exact) / len(exact) >= 0.8
