@@ -656,3 +656,63 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cohort_day",
         F.datediff("active_day", "cohort_day").cast("bigint").alias("day_offset"),
     ).agg(F.count("*").cast("bigint").alias("n_active"))
+
+
+@register(
+    "anomaly_zscore_events",
+    """
+    WITH s AS (
+        SELECT event_type,
+               COUNT(*) AS n,
+               SUM(CAST(round(value * 100) AS BIGINT)) AS sxc,
+               SUM(CAST(round(value * 100) AS BIGINT)
+                   * CAST(round(value * 100) AS BIGINT)) AS sxxc
+        FROM events GROUP BY event_type
+    ), m AS (
+        SELECT event_type,
+               CAST(sxc AS DOUBLE) / n AS mean_c,
+               sqrt(CAST(sxxc AS DOUBLE) / n
+                    - (CAST(sxc AS DOUBLE) / n) * (CAST(sxc AS DOUBLE) / n))
+                   AS std_c
+        FROM s
+    )
+    SELECT e.event_id, e.event_type,
+           (e.value * 100 - m.mean_c) / m.std_c AS zscore
+    FROM events e JOIN m USING (event_type)
+    WHERE abs((e.value * 100 - m.mean_c) / m.std_c) > 3.0
+    """,
+    tags=("analytics",),
+    doc="Per-type z-score outlier flagging: moments are exact integer-"
+    "cent sums (order-independent and below 2^53, so mean/std are "
+    "bit-identical across engines and partitionings) broadcast back "
+    "onto a scan-stage filter — the metric-anomaly sweep shape: one "
+    "tiny aggregate, no second full-data shuffle.",
+)
+def anomaly_zscore_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir).select("event_id", "event_type", "value")
+    # Integer-cents moments, NOT decimal sums: value is cent-quantized,
+    # so sum(cents) and sum(cents^2) are exact BIGINTs below 2^53 —
+    # every later double op is a single correctly-rounded IEEE step on
+    # bit-identical inputs.  (Decimal sums are exact too, but the
+    # DECIMAL->DOUBLE cast itself differs by 1 ulp between engines:
+    # DuckDB scales the int128 in fp, Java rounds the true value.)
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    s = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(cents).alias("sxc"),
+        F.sum(cents * cents).alias("sxxc"),
+    )
+    mean_c = F.col("sxc").cast("double") / F.col("n")
+    m = s.select(
+        "event_type",
+        mean_c.alias("mean_c"),
+        F.sqrt(F.col("sxxc").cast("double") / F.col("n") - mean_c * mean_c).alias(
+            "std_c"
+        ),
+    )
+    z = (F.col("value") * 100 - F.col("mean_c")) / F.col("std_c")
+    return (
+        ev.join(F.broadcast(m), "event_type")
+        .select("event_id", "event_type", z.alias("zscore"))
+        .filter(F.abs(F.col("zscore")) > 3.0)
+    )
