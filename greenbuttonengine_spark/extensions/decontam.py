@@ -69,6 +69,7 @@ def flag_contamination(
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    broadcast_eval: bool = True,
 ) -> DataFrame:
     """Per-training-doc contamination report against ``eval_df``.
 
@@ -77,6 +78,13 @@ def flag_contamination(
     ``share`` = fraction of the doc's distinct n-grams found in the
     eval set.  Docs with zero overlap are absent (anti-join them back
     for the clean list); callers drop or down-weight by ``share``.
+
+    ``broadcast_eval=False`` switches the membership probe to a
+    shuffle hash join on the gram hash — the corpus-vs-corpus
+    configuration (e.g. overlap between two crawls), where the right
+    side no longer fits a broadcast.  Results are identical; the
+    cost adds one shuffle of the exploded gram stream, and AQE's
+    skew splitting covers hot grams.
     """
     eval_grams = (
         eval_df.select(F.explode(word_ngrams(F.col(text_col), n)).alias("__g"))
@@ -93,7 +101,8 @@ def flag_contamination(
     train_grams = train.select(
         F.col(id_col), F.explode(word_ngrams(F.col(text_col), n)).alias("__g")
     ).select(F.col(id_col), F.xxhash64("__g").alias("__gh"))
-    hits = train_grams.join(F.broadcast(eval_grams), "__gh", "left")
+    probe = F.broadcast(eval_grams) if broadcast_eval else eval_grams
+    hits = train_grams.join(probe, "__gh", "left")
     return (
         hits.groupBy(id_col)
         .agg(

@@ -584,3 +584,25 @@ def test_semantic_dedup_recall_and_precision(spark, emb):
         ).collect()
     }
     assert sem_s <= exact and len(sem_s & exact) / len(exact) >= 0.8
+
+
+def test_contamination_shuffle_join_variant_identical(spark):
+    """broadcast_eval=False (corpus-vs-corpus posture) must produce
+    byte-identical results to the broadcast probe, and its plan must
+    be a real shuffle join (no broadcast of the eval side)."""
+    from greenbuttonengine_spark.extensions.decontam import flag_contamination
+    from greenbuttonengine_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.01")
+    ev = docs.filter(F.col("doc_id") % 97 == 0)
+    tr = docs.filter(F.col("doc_id") % 97 != 0)
+    a = flag_contamination(tr, ev, n=3)
+    b = flag_contamination(tr, ev, n=3, broadcast_eval=False)
+    ra = {(r.doc_id, r.n_shared_ngrams, r.n_ngrams) for r in a.collect()}
+    rb = {(r.doc_id, r.n_shared_ngrams, r.n_ngrams) for r in b.collect()}
+    assert ra == rb
+    # no explicit broadcast HINT in the logical plan — at real scale the
+    # join shuffles; at this test scale AQE is free to (and does)
+    # convert it back to broadcast, which is the desired adaptivity
+    logical = b._jdf.queryExecution().optimizedPlan().toString()
+    assert "ResolvedHint" not in logical and "UnresolvedHint" not in logical
