@@ -39,7 +39,10 @@ def word_ngrams(text: Column, n: int) -> Column:
     and the DuckDB oracle's string_split); the n-gram is the
     space-joined window so it round-trips to exactly the source slice.
     """
-    words = F.split(F.trim(text), r"\s+")
+    # Drop empty tokens rather than trim(): trim strips only ASCII
+    # spaces in both engines, so "\n"-padded text would otherwise
+    # yield empty words and junk grams like " " (found by hypothesis).
+    words = F.filter(F.split(text, r"\s+"), lambda w: w != F.lit(""))
     # Zip the word array against its own n-1 shifted tails, then concat
     # each strip — O(len) work per row.  The obvious alternative
     # (transform over sequence(1, len-n+1) with slice(words, i, n) +

@@ -828,13 +828,13 @@ def corpus_source_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT DISTINCT unnest(list_distinct(
                    [array_to_string(words[i:i+2], ' ')
                     for i in generate_series(1, len(words) - 2)])) AS g
-        FROM (SELECT string_split_regex(trim(text), '\s+') AS words
+        FROM (SELECT list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS words
               FROM documents WHERE doc_id % 97 = 0)
     ), tr AS (
         SELECT doc_id, list_distinct(
                    [array_to_string(words[i:i+2], ' ')
                     for i in generate_series(1, len(words) - 2)]) AS grams
-        FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
+        FROM (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS words
               FROM documents WHERE doc_id % 97 <> 0)
     ), x AS (
         SELECT doc_id, len(grams) AS n_ngrams, unnest(grams) AS g FROM tr
@@ -946,13 +946,13 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT DISTINCT unnest(list_distinct(
                    [array_to_string(words[i:i+2], ' ')
                     for i in generate_series(1, len(words) - 2)])) AS g
-        FROM (SELECT string_split_regex(trim(text), '\s+') AS words
+        FROM (SELECT list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS words
               FROM documents WHERE doc_id % 97 = 0)
     ), tr AS (
         SELECT doc_id, list_distinct(
                    [array_to_string(words[i:i+2], ' ')
                     for i in generate_series(1, len(words) - 2)]) AS grams
-        FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS words FROM q)
+        FROM (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS words FROM q)
     ), x AS (
         SELECT doc_id, len(grams) AS n_ngrams, unnest(grams) AS g FROM tr
     ), contam AS (

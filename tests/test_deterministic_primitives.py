@@ -61,3 +61,83 @@ def test_quantize_formula_bounds(vec):
     # dequantization error bounded by half a step
     for x, v in zip(vec, q):
         assert abs(v * scale - x) <= scale / 2 + 1e-9 * abs(x)
+
+
+# ---------------------------------------------------------------------------
+# word n-grams: Spark expression vs pure-Python reference on one batch
+# ---------------------------------------------------------------------------
+
+
+def py_word_ngrams(text: str, n: int) -> list[str]:
+    # mirror filter(split(text, '\s+'), w != ''): any-whitespace split,
+    # empty tokens dropped
+    import re
+
+    words = [w for w in re.split(r"\s+", text) if w != ""]
+    out, seen = [], set()
+    for i in range(len(words) - n + 1):
+        g = " ".join(words[i : i + n])
+        if g not in seen:
+            seen.add(g)
+            out.append(g)
+    return out if len(words) >= n else []
+
+
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.sampled_from("ab \t\n-é中"), min_size=0, max_size=40
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    st.integers(min_value=2, max_value=4),
+)
+@settings(max_examples=10, deadline=None)
+def test_word_ngrams_matches_reference(spark, texts, n):
+    from greenbuttonengine_spark.extensions.decontam import word_ngrams
+
+    df = spark.createDataFrame(list(enumerate(texts)), "i long, t string")
+    got = {
+        r.i: list(r.g)
+        for r in df.select("i", word_ngrams(F.col("t"), n).alias("g")).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == py_word_ngrams(t, n), (t, n, got[i])
+
+
+def test_jsonl_reader_never_crashes_on_garbage(spark, tmp_path):
+    """Arbitrary byte lines must partition exactly into good + errors
+    (no crash, no loss): the per-line tolerance contract under fuzz."""
+    import json
+    import random
+
+    from greenbuttonengine_spark.sources.text_corpus import read_jsonl
+
+    rnd = random.Random(0xBEEF)
+    lines = []
+    n_good = 0
+    for i in range(200):
+        kind = rnd.random()
+        if kind < 0.4:
+            lines.append(
+                json.dumps(
+                    {"doc_id": i, "text": "x" * rnd.randrange(5), "lang": "en",
+                     "source": "s", "n_chars": 1}
+                )
+            )
+            n_good += 1
+        elif kind < 0.7:
+            # structurally broken JSON
+            lines.append("{" + "".join(rnd.choice('abc{}[]":,0') for _ in range(rnd.randrange(1, 30))))
+        else:
+            # arbitrary printable garbage (no newlines/control chars:
+            # a raw newline is two lines by definition of the format)
+            lines.append("".join(chr(rnd.randrange(32, 0x2FF)) for _ in range(rnd.randrange(1, 60))))
+    p = tmp_path / "fuzz"
+    p.mkdir()
+    (p / "part-0.json").write_text("\n".join(lines) + "\n", encoding="utf-8")
+    good, errors = read_jsonl(spark, str(p))
+    ng, ne = good.count(), errors.count()
+    assert ng + ne == len(lines), (ng, ne, len(lines))
+    assert ng >= n_good  # every well-formed line must land as good
