@@ -74,9 +74,9 @@ def source_report(
     is a two-stage partial-distinct aggregate in Spark — one shuffle
     keyed by source, no global collect.
     """
-    fp = F.md5(
-        F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
-    )
+    from .textstats import fingerprint_col
+
+    fp = fingerprint_col(F.col(text_col))
     n = F.col(len_col).cast("bigint")
     return (
         docs.groupBy(F.col(source_col).alias("source"))

@@ -52,11 +52,12 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc
     """Exact dedup: fingerprint -> keeper (min id) + copy count.
     One shuffle on the fingerprint; at scale this is the cheapest pass
     and runs first to shrink the corpus for the fuzzy passes."""
+    from .textstats import fingerprint_col
+
     text = F.col(text_col)
-    if normalize:
-        text = F.lower(F.regexp_replace(F.trim(text), r"\s+", " "))
+    fp = fingerprint_col(text) if normalize else F.md5(text)
     return (
-        docs.select(F.md5(text).alias("fingerprint"), F.col(id_col))
+        docs.select(fp.alias("fingerprint"), F.col(id_col))
         .groupBy("fingerprint")
         .agg(F.min(id_col).alias("keeper_id"), F.count("*").alias("n_copies"))
     )
@@ -404,6 +405,28 @@ def simhash_pairs(
     )
 
 
+def _with_norm(emb: DataFrame, vec_col: str, id_col: str) -> DataFrame:
+    """(id, double vector, precomputed L2 norm).  Norms are computed
+    once per ROW here; joining first and evaluating sqrt-of-squares in
+    the post-join projection would recompute each row's norm once per
+    emitted PAIR.  cosine = _dot("a.v","b.v") / (a.__norm * b.__norm)
+    is arithmetically identical to the inline form (same float ops on
+    the same values) — only the evaluation count changes."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    norm = F.sqrt(
+        F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    )
+    return emb.select(F.col(id_col), v.alias("v"), norm.alias("__norm"))
+
+
+def _dot(a_col: str, b_col: str):
+    return F.aggregate(
+        F.zip_with(F.col(a_col), F.col(b_col), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
 def embedding_cosine_pairs(
     emb: DataFrame,
     threshold: float = 0.3,
@@ -415,26 +438,16 @@ def embedding_cosine_pairs(
     All-pairs (correctness / small-SF); the LSH route for scale is
     similarity.lsh_topk's bucketing applied pairwise.  Vectors are cast
     to double before the fold so the sum is bit-deterministic."""
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    base = emb.select(F.col(id_col), v.alias("v"))
+    base = _with_norm(emb, vec_col, id_col)
     a, b = base.alias("a"), base.alias("b")
-    dot = F.aggregate(
-        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    norm = lambda side: F.sqrt(  # noqa: E731
-        F.aggregate(
-            F.transform(F.col(f"{side}.v"), lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
-        )
-    )
+    cosine = _dot("a.v", "b.v") / (F.col("a.__norm") * F.col("b.__norm"))
     return (
         a.crossJoin(b)
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            (dot / (norm("a") * norm("b"))).alias("cosine"),
+            cosine.alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )
@@ -656,10 +669,11 @@ def incremental_dedup(
     """
     from pyspark.sql.window import Window
 
+    from .textstats import fingerprint_col
+
     text = F.col(text_col)
-    if normalize:
-        text = F.lower(F.regexp_replace(F.trim(text), r"\s+", " "))
-    fp = new_batch.select(F.col(id_col), F.md5(text).alias("fingerprint"))
+    fp_col = fingerprint_col(text) if normalize else F.md5(text)
+    fp = new_batch.select(F.col(id_col), fp_col.alias("fingerprint"))
     first_in_batch = F.min(id_col).over(Window.partitionBy("fingerprint"))
     fp = fp.withColumn("__first", first_in_batch == F.col(id_col))
     store = corpus_fingerprints.select(
@@ -705,8 +719,7 @@ def semantic_dedup_pairs(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    base = emb.select(F.col(id_col), v.alias("v")).withColumn(
+    base = _with_norm(emb, vec_col, id_col).withColumn(
         "features", array_to_vector(F.col("v"))
     )
     km = KMeans(k=n_clusters, seed=seed, maxIter=10)
@@ -716,19 +729,10 @@ def semantic_dedup_pairs(
     )
     model = km.fit(fit_input)
     assigned = model.transform(base).select(
-        F.col(id_col), "v", F.col("prediction").alias("__cell")
+        F.col(id_col), "v", "__norm", F.col("prediction").alias("__cell")
     )
     a, b = assigned.alias("a"), assigned.alias("b")
-    dot = F.aggregate(
-        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
-        F.lit(0.0), lambda acc, x: acc + x,
-    )
-    norm = lambda side: F.sqrt(  # noqa: E731
-        F.aggregate(
-            F.transform(F.col(f"{side}.v"), lambda x: x * x),
-            F.lit(0.0), lambda acc, x: acc + x,
-        )
-    )
+    cosine = _dot("a.v", "b.v") / (F.col("a.__norm") * F.col("b.__norm"))
     return (
         a.join(
             b,
@@ -738,7 +742,7 @@ def semantic_dedup_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            (dot / (norm("a") * norm("b"))).alias("cosine"),
+            cosine.alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )

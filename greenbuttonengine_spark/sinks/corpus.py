@@ -12,8 +12,9 @@ cheap), one round-robin repartition (the only shuffle; gives size-
 uniform shards regardless of upstream skew), one write.  The manifest
 pass reads the written shards grouped by file — a scan of what was
 written, parallel per shard, with the per-shard row hash computed as
-an order-insensitive aggregate (XOR of per-row xxhash64) so it is
-stable under Spark's nondeterministic intra-file row order.
+an order-insensitive aggregate (exact DECIMAL sum of per-row JSON
+xxhash64) so it is stable under Spark's nondeterministic intra-file
+row order.
 """
 
 from __future__ import annotations
@@ -43,21 +44,43 @@ def write_corpus_shards(
     return n_shards
 
 
-def shard_manifest(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
+def shard_manifest(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema=None,
+) -> DataFrame:
     """Manifest over the WRITTEN shard files: (shard_file, n_rows,
-    content_hash).  content_hash = XOR of per-row xxhash64 over every
-    column — order-insensitive (two readers that split the shard
-    differently still agree) and overflow-free (a SUM of longs would
-    trip ANSI-mode overflow)."""
-    reader = spark.read
-    df = reader.json(path) if fmt == "jsonl" else reader.format(fmt).load(path)
-    row_hash = F.xxhash64(*[F.col(c) for c in sorted(df.columns)])
+    content_hash).
+
+    content_hash = DECIMAL(38,0) sum of per-row xxhash64 over the
+    row's JSON encoding.  Three deliberate choices:
+
+    * the hash input is ``to_json(struct(cols))``, not the bare
+      columns — xxhash64 SKIPS null arguments, so hashing columns
+      directly cannot tell (NULL, 'a') from ('a', NULL); the JSON
+      encoding is null-discriminating and column-labeled.
+    * SUM in DECIMAL (exact, order-insensitive, cannot hit ANSI long
+      overflow), not XOR — XOR cancels even-multiplicity rows, so a
+      shard with one row duplicated twice and another dropped twice
+      would "certify" as intact.
+    * for jsonl the writer's ``schema`` is REQUIRED — an inferred
+      schema is an extra full pass and can type-drift per directory,
+      breaking cross-layout hash equality.
+    """
+    if fmt == "jsonl":
+        if schema is None:
+            raise ValueError("jsonl manifest requires the writer's schema")
+        df = spark.read.schema(schema).json(path)
+    else:
+        df = spark.read.format(fmt).load(path)
+    row_hash = F.xxhash64(F.to_json(F.struct(*[F.col(c) for c in sorted(df.columns)])))
     return (
         df.withColumn("shard_file", F.element_at(F.split(F.input_file_name(), "/"), -1))
-        .withColumn("__rh", row_hash)
+        .withColumn("__rh", row_hash.cast("decimal(38,0)"))
         .groupBy("shard_file")
         .agg(
             F.count("*").alias("n_rows"),
-            F.expr("bit_xor(__rh)").alias("content_hash"),
+            F.sum("__rh").alias("content_hash"),
         )
     )

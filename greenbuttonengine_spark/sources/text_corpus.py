@@ -41,15 +41,23 @@ _CORRUPT = "_corrupt_record"
 
 
 def _split_lines(lines: DataFrame, schema: T.StructType) -> tuple[DataFrame, DataFrame]:
-    """Shared batch/streaming parse: raw text lines -> (good, errors)."""
+    """Shared batch/streaming parse: raw text lines -> (good, errors).
+
+    Blank/whitespace-only lines are DROPPED (the JSONL convention:
+    they are separators, not records) — without the filter they would
+    surface as phantom all-NULL good rows, because from_json returns a
+    null-fields struct with a NULL corrupt-record for empty input.
+    Non-object JSON scalars (``null``, ``123``) parse to a NULL struct
+    and are routed to errors.
+    """
     full = T.StructType(schema.fields + [T.StructField(_CORRUPT, T.StringType())])
-    parsed = lines.select(
+    parsed = lines.filter(F.trim(F.col("value")) != "").select(
         F.col("value"),
         F.from_json(
             "value", full, {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": _CORRUPT}
         ).alias("__j"),
     )
-    bad = F.col(f"__j.{_CORRUPT}").isNotNull()
+    bad = F.col("__j").isNull() | F.col(f"__j.{_CORRUPT}").isNotNull()
     good = parsed.filter(~bad).select(
         *[F.col(f"__j.{f.name}").alias(f.name) for f in schema.fields]
     )

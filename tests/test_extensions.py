@@ -535,12 +535,18 @@ def test_corpus_shards_and_manifest(spark, docs, tmp_path):
         docs.select("doc_id", "text", "lang").repartition(7), out2, rows_per_shard=150
     )
     m2 = shard_manifest(spark, out2).collect()
-    from functools import reduce
-    from operator import xor
+    assert sum(r.content_hash for r in m1) == sum(r.content_hash for r in m2)
 
-    assert reduce(xor, (r.content_hash for r in m1)) == reduce(
-        xor, (r.content_hash for r in m2)
-    )
+    # the hash must discriminate NULL placement across columns
+    # (xxhash64 over bare columns would not: it skips null inputs)
+    from greenbuttonengine_spark.sinks.corpus import write_corpus_shards as w
+    d1 = spark.createDataFrame([(1, None, "x")], "doc_id long, text string, lang string")
+    d2 = spark.createDataFrame([(1, "x", None)], "doc_id long, text string, lang string")
+    o1, o2 = str(tmp_path / "n1"), str(tmp_path / "n2")
+    w(d1, o1); w(d2, o2)
+    h1 = shard_manifest(spark, o1).first().content_hash
+    h2 = shard_manifest(spark, o2).first().content_hash
+    assert h1 != h2
 
 
 def test_semantic_dedup_recall_and_precision(spark, emb):
@@ -606,3 +612,19 @@ def test_contamination_shuffle_join_variant_identical(spark):
     # convert it back to broadcast, which is the desired adaptivity
     logical = b._jdf.queryExecution().optimizedPlan().toString()
     assert "ResolvedHint" not in logical and "UnresolvedHint" not in logical
+
+
+def test_jsonl_blank_and_scalar_lines(spark, tmp_path):
+    """Blank/whitespace lines are separators (dropped, never phantom
+    all-NULL rows); non-object JSON scalars route to errors."""
+    from greenbuttonengine_spark.sources.text_corpus import read_jsonl
+
+    p = tmp_path / "edge"
+    p.mkdir()
+    (p / "x.json").write_text(
+        '{"doc_id": 1, "text": "ok", "lang": "en", "source": "s", "n_chars": 2}\n'
+        "\n   \nnull\n123\n\"str\"\n[1,2]\n"
+    )
+    good, errors = read_jsonl(spark, str(p))
+    assert [(r.doc_id, r.text) for r in good.collect()] == [(1, "ok")]
+    assert sorted(r.raw_line for r in errors.collect()) == ['"str"', "123", "[1,2]", "null"]
