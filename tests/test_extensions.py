@@ -628,3 +628,24 @@ def test_jsonl_blank_and_scalar_lines(spark, tmp_path):
     good, errors = read_jsonl(spark, str(p))
     assert [(r.doc_id, r.text) for r in good.collect()] == [(1, "ok")]
     assert sorted(r.raw_line for r in errors.collect()) == ['"str"', "123", "[1,2]", "null"]
+
+
+def test_training_mix_to_shards_end_to_end(spark, tmp_path):
+    """The flagship path a trainer consumes: pipeline_training_mix ->
+    JSONL shards -> manifest certifying exactly the mix rows."""
+    import __spark_entry__ as e
+    from pyspark.sql import types as T
+
+    from greenbuttonengine_spark.sinks.corpus import shard_manifest, write_corpus_shards
+
+    mix = e.queries()["pipeline_training_mix"](spark, SF)
+    n_mix = mix.count()
+    out = str(tmp_path / "mix_shards")
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("lang", T.StringType()),
+         T.StructField("source", T.StringType())]
+    )
+    write_corpus_shards(mix, out, rows_per_shard=100, fmt="jsonl")
+    m = shard_manifest(spark, out, fmt="jsonl", schema=schema).collect()
+    assert sum(r.n_rows for r in m) == n_mix
+    assert len(m) == -(-n_mix // 100)
