@@ -30,12 +30,20 @@ def write_corpus_shards(
     path: str,
     rows_per_shard: int = 100_000,
     fmt: str = "parquet",
+    n_shards: int | None = None,
 ) -> int:
     """Write ``df`` as ~``rows_per_shard``-row shards; returns the
     shard count.  Round-robin repartition gives every shard within one
-    row of the mean — no skew no matter how the upstream was keyed."""
-    total = df.count()
-    n_shards = max(1, math.ceil(total / rows_per_shard))
+    row of the mean — no skew no matter how the upstream was keyed.
+
+    The shard grid needs a row count, which executes ``df`` once
+    before the write executes it again — for an expensive upstream
+    (e.g. a full dedup cascade) either persist/localCheckpoint the
+    DataFrame first or pass ``n_shards`` explicitly to skip the
+    counting pass."""
+    if n_shards is None:
+        total = df.count()
+        n_shards = max(1, math.ceil(total / rows_per_shard))
     writer = df.repartition(n_shards).write.mode("overwrite")
     if fmt == "jsonl":
         writer.json(path)
