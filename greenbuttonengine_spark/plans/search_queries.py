@@ -87,7 +87,7 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BM25_TERMS = ("hash", "join", "vector")
 
 
-def _bm25_sql(terms: tuple[str, ...]) -> str:
+def _bm25_sql(terms: tuple[str, ...], limit: int = 10) -> str:
     for t in terms:
         if not t.isascii() or not t.isalpha() or t != t.lower():
             raise ValueError(
@@ -131,7 +131,7 @@ def _bm25_sql(terms: tuple[str, ...]) -> str:
     )
     WHERE score > 0
     ORDER BY score DESC, doc_id ASC
-    LIMIT 10
+    LIMIT {limit}
     """
 
 
@@ -148,4 +148,77 @@ def _bm25_sql(terms: tuple[str, ...]) -> str:
 def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search.bm25_topk(
         load_table(spark, "documents", sf_dir), list(_BM25_TERMS), k=10
+    )
+
+
+def _hybrid_sql() -> str:
+    return f"""
+    WITH lex_base AS (
+        SELECT * FROM ({_bm25_sql(_BM25_TERMS, 20)}) tl
+    ), lex AS (
+        SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r
+        FROM lex_base
+    ), vq AS (
+        SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+    ), vs AS (
+        SELECT e.vec_id AS doc_id,
+               list_dot_product(vq.qv, e.v)
+                   / (sqrt(list_dot_product(vq.qv, vq.qv))
+                      * sqrt(list_dot_product(e.v, e.v))) AS cosine
+        FROM (SELECT vec_id, embedding::DOUBLE[] AS v
+              FROM embeddings WHERE vec_id <> 0) e CROSS JOIN vq
+    ), vec AS (
+        SELECT doc_id, r FROM (
+            SELECT doc_id, row_number() OVER (ORDER BY cosine DESC, doc_id) AS r
+            FROM vs
+        ) WHERE r <= 20
+    )
+    SELECT doc_id,
+           COALESCE(1.0 / (60 + lex.r), 0.0)
+               + COALESCE(1.0 / (60 + vec.r), 0.0) AS rrf
+    FROM lex FULL JOIN vec USING (doc_id)
+    ORDER BY rrf DESC, doc_id
+    LIMIT 10
+    """
+
+
+@register(
+    "search_hybrid_rrf",
+    _hybrid_sql(),
+    tags=("search", "tiny-bnlj", "tiny-global-window", "all-pairs"),
+    doc="Hybrid retrieval: BM25 lexical top-20 fused with embedding "
+    "cosine top-20 (query = vec 0) by reciprocal-rank fusion "
+    "score = sum 1/(60+rank). The modern RAG retrieval shape: both "
+    "legs stay distributed (one (doc,term) shuffle; one broadcast "
+    "query-vector scan), the fusion join touches 40 rows. RRF uses "
+    "only integer ranks -> bit-deterministic doubles. Rank windows "
+    "run over the 20-row leg results (tiny-global-window).",
+)
+def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from ..extensions import similarity
+
+    docs = load_table(spark, "documents", sf_dir)
+    emb = load_table(spark, "embeddings", sf_dir)
+
+    lex = search.bm25_topk(docs, list(_BM25_TERMS), k=20).select(
+        "doc_id",
+        F.row_number()
+        .over(W.orderBy(F.desc("score"), F.asc("doc_id")))
+        .alias("rl"),
+    )
+    vec = (
+        similarity.cosine_topk(emb, emb.filter(F.col("vec_id") == 0), k=20)
+        .select(F.col("neighbor_id").alias("doc_id"), F.col("rank").alias("rv"))
+    )
+    rrf = F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("rl")), F.lit(0.0)) + F.coalesce(
+        F.lit(1.0) / (F.lit(60) + F.col("rv")), F.lit(0.0)
+    )
+    return (
+        lex.join(vec, "doc_id", "full")
+        .select("doc_id", rrf.alias("rrf"))
+        .orderBy(F.desc("rrf"), F.asc("doc_id"))
+        .limit(10)
     )
