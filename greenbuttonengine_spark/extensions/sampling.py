@@ -104,3 +104,51 @@ def sample_temperature(
         .filter(keep)
         .drop("__rate", "__stratum")
     )
+
+
+def assign_splits(
+    df: DataFrame,
+    key_col: str,
+    val_rate: float = 0.05,
+    test_rate: float = 0.05,
+    buckets: int = _BUCKETS,
+) -> DataFrame:
+    """Deterministic train/val/test assignment: the key's bucket falls
+    into [0, val), [val, val+test) or the remainder — every engine,
+    retry, and backfill assigns the same row to the same split, and a
+    row can never leak between splits across runs (the failure mode of
+    RNG-based splitting).  Scan-stage CASE, no shuffle."""
+    b = hash_bucket(F.col(key_col), buckets)
+    val_hi = int(val_rate * buckets)
+    test_hi = val_hi + int(test_rate * buckets)
+    split = (
+        F.when(b < val_hi, F.lit("val"))
+        .when(b < test_hi, F.lit("test"))
+        .otherwise(F.lit("train"))
+    )
+    return df.withColumn("split", split)
+
+
+def sample_fixed_per_stratum(
+    df: DataFrame,
+    stratum_col: str,
+    key_col: str,
+    n_per_stratum: int,
+    buckets: int = _BUCKETS,
+) -> DataFrame:
+    """Exactly min(n, stratum size) rows per stratum, deterministically:
+    rows ranked inside each stratum by (hash bucket, key) and the first
+    ``n`` kept.  The fixed-size eval-set draw: unlike rate-based
+    sampling the output size is exact, and the (bucket, key) order
+    makes the draw pseudo-random but stable under reruns and
+    repartitioning.  One shuffle (the per-stratum rank window)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(stratum_col).orderBy(
+        hash_bucket(F.col(key_col), buckets), F.col(key_col)
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_per_stratum)
+        .drop("__rn")
+    )

@@ -1047,3 +1047,67 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.semantic_dedup_pairs(
         load_table(spark, "embeddings", sf_dir), threshold=0.3
     )
+
+
+@register(
+    "sample_train_val_test",
+    """
+    SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS min_id,
+           CAST(MAX(doc_id) AS BIGINT) AS max_id
+    FROM (
+        SELECT doc_id,
+               CASE WHEN ((doc_id % 2147483648) * 1103515245 + 12345)
+                         // 65536 % 10000 < 500 THEN 'val'
+                    WHEN ((doc_id % 2147483648) * 1103515245 + 12345)
+                         // 65536 % 10000 < 1000 THEN 'test'
+                    ELSE 'train' END AS split
+        FROM documents
+    ) GROUP BY split
+    """,
+    tags=("sampling",),
+    doc="Deterministic train/val/test assignment (90/5/5 by LCG bucket "
+    "ranges of doc_id): same row -> same split on every engine, retry "
+    "and backfill — no RNG leakage between splits. Scan-stage CASE; "
+    "the summary here is one tiny aggregate.",
+)
+def sample_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.sampling import assign_splits
+
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        assign_splits(docs, "doc_id", val_rate=0.05, test_rate=0.05)
+        .groupBy("split")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("min_id"),
+            F.max("doc_id").cast("bigint").alias("max_id"),
+        )
+    )
+
+
+@register(
+    "sample_eval_per_lang",
+    """
+    SELECT doc_id, lang FROM (
+        SELECT doc_id, lang,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY ((doc_id % 2147483648) * 1103515245 + 12345)
+                            // 65536 % 10000, doc_id) AS rn
+        FROM documents
+    ) WHERE rn <= 25
+    """,
+    tags=("sampling",),
+    doc="Fixed-size per-language eval draw: exactly min(25, n_lang) "
+    "docs per language, ranked by (LCG bucket, id) — exact output "
+    "size (rate sampling can't give that) and stable under reruns / "
+    "repartitioning. One per-stratum rank window.",
+)
+def sample_eval_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.sampling import sample_fixed_per_stratum
+
+    docs = load_table(spark, "documents", sf_dir)
+    return sample_fixed_per_stratum(docs, "lang", "doc_id", n_per_stratum=25).select(
+        "doc_id", "lang"
+    )

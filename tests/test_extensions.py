@@ -649,3 +649,41 @@ def test_training_mix_to_shards_end_to_end(spark, tmp_path):
     m = shard_manifest(spark, out, fmt="jsonl", schema=schema).collect()
     assert sum(r.n_rows for r in m) == n_mix
     assert len(m) == -(-n_mix // 100)
+
+
+def test_split_assignment_and_fixed_draw(spark):
+    """Splits are disjoint/exhaustive with ~90/5/5 rates and stable
+    under repartitioning; the fixed draw returns exactly n per stratum
+    and the same membership regardless of layout."""
+    from greenbuttonengine_spark.extensions.sampling import (
+        assign_splits,
+        sample_fixed_per_stratum,
+    )
+    from greenbuttonengine_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.01")
+    sp = assign_splits(docs, "doc_id")
+    counts = {r.split: r.n for r in sp.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    total = sum(counts.values())
+    assert total == docs.count()
+    assert 0.02 < counts.get("val", 0) / total < 0.10
+    assert 0.02 < counts.get("test", 0) / total < 0.10
+    m1 = {(r.doc_id, r.split) for r in sp.select("doc_id", "split").collect()}
+    m2 = {
+        (r.doc_id, r.split)
+        for r in assign_splits(docs.repartition(11), "doc_id").select("doc_id", "split").collect()
+    }
+    assert m1 == m2
+
+    draw = sample_fixed_per_stratum(docs, "lang", "doc_id", 25)
+    per = {r.lang: r.n for r in draw.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    lang_tot = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for lang, n in per.items():
+        assert n == min(25, lang_tot[lang]), (lang, n)
+    d1 = {r.doc_id for r in draw.select("doc_id").collect()}
+    d2 = {
+        r.doc_id
+        for r in sample_fixed_per_stratum(docs.repartition(11), "lang", "doc_id", 25)
+        .select("doc_id").collect()
+    }
+    assert d1 == d2
