@@ -1111,3 +1111,37 @@ def sample_eval_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_fixed_per_stratum(docs, "lang", "doc_id", n_per_stratum=25).select(
         "doc_id", "lang"
     )
+
+
+@register(
+    "embedding_label_centroids",
+    """
+    SELECT label, CAST(pos AS BIGINT) AS pos,
+           CAST(SUM(q) AS DOUBLE) / COUNT(*) / 1048576.0 AS mean_val
+    FROM (
+        SELECT label,
+               CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1048576) AS BIGINT) AS q,
+               unnest([i for i in generate_series(0, len(embedding) - 1)]) AS pos
+        FROM embeddings
+    )
+    GROUP BY label, pos
+    """,
+    tags=("embeddings",),
+    doc="Per-label centroid (class prototype / IVF-coarse seed): "
+    "dimension-wise mean via posexplode + one (label, pos) hash "
+    "aggregate.  Components are quantized to the exact binary grid "
+    "2^-20 (multiply-by-2^20 is exact fp; error <= 5e-7, far below "
+    "float32 noise) so sums are exact BIGINTs below 2^53 and every "
+    "later double op is one correctly-rounded step — decimal "
+    "accumulators are NOT enough here because the DECIMAL->DOUBLE "
+    "cast itself differs by 1 ulp between engines. Emitted as "
+    "(label, pos, mean_val) rows.",
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    ex = emb.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "val")
+    ).withColumn("q", F.round(F.col("val") * 1048576).cast("bigint"))
+    return ex.groupBy("label", F.col("pos").cast("bigint").alias("pos")).agg(
+        (F.sum("q").cast("double") / F.count("*") / F.lit(1048576.0)).alias("mean_val")
+    )
