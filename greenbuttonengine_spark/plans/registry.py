@@ -14,6 +14,24 @@ Cross-engine determinism rules (so the driver's value-hash matches):
 * Every computed column is aliased to the same name on both sides.
 * Ranking/limit queries carry explicit total-order keys (no ties).
 * Integer-valued results are cast to BIGINT on both sides.
+
+Hard-won refinements (each found as a real oracle mismatch):
+
+* The DECIMAL->DOUBLE cast is itself engine-dependent at high
+  precision: DuckDB scales the int128 payload in floating point (two
+  roundings) while Java BigDecimal rounds the true value once — up to
+  1 ulp apart.  When inputs are quantized (cents, fixed grids), sum
+  exact BIGINTs below 2^53 instead and do all later math in double:
+  every step is then one correctly-rounded op on bit-identical inputs
+  (anomaly_zscore_events, embedding_label_centroids).
+* FLOAT->DECIMAL diverges too: DuckDB rounds the float's shortest
+  decimal repr, Spark the exact binary expansion (~1e-9 apart).
+  Widen float->double explicitly before any decimal cast.
+* floor(log2(x)) at power-of-two boundaries is libm-dependent; use
+  bit_length-1 / length(bin(x))-1 (corpus_length_histogram).
+* Spark decimal multiplication silently reduces scale when the exact
+  result exceeds precision 38; keep operand precision low enough that
+  products fit exactly, or the engines keep different digits.
 """
 
 from __future__ import annotations
