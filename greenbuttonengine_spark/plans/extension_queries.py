@@ -1145,3 +1145,39 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ex.groupBy("label", F.col("pos").cast("bigint").alias("pos")).agg(
         (F.sum("q").cast("double") / F.count("*") / F.lit(1048576.0)).alias("mean_val")
     )
+
+
+@register(
+    "multimodal_hist_verify",
+    """
+    WITH h AS (
+        SELECT doc_id, md5(text) || md5(reverse(text)) AS hx FROM documents
+    ), pos AS (
+        SELECT doc_id,
+               strpos('0123456789abcdef', substring(hx, 2 * i - 1, 1)) - 1 AS bin
+        FROM h, generate_series(1, 32) t(i)
+    ), cnt AS (
+        SELECT doc_id, bin, COUNT(*) AS n FROM pos GROUP BY 1, 2
+    ), grid AS (
+        SELECT doc_id, g.b AS bin FROM h, generate_series(0, 15) g(b)
+    )
+    SELECT grid.doc_id, CAST(grid.bin AS BIGINT) AS bin,
+           COALESCE(CAST(cnt.n AS DOUBLE), 0.0) / 32.0 AS share
+    FROM grid LEFT JOIN cnt ON cnt.doc_id = grid.doc_id AND cnt.bin = grid.bin
+    """,
+    tags=("multimodal",),
+    doc="Oracle-verified multimodal feature stage: the SAME Arrow "
+    "mapInPandas numpy histogram as multimodal_byte_histogram, "
+    "exploded to (doc_id, bin, share) scalar rows and cross-checked "
+    "against a pure-SQL reconstruction (fake blob = unhex(md5||md5), "
+    "so the high nibble of byte i is a hex char the oracle can count; "
+    "share = n/32 is an exact power-of-two division). This closes the "
+    "loop on the one Python extension stage: the UDF's numeric output "
+    "is value-hash-matched cross-engine, not just pytest-shaped.",
+)
+def multimodal_hist_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    feats = multimodal.extract_features(multimodal.attach_fake_media(docs), allow_fake=True)
+    return feats.select(
+        "doc_id", F.posexplode("byte_histogram").alias("bin", "share")
+    ).select("doc_id", F.col("bin").cast("bigint").alias("bin"), "share")
