@@ -516,7 +516,12 @@ def pack_sequences_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Python union-find.",
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = dedup.ngram_jaccard_pairs(load_table(spark, "documents", sf_dir), threshold=0.8)
+    # prefix variant: result-identical to the plain sparse join (same
+    # oracle) and ~10x faster at sf0.1 (13s vs 132s) because hot
+    # common shingles never enter the candidate join
+    pairs = dedup.ngram_jaccard_pairs_prefix(
+        load_table(spark, "documents", sf_dir), threshold=0.8
+    )
     return dedup.duplicate_clusters(pairs)
 
 
@@ -682,7 +687,10 @@ def text_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "oracle as dedup_clusters plus the keep flag.",
 )
 def dedup_keeper_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = dedup.ngram_jaccard_pairs(load_table(spark, "documents", sf_dir), threshold=0.8)
+    # prefix variant: same exact pairs, skew-proof (see dedup_clusters)
+    pairs = dedup.ngram_jaccard_pairs_prefix(
+        load_table(spark, "documents", sf_dir), threshold=0.8
+    )
     return dedup.dedup_keepers(pairs)
 
 
