@@ -1,0 +1,78 @@
+"""Streaming corpus admission: continuous JSONL ingest where every
+micro-batch is deduplicated against the corpus accepted so far.
+
+The composition a production crawl pipeline runs end to end:
+
+    drop dir --stream_jsonl--> good lines
+        --foreachBatch--> incremental_dedup(batch, fingerprint store)
+            accept        -> append to the accepted corpus + store
+            dup_in_batch  -> dropped (batch-internal copy)
+            dup_of_corpus -> dropped (already accepted in a past batch)
+
+State is the FINGERPRINT STORE, not Spark streaming state: admission
+history must outlive any one query (restarts, reprocessing, multiple
+writers), so it lives as a parquet table appended per batch — the
+bounded-state streaming dedup (`stateful.dedup_stream`) covers the
+in-flight window; this covers forever.
+
+Failure posture: foreachBatch is at-least-once — a crash between the
+corpus append and the store append can admit a batch's rows twice on
+replay.  The bronze module's epoch-commit pattern (`streaming/
+bronze.py`) is the exactly-once upgrade; this module keeps the simple
+shape because re-admitting a replayed batch is self-healing (its
+fingerprints are in the store, so the replay classifies every row
+dup_of_corpus).  Store appends are idempotent-by-distinct at read time.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..extensions.dedup import incremental_dedup
+from ..sources.text_corpus import DOCUMENTS_SCHEMA, stream_jsonl
+
+
+def _read_store(spark: SparkSession, store_dir: str) -> DataFrame:
+    if os.path.isdir(store_dir) and any(
+        f.endswith(".parquet") for f in os.listdir(store_dir)
+    ):
+        return spark.read.parquet(store_dir)
+    return spark.createDataFrame([], "fingerprint string")
+
+
+def start_admission_stream(
+    spark: SparkSession,
+    drop_dir: str,
+    accepted_dir: str,
+    store_dir: str,
+    checkpoint_dir: str,
+    schema=DOCUMENTS_SCHEMA,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Watch ``drop_dir`` for JSONL shards; append admitted rows to
+    ``accepted_dir`` and their fingerprints to ``store_dir``."""
+    good, _errors = stream_jsonl(spark, drop_dir, schema=schema)
+
+    def admit(batch: DataFrame, epoch_id: int) -> None:
+        if not batch.columns:
+            return
+        sess = batch.sparkSession
+        store = _read_store(sess, store_dir).distinct()
+        verdicts = incremental_dedup(batch, store)
+        accepted_ids = verdicts.filter(F.col("verdict") == "accept").select(
+            "doc_id", "fingerprint"
+        )
+        accepted = batch.join(accepted_ids.select("doc_id"), "doc_id", "left_semi")
+        accepted.write.mode("append").parquet(accepted_dir)
+        accepted_ids.select("fingerprint").write.mode("append").parquet(store_dir)
+
+    writer = good.writeStream.foreachBatch(admit).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

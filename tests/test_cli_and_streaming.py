@@ -233,3 +233,45 @@ def test_stream_jsonl_good_and_error_channels(spark, tmp_path):
         "shard a must not be re-ingested after restart"
     errs = [r.raw_line for r in spark.read.parquet(quarantine).collect()]
     assert len(errs) == 2 and all(e.startswith("garbled") for e in errs)
+
+
+def test_admission_stream_dedups_across_drops(spark, tmp_path):
+    """Streaming admission: batch-internal copies collapse, and a
+    later drop's duplicates of already-accepted docs are rejected via
+    the persistent fingerprint store (across separate query runs)."""
+    import json
+
+    from greenbuttonengine_spark.streaming.admission import start_admission_stream
+
+    drop = tmp_path / "drop"; drop.mkdir()
+    accepted = str(tmp_path / "accepted")
+    store = str(tmp_path / "store")
+    cp = str(tmp_path / "cp")
+
+    def doc(i, text):
+        return {"doc_id": i, "text": text, "lang": "en", "source": "s",
+                "n_chars": len(text)}
+
+    def shard(name, rows):
+        with open(drop / name, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    # drop 1: two distinct docs + a batch-internal normalized copy
+    shard("a.jsonl", [doc(1, "alpha text"), doc(2, "beta text"),
+                      doc(3, "ALPHA   TEXT")])
+    q = start_admission_stream(spark, str(drop), accepted, store, cp,
+                               available_now=True)
+    q.awaitTermination(120)
+    got = {r.doc_id for r in spark.read.parquet(accepted).collect()}
+    assert got == {1, 2}, got
+
+    # drop 2 (new query run, same store): a corpus dup + a fresh doc
+    shard("b.jsonl", [doc(4, "alpha  TEXT"), doc(5, "gamma text")])
+    q = start_admission_stream(spark, str(drop), accepted, store, cp,
+                               available_now=True)
+    q.awaitTermination(120)
+    got = {r.doc_id for r in spark.read.parquet(accepted).collect()}
+    assert got == {1, 2, 5}, got
+    fps = [r.fingerprint for r in spark.read.parquet(store).collect()]
+    assert len(set(fps)) == 3
