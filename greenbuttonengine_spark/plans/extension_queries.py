@@ -633,15 +633,8 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
-    ws = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
-    bigrams = F.transform(
-        F.sequence(F.lit(1), F.size(ws) - 1),
-        lambda i: F.concat(
-            F.element_at(ws, i), F.lit(" "), F.element_at(ws, i + F.lit(1))
-        ),
-    )
     return (
-        docs.select(F.explode(bigrams).alias("bigram"))
+        docs.select(F.explode(textstats.word_bigrams(F.col("text"))).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count("*").alias("n"))
         .orderBy(F.desc("n"), "bigram")
