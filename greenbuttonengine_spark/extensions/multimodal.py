@@ -47,9 +47,18 @@ FEATURE_SCHEMA = T.StructType(
 
 
 def attach_fake_media(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Deterministic fake media: unhex(md5(text)) repeated — a stand-in
-    binary payload with realistic plumbing (binary type + meta struct)."""
-    blob = F.unhex(F.concat(F.md5(F.col(text_col)), F.md5(F.reverse(F.col(text_col)))))
+    """Deterministic fake media: unhex(md5(text) || md5(text||'#2')) — a
+    stand-in binary payload with realistic plumbing (binary type + meta
+    struct).  The second half salts with concat, NOT reverse(text):
+    DuckDB reverses grapheme clusters while Spark reverses codepoints,
+    so a reverse-based blob diverges cross-engine on combining marks
+    (latent on the ASCII corpus, but the oracle must not depend on it)."""
+    blob = F.unhex(
+        F.concat(
+            F.md5(F.col(text_col)),
+            F.md5(F.concat(F.col(text_col), F.lit("#2"))),
+        )
+    )
     meta = F.struct(
         F.lit("image/fake").alias("kind"),
         F.lit(8).alias("width"),

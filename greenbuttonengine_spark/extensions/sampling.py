@@ -119,8 +119,9 @@ def assign_splits(
     row can never leak between splits across runs (the failure mode of
     RNG-based splitting).  Scan-stage CASE, no shuffle."""
     b = hash_bucket(F.col(key_col), buckets)
-    val_hi = int(val_rate * buckets)
-    test_hi = val_hi + int(test_rate * buckets)
+    # round, don't truncate: 0.29 * 10000 is 2899.999... in fp
+    val_hi = int(round(val_rate * buckets))
+    test_hi = val_hi + int(round(test_rate * buckets))
     split = (
         F.when(b < val_hi, F.lit("val"))
         .when(b < test_hi, F.lit("test"))

@@ -1152,7 +1152,7 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_hist_verify",
     """
     WITH h AS (
-        SELECT doc_id, md5(text) || md5(reverse(text)) AS hx FROM documents
+        SELECT doc_id, md5(text) || md5(text || '#2') AS hx FROM documents
     ), pos AS (
         SELECT doc_id,
                strpos('0123456789abcdef', substring(hx, 2 * i - 1, 1)) - 1 AS bin
@@ -1170,7 +1170,7 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Oracle-verified multimodal feature stage: the SAME Arrow "
     "mapInPandas numpy histogram as multimodal_byte_histogram, "
     "exploded to (doc_id, bin, share) scalar rows and cross-checked "
-    "against a pure-SQL reconstruction (fake blob = unhex(md5||md5), "
+    "against a pure-SQL reconstruction (fake blob = unhex(md5(text)||md5(text||'#2')), "
     "so the high nibble of byte i is a hex char the oracle can count; "
     "share = n/32 is an exact power-of-two division). This closes the "
     "loop on the one Python extension stage: the UDF's numeric output "

@@ -43,7 +43,8 @@ def write_corpus_shards(
     counting pass."""
     if n_shards is None:
         total = df.count()
-        n_shards = max(1, math.ceil(total / rows_per_shard))
+        n_shards = math.ceil(total / rows_per_shard)
+    n_shards = max(1, n_shards)
     writer = df.repartition(n_shards).write.mode("overwrite")
     if fmt == "jsonl":
         writer.json(path)

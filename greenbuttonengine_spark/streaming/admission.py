@@ -15,13 +15,17 @@ writers), so it lives as a parquet table appended per batch — the
 bounded-state streaming dedup (`stateful.dedup_stream`) covers the
 in-flight window; this covers forever.
 
-Failure posture: foreachBatch is at-least-once — a crash between the
-corpus append and the store append can admit a batch's rows twice on
-replay.  The bronze module's epoch-commit pattern (`streaming/
-bronze.py`) is the exactly-once upgrade; this module keeps the simple
-shape because re-admitting a replayed batch is self-healing (its
-fingerprints are in the store, so the replay classifies every row
-dup_of_corpus).  Store appends are idempotent-by-distinct at read time.
+Failure posture: foreachBatch is at-least-once.  A crash AFTER the
+store append (but before checkpoint commit) is self-healing: the
+replayed batch finds its fingerprints in the store and classifies
+every row dup_of_corpus.  A crash BETWEEN the corpus append and the
+store append re-admits that batch's rows on replay — duplicate rows
+in the accepted corpus, which the downstream exact-dedup pass removes
+(never silent loss; the write order is corpus-first deliberately,
+since store-first would drop the batch's rows forever on the same
+crash).  The bronze module's epoch-commit pattern
+(`streaming/bronze.py`) is the exactly-once upgrade.  Store appends
+are idempotent-by-distinct at read time.
 """
 
 from __future__ import annotations
@@ -60,13 +64,24 @@ def start_admission_stream(
     def admit(batch: DataFrame, epoch_id: int) -> None:
         if not batch.columns:
             return
+        from ..extensions.textstats import fingerprint_col
+
         sess = batch.sparkSession
-        store = _read_store(sess, store_dir).distinct()
+        # incremental_dedup distincts its store side itself; the verdict
+        # pipeline feeds two writes, so materialize it ONCE (otherwise
+        # each write re-reads the store and re-runs the join/window)
+        store = _read_store(sess, store_dir)
         verdicts = incremental_dedup(batch, store)
         accepted_ids = verdicts.filter(F.col("verdict") == "accept").select(
             "doc_id", "fingerprint"
-        )
-        accepted = batch.join(accepted_ids.select("doc_id"), "doc_id", "left_semi")
+        ).localCheckpoint()
+        # join on (doc_id, fingerprint), not doc_id alone: if a batch
+        # carries two different texts under one doc_id, only the row
+        # whose fingerprint was actually accepted may land
+        keyed = batch.withColumn("fingerprint", fingerprint_col(F.col("text")))
+        accepted = keyed.join(
+            accepted_ids, ["doc_id", "fingerprint"], "left_semi"
+        ).drop("fingerprint")
         accepted.write.mode("append").parquet(accepted_dir)
         accepted_ids.select("fingerprint").write.mode("append").parquet(store_dir)
 
