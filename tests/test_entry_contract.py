@@ -58,3 +58,30 @@ def test_sql_surface_via_registered_views(spark):
     assert spark.sql(
         "SELECT MIN(ts) AS t FROM events"
     ).first().t is not None
+
+
+def test_gate_rotation_ordering():
+    """The driver checks a 50-row budget in queries() order: never-
+    driver-checked oracle queries must come first, already-checked ones
+    after, rows-only after that, and the slow ESPI ingest dead last."""
+    import __spark_entry__ as e
+    from greenbuttonengine_spark.plans import registry
+
+    e.queries()
+    names = e._ordered_names(registry)
+    assert set(names) == set(registry.QUERIES)
+    phase = []
+    for n in names:
+        if n in e._LAST:
+            phase.append(3)
+        elif n not in registry.ORACLES:
+            phase.append(2)
+        elif n in e._DRIVER_CHECKED:
+            phase.append(1)
+        else:
+            phase.append(0)
+    assert phase == sorted(phase), "gate order must be new-oracle, checked, rows-only, espi"
+    assert names[-1] == "espi_egd_timeseries"
+    # every _DRIVER_CHECKED name must still exist (renames would
+    # silently re-shuffle the budget)
+    assert e._DRIVER_CHECKED <= set(registry.QUERIES)
