@@ -66,9 +66,14 @@ def _split_lines(lines: DataFrame, schema: T.StructType) -> tuple[DataFrame, Dat
 
 
 def write_jsonl(df: DataFrame, path: str, compression: str | None = None) -> None:
-    """One JSON object per line; optionally gzip/zstd per file.
+    """One JSON object per line; optionally compressed per file.
     Partition count = file count — callers coalesce/repartition to set
-    output file sizes (aim ~128-512 MB per file at scale)."""
+    output file sizes (aim ~128-512 MB per file at scale).
+
+    Compression choice matters at scale: gzip files are NOT splittable
+    (one task per file on read — size files accordingly), so prefer
+    uncompressed or a splittable/indexed codec when read parallelism
+    within a file matters."""
     w = df.write.mode("overwrite")
     if compression:
         w = w.option("compression", compression)

@@ -687,3 +687,21 @@ def test_split_assignment_and_fixed_draw(spark):
         .select("doc_id").collect()
     }
     assert d1 == d2
+
+
+def test_jsonl_gzip_roundtrip(spark, docs, tmp_path):
+    """Compressed JSONL round-trips value-identically through the same
+    tolerant reader (gzip shards decode transparently)."""
+    import glob
+
+    from greenbuttonengine_spark.sources.text_corpus import read_jsonl, write_jsonl
+
+    out = str(tmp_path / "gz")
+    write_jsonl(docs, out, compression="gzip")
+    assert glob.glob(f"{out}/part-*.json.gz"), "expected gzip shards"
+    good, errors = read_jsonl(spark, out)
+    assert errors.count() == 0
+    assert good.count() == docs.count()
+    a = {r.doc_id: r.text for r in docs.collect()}
+    b = {r.doc_id: r.text for r in good.collect()}
+    assert a == b
