@@ -45,11 +45,16 @@ def _registry():
 _LAST = ("espi_egd_timeseries",)
 
 # The driver's gate checks a 50-row budget per round.  These names
-# already have green rows in CORRECTNESS_r01/r03; rotating them to the
-# back lets the budget fall on the queries the driver has never
-# verified, so cumulative driver coverage grows round over round.
+# already have green rows in CORRECTNESS_r01/r03/r04; ordering them
+# after the never-verified queries lets the budget fall on new signal
+# first, so cumulative driver coverage grows round over round.  The
+# slots left over after the new block land on a deterministically
+# ROTATED slice of the checked set (seeded by how many CORRECTNESS
+# files exist), so regressions in already-verified queries stay
+# catchable and every checked query is re-verified periodically.
 _DRIVER_CHECKED = frozenset(
     {
+        # r01/r03
         "q1_pricing_summary", "s1_scan_filter_project", "p2_conditional_projection",
         "p3_regex_key_extract", "p4_prefix_strip", "p5_empty_default_cast",
         "p6_unit_scaling", "p7_cost_normalization", "p8_hex_roundtrip",
@@ -66,8 +71,34 @@ _DRIVER_CHECKED = frozenset(
         "d1_date_trunc_rollup", "str1_string_functions", "rj1_time_neighbor_pairs",
         "gs1_grouping_sets", "sessionize_events", "rollup_revenue", "cube_counts",
         "pivot_returnflag", "agg_percentiles", "asof_last_click_before_purchase",
+        # r04 greens (math1_functions stays out: its r4 row was red —
+        # dtype-only hash mismatch, fixed in r5, must re-verify)
+        "w4_ntile_percent_rank", "s6_influx_line_projection",
+        "str2_string_functions", "o8_distinct", "o9_intersect_all",
+        "a5_salted_skew_aggregate", "json_extract_props", "q3_shipping_priority",
+        "q5_local_supplier_volume", "sessionize_native_window",
+        "funnel_conversion", "retention_cohorts", "anomaly_zscore_events",
+        "dedup_exact", "dedup_ngram_jaccard", "dedup_ngram_jaccard_prefix",
+        "dedup_embedding_cosine", "ann_bruteforce_topk", "text_token_count",
+        "text_quality_score", "text_lang_id", "pipeline_quality_filter",
+        "text_fingerprint", "embedding_quantize_int8", "sample_stratified_lang",
+        "dedup_clusters", "text_repetition_stats", "multimodal_frame_sample",
+        "text_bigram_topk", "dedup_keeper_decisions", "text_chunk_docs",
+        "text_pii_scan", "corpus_length_histogram", "corpus_source_report",
+        "decontam_ngram_overlap", "sample_temperature_lang", "dedup_incremental",
+        "pipeline_training_mix", "sample_train_val_test", "sample_eval_per_lang",
+        "embedding_label_centroids", "multimodal_hist_verify",
+        "text_postings_stats", "text_tfidf_topk", "search_bm25_topk",
+        "search_hybrid_rrf", "arr1_array_functions", "arr2_posexplode",
+        "text_word_count",
     }
 )
+
+
+def _rotation_seed() -> int:
+    # One CORRECTNESS_r*.json lands per completed round, so their count
+    # is a stable per-round seed for rotating the re-check slice.
+    return len(list(_REPO.glob("CORRECTNESS_r*.json")))
 
 
 def _ordered_names(reg) -> list[str]:
@@ -75,6 +106,11 @@ def _ordered_names(reg) -> list[str]:
     oracle_new = [n for n in names if n in reg.ORACLES and n not in _DRIVER_CHECKED]
     oracle_checked = [n for n in names if n in reg.ORACLES and n in _DRIVER_CHECKED]
     rows_only = [n for n in names if n not in reg.ORACLES]
+    # Rotate the checked block so the budget slots left after the new
+    # queries re-verify a different slice of the inventory each round.
+    if oracle_checked:
+        k = (_rotation_seed() * 29) % len(oracle_checked)
+        oracle_checked = oracle_checked[k:] + oracle_checked[:k]
     return oracle_new + oracle_checked + rows_only + [
         n for n in _LAST if n in reg.QUERIES
     ]

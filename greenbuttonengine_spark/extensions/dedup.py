@@ -453,6 +453,116 @@ def embedding_cosine_pairs(
     )
 
 
+def embedding_cosine_pairs_blocked(
+    emb: DataFrame,
+    threshold: float = 0.3,
+    n_blocks: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine pairs >= threshold via a triangle block join +
+    Arrow-batched vectorized verify — the scale-shaped form of
+    :func:`embedding_cosine_pairs` (bit-identical output).
+
+    Exact pair enumeration at a low threshold is inherently
+    Theta(n^2 * d) FLOPs — no engine avoids that; what an engine CAN
+    fix is how the work is laid out.  The BNLJ all-pairs form streams
+    every row past every other row one pair at a time through an
+    interpreted array fold.  This form instead:
+
+    * assigns each vector to one of B blocks (hash of id),
+    * replicates each vector to the B triangle tasks (i,j), i<=j, that
+      involve its block (one ``explode`` -> shuffle of O(n*B) rows,
+      each task receiving ~2n/B vectors),
+    * computes each task's block-pair cosine matrix in ONE Arrow batch
+      (``applyInPandas``) with a k-ordered numpy accumulation, so the
+      double adds happen in exactly the fold order of the Catalyst/
+      DuckDB expression — bitwise-equal cosines, verified by pytest
+      against the BNLJ form and by the DuckDB oracle.
+
+    Every pair is computed exactly once: a cross-block pair {x,y}
+    exists only in task (block(x), block(y)); a same-block pair only
+    in the diagonal task.  Tasks are uniformly sized (hash blocks), so
+    the quadratic compute spreads evenly across B*(B+1)/2 tasks with
+    no hot key; B is chosen so one task's two blocks (~2n/B vectors)
+    fit an executor's Arrow batch — the standard memory/replication
+    trade (comm O(n*B), per-task compute O((n/B)^2 * d)).  Truly
+    subquadratic needs the approximate paths (:func:`semantic_dedup_pairs`,
+    ``similarity.lsh_topk``), which trade recall for it.
+    """
+    import numpy as np
+    import pandas as pd
+
+    g = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int")
+    tasks = F.expr(
+        f"transform(sequence(0, {n_blocks - 1}),"
+        " t -> named_struct('ti', least(__g, t), 'tj', greatest(__g, t)))"
+    )
+    exploded = (
+        emb.select(F.col(id_col), F.col(vec_col), g.alias("__g"))
+        .select(id_col, vec_col, "__g", F.explode(tasks).alias("__t"))
+        .select(
+            F.col(id_col).alias("vid"),
+            F.col(vec_col).alias("vec"),
+            F.col("__g").alias("blk"),
+            F.col("__t.ti").alias("ti"),
+            F.col("__t.tj").alias("tj"),
+        )
+    )
+
+    def _pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        ti, tj = int(pdf["ti"].iloc[0]), int(pdf["tj"].iloc[0])
+        ids = pdf["vid"].to_numpy()
+        mat = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
+        blk = pdf["blk"].to_numpy()
+        d = mat.shape[1]
+        # k-ordered accumulation: ((0 + x0*y0) + x1*y1) + ... — the
+        # exact IEEE op sequence of the F.aggregate fold / DuckDB
+        # list_dot_product, so cosines are bitwise identical.
+        def seq_norm(m):
+            acc = np.zeros(m.shape[0])
+            for k in range(d):
+                acc += m[:, k] * m[:, k]
+            return np.sqrt(acc)
+
+        def seq_dots(a, b):
+            acc = np.zeros((a.shape[0], b.shape[0]))
+            for k in range(d):
+                acc += np.outer(a[:, k], b[:, k])
+            return acc
+
+        if ti == tj:
+            ia = ib = ids
+            dots = seq_dots(mat, mat)
+            norms = seq_norm(mat)
+            cos = dots / np.outer(norms, norms)
+            r, c = np.where(cos >= threshold)
+            keep = ia[r] < ib[c]
+            r, c = r[keep], c[keep]
+            out_a, out_b, out_c = ia[r], ib[c], cos[r, c]
+        else:
+            am = blk == ti
+            a_ids, b_ids = ids[am], ids[~am]
+            a_mat, b_mat = mat[am], mat[~am]
+            if len(a_ids) == 0 or len(b_ids) == 0:
+                return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+                    {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
+                )
+            cos = seq_dots(a_mat, b_mat) / np.outer(seq_norm(a_mat), seq_norm(b_mat))
+            r, c = np.where(cos >= threshold)
+            out_c = cos[r, c]
+            ra, rb = a_ids[r], b_ids[c]
+            out_a, out_b = np.minimum(ra, rb), np.maximum(ra, rb)
+        return pd.DataFrame(
+            {"id_a": out_a.astype("int64"), "id_b": out_b.astype("int64"),
+             "cosine": out_c}
+        )
+
+    return exploded.groupBy("ti", "tj").applyInPandas(
+        _pairs, "id_a long, id_b long, cosine double"
+    )
+
+
 def duplicate_clusters(
     pairs: DataFrame,
     a_col: str = "id_a",
@@ -674,8 +784,14 @@ def incremental_dedup(
     text = F.col(text_col)
     fp_col = fingerprint_col(text) if normalize else F.md5(text)
     fp = new_batch.select(F.col(id_col), fp_col.alias("fingerprint"))
-    first_in_batch = F.min(id_col).over(Window.partitionBy("fingerprint"))
-    fp = fp.withColumn("__first", first_in_batch == F.col(id_col))
+    # row_number, NOT min(id)==id: a double-delivered shard can carry
+    # two physically identical rows (same id, same text); min==id would
+    # accept both and the admission stream would write the row twice.
+    # row_number picks exactly one representative per fingerprint (ties
+    # on id are identical rows, so the output multiset is
+    # deterministic) with the same single batch-side shuffle.
+    rn = F.row_number().over(Window.partitionBy("fingerprint").orderBy(id_col))
+    fp = fp.withColumn("__first", rn == 1)
     store = corpus_fingerprints.select(
         F.col("fingerprint"), F.lit(True).alias("__known")
     ).distinct()

@@ -137,14 +137,16 @@ def repetition_stats(
     # + element_at form re-evaluates the split per element (measured
     # 4.6s vs 0.4s warm on 5k docs for identical output) and errors on
     # 1-word docs (sequence(1,0) descends to element_at index 0 under
-    # ANSI).  1-word docs get an empty list -> 0/0 -> NaN, matching
-    # the oracle.
+    # ANSI).  Docs with <2 words have an empty bigram list; ANSI-mode
+    # Spark raises DIVIDE_BY_ZERO even for double 0/0, while DuckDB
+    # yields NULL — guard with `when` so both engines emit NULL.
     bi = docs.withColumn("__bg", word_bigrams(F.col(text_col))).select(
         F.col(id_col),
-        (
+        F.when(
+            F.size("__bg") > 0,
             F.lit(1.0)
             - F.size(F.array_distinct(F.col("__bg"))).cast("double")
-            / F.size(F.col("__bg")).cast("double")
+            / F.size(F.col("__bg")).cast("double"),
         ).alias("dup_bigram_frac"),
     )
     return top.join(bi, id_col)

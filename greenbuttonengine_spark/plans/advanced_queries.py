@@ -295,7 +295,7 @@ def str2_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "math1_functions",
     """
     SELECT l_orderkey, l_linenumber,
-           sign(l_extendedprice - 30000.0) AS price_sign,
+           CAST(sign(l_extendedprice - 30000.0) AS DOUBLE) AS price_sign,
            abs(l_discount - 0.05) AS disc_dev,
            CAST(mod(l_orderkey, 7) AS BIGINT) AS key_mod,
            sqrt(l_quantity) AS qty_sqrt,
@@ -678,7 +678,7 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT e.event_id, e.event_type,
            (e.value * 100 - m.mean_c) / m.std_c AS zscore
-    FROM events e JOIN m USING (event_type)
+    FROM events e JOIN (SELECT * FROM m WHERE std_c > 0) m USING (event_type)
     WHERE abs((e.value * 100 - m.mean_c) / m.std_c) > 3.0
     """,
     tags=("analytics",),
@@ -710,6 +710,11 @@ def anomaly_zscore_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             "std_c"
         ),
     )
+    # A zero-variance stratum (single-row group or constant values) has
+    # no outliers by definition; without the filter ANSI-mode Spark
+    # raises DIVIDE_BY_ZERO on std_c = 0 while DuckDB emits inf rows —
+    # both wrong.  Filtering the broadcast side keeps engines aligned.
+    m = m.filter(F.col("std_c") > 0)
     z = (F.col("value") * 100 - F.col("mean_c")) / F.col("std_c")
     return (
         ev.join(F.broadcast(m), "event_type")

@@ -65,14 +65,20 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.8
     """,
     tags=("dedup",),
-    doc="Exact 8-shingle set-Jaccard >= 0.8 via the sparse set-"
-    "similarity join (explode + shingle equi-join + co-occurrence "
-    "count) — the oracle for the MinHash-LSH path, and itself a "
-    "shuffle-on-shingle plan rather than a quadratic cross join. "
-    "Integer set sizes -> bit-deterministic division.",
+    doc="Exact 8-shingle set-Jaccard >= 0.8. Delegates to the prefix-"
+    "filtered AllPairs/PPJoin plan (result-identical, pytest-pinned "
+    "equal to the plain sparse join): the plain shuffle-on-shingle "
+    "join costs sum C(df_shingle, 2), which blows up on boilerplate "
+    "shingles (139.8s vs 12.2s at sf0.1) — the prefix filter keeps "
+    "hot shingles out of candidate generation entirely, so this is "
+    "the declared scale path. dedup.ngram_jaccard_pairs survives as "
+    "the tiny-scale pytest oracle. Integer set sizes -> "
+    "bit-deterministic division.",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.ngram_jaccard_pairs(load_table(spark, "documents", sf_dir), threshold=0.8)
+    return dedup.ngram_jaccard_pairs_prefix(
+        load_table(spark, "documents", sf_dir), threshold=0.8
+    )
 
 
 @register(
@@ -145,13 +151,21 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE list_dot_product(a.v, b.v)
               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.3
     """,
-    tags=("dedup", "all-pairs"),
+    tags=("dedup", "blocked"),
     doc="Embedding cosine near-dup pairs >= 0.3 (the corpus is near-"
-    "orthogonal; 0.3 captures the true near-dup tail). Double folds are "
-    "bit-identical to DuckDB's list_dot_product (validated).",
+    "orthogonal; 0.3 captures the true near-dup tail). Exact pair "
+    "enumeration at this threshold is inherently Theta(n^2*d) FLOPs; "
+    "the declared plan is the triangle block join (hash blocks, "
+    "O(n*B) shuffle, per-task Arrow matrix verify) — evenly "
+    "distributed quadratic compute, no BNLJ, k-ordered numpy adds "
+    "bitwise-equal to DuckDB's list_dot_product (validated). The "
+    "BNLJ all-pairs form survives as the pytest oracle; subquadratic "
+    "requires the approximate paths (dedup_semantic, LSH).",
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.embedding_cosine_pairs(load_table(spark, "embeddings", sf_dir), threshold=0.3)
+    return dedup.embedding_cosine_pairs_blocked(
+        load_table(spark, "embeddings", sf_dir), threshold=0.3
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -705,3 +705,113 @@ def test_jsonl_gzip_roundtrip(spark, docs, tmp_path):
     a = {r.doc_id: r.text for r in docs.collect()}
     b = {r.doc_id: r.text for r in good.collect()}
     assert a == b
+
+
+def test_embedding_cosine_blocked_bitwise_equals_bnlj(spark, emb):
+    """The triangle block join (declared scale path) must reproduce the
+    BNLJ all-pairs oracle BITWISE — same pairs, same float64 cosines —
+    for any block count, including blocks larger than the corpus."""
+    from greenbuttonengine_spark.extensions import dedup
+
+    exact = {
+        (r.id_a, r.id_b): r.cosine
+        for r in dedup.embedding_cosine_pairs(emb, threshold=0.3).collect()
+    }
+    assert exact, "corpus should contain 0.3-cosine pairs"
+    for n_blocks in (1, 5, 8):
+        blocked = {
+            (r.id_a, r.id_b): r.cosine
+            for r in dedup.embedding_cosine_pairs_blocked(
+                emb, threshold=0.3, n_blocks=n_blocks
+            ).collect()
+        }
+        assert blocked == exact, f"n_blocks={n_blocks}: mismatch"
+
+
+def test_repetition_stats_short_docs_yield_null(spark):
+    """Docs with <2 words have no bigrams: dup_bigram_frac must be NULL
+    (matching DuckDB's 0/0 -> NULL), not an ANSI DIVIDE_BY_ZERO crash."""
+    from greenbuttonengine_spark.extensions import textstats
+
+    df = spark.createDataFrame(
+        [(1, "hello"), (2, "a b a b a b"), (3, ""), (4, "x y")],
+        "doc_id int, text string",
+    )
+    out = {r.doc_id: r for r in textstats.repetition_stats(df).collect()}
+    assert out[1].dup_bigram_frac is None
+    assert out[3].dup_bigram_frac is None
+    assert out[2].dup_bigram_frac == pytest.approx(1.0 - 2.0 / 5.0)
+    assert out[4].dup_bigram_frac == 0.0
+
+
+def test_incremental_dedup_double_delivered_row(spark):
+    """A double-delivered shard (same doc_id AND same text twice in one
+    batch) must yield exactly ONE admitted representative — the second
+    physical copy is dup_in_batch, so the accepted corpus never gets
+    the row twice."""
+    from greenbuttonengine_spark.extensions import dedup
+
+    batch = spark.createDataFrame(
+        [(1, "the same row"), (1, "the same row"), (2, "fresh content")],
+        "doc_id long, text string",
+    )
+    store = spark.createDataFrame([("no-match",)], "fingerprint string")
+    verdicts = [
+        r.verdict
+        for r in dedup.incremental_dedup(batch, store)
+        .filter(F.col("doc_id") == 1)
+        .collect()
+    ]
+    assert sorted(verdicts) == ["accept", "dup_in_batch"]
+
+
+def test_anomaly_zscore_zero_variance_stratum(spark, tmp_path):
+    """A constant-value event_type (std = 0) must not abort the query
+    under ANSI (DIVIDE_BY_ZERO) nor emit inf rows — zero-variance
+    strata have no outliers by definition and are filtered."""
+    import __spark_entry__ as e
+
+    rows = [(i, "steady", 5.0) for i in range(10)]
+    rows += [(100 + i, "noisy", float(v)) for i, v in enumerate(
+        [1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 500])]
+    spark.createDataFrame(
+        rows, "event_id long, event_type string, value double"
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = e.queries()["anomaly_zscore_events"](spark, str(tmp_path)).collect()
+    assert all(r.event_type != "steady" for r in out)
+    assert any(r.event_type == "noisy" for r in out)
+
+
+def test_lsh_planted_skew_band(spark, docs):
+    """The declared LSH hot-key posture must actually engage on a
+    degenerate corpus: 180 identical docs collapse into one bucket per
+    band.  With max_bucket below the bucket size the cap drops those
+    buckets (pairs among the copies are the exact-dedup pass's job)
+    while pairs among normal docs are unaffected; with the default cap
+    the skewed bucket still completes and yields exactly C(180,2)
+    est-Jaccard-1.0 pairs among the copies."""
+    from greenbuttonengine_spark.extensions import dedup
+
+    base = docs.filter(F.col("doc_id") < 20).select("doc_id", "text")
+    copies = spark.range(1000, 1180).select(
+        F.col("id").alias("doc_id"),
+        F.lit("boilerplate page exactly repeated across the whole crawl "
+              "with enough length to produce a realistic shingle set").alias("text"),
+    )
+    corpus = base.unionByName(copies)
+
+    base_pairs = {
+        (r.id_a, r.id_b) for r in dedup.minhash_lsh_pairs(base, threshold=0.8).collect()
+    }
+
+    capped = dedup.minhash_lsh_pairs(corpus, threshold=0.8, max_bucket=50)
+    capped_pairs = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert not any(a >= 1000 for a, _ in capped_pairs), "capped bucket leaked pairs"
+    assert {p for p in capped_pairs if p[1] < 1000} == base_pairs
+
+    full = dedup.minhash_lsh_pairs(corpus, threshold=0.8, max_bucket=10000)
+    copy_pairs = [
+        r for r in full.collect() if r.id_a >= 1000 and r.id_b >= 1000
+    ]
+    assert len(copy_pairs) == 180 * 179 // 2
+    assert all(r.est_jaccard == 1.0 for r in copy_pairs)
