@@ -43,6 +43,33 @@ def enum_maps() -> dict[tuple[str, str], dict[int, str]]:
     return _MAPS_CACHE
 
 
+_DECODE_SQL_CACHE: dict[tuple[str, str, str], str] = {}
+
+
+def _decode_sql(code_col: str, field: str, scope: str) -> str:
+    """The literal-map decode as ONE SQL string, cached per process.
+
+    Building the map from ~100 ``F.lit`` Column objects costs ~2 py4j
+    round trips per literal (~0.5s per pipeline construction across the
+    9 decode columns); a single parsed expression string is one round
+    trip total, and the string survives session restarts (Columns are
+    tied to a JVM gateway, strings are not)."""
+    key = (code_col, field, scope)
+    if key not in _DECODE_SQL_CACHE:
+        mapping = enum_maps()[(scope, field)]
+
+        def q(s: str) -> str:
+            return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+        entries = ", ".join(
+            f"{code}, {q(mapping[code])}" for code in sorted(mapping)
+        )
+        _DECODE_SQL_CACHE[key] = (
+            f"coalesce(map({entries})[`{code_col}`], {q(MISSING_APP_INFO)})"
+        )
+    return _DECODE_SQL_CACHE[key]
+
+
 def decode_enum_expr(code_col: str, field: str, scope: str = "ReadingType"):
     """Enum decode as a literal MAP lookup — the Spark analog of the
     reference's compile-time phf map (gb_type_details.rs:8-31).
@@ -51,12 +78,7 @@ def decode_enum_expr(code_col: str, field: str, scope: str = "ReadingType"):
     exchange, no extra stage, evaluates inside whole-stage codegen.
     Unknown / NULL codes -> 'Missing app info' (gb_type_details.rs:24-29).
     """
-    mapping = enum_maps()[(scope, field)]
-    pairs: list = []
-    for code in sorted(mapping):
-        pairs.append(F.lit(code))
-        pairs.append(F.lit(mapping[code]))
-    return F.coalesce(F.create_map(*pairs)[F.col(code_col)], F.lit(MISSING_APP_INFO))
+    return F.expr(_decode_sql(code_col, field, scope))
 
 
 def decode_enum(

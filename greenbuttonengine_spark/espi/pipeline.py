@@ -189,6 +189,15 @@ def denormalize_with_errors(
         "power_of_ten_multiplier",
     )
     f2all = f1.join(rt_codes, ["source_file", "rt_entry_index"], "left")
+    # rt_errors (the errors branch only) re-derives from f2all; the DATA
+    # plan instead drops invalid files with one window flag over the
+    # fact stream.  The previous anti-join form built its tiny build
+    # side FROM f2all, which replanned the whole fact join chain a
+    # second time inside the timeseries plan (measured: 107 exchanges /
+    # 61 joins in one 512-file plan; the window form plus the raw-facts
+    # dst dim below cut it to ~1/4).  The window shuffles by file —
+    # bounded partitions (files are small by construction), and at
+    # scale it replaces a second full pass over the fact chain.
     missing_rt_files = (
         f2all.filter(F.col("power_of_ten_multiplier").isNull())
         .select("source_file")
@@ -197,7 +206,16 @@ def denormalize_with_errors(
     rt_errors = missing_rt_files.select(
         "source_file", F.lit("Missing reading type").alias("error")
     )
-    f2 = f2all.join(missing_rt_files, "source_file", "left_anti")
+    from pyspark.sql.window import Window
+
+    file_bad = F.max(
+        F.col("power_of_ten_multiplier").isNull().cast("int")
+    ).over(Window.partitionBy("source_file"))
+    f2 = (
+        f2all.withColumn("__file_bad", file_bad)
+        .filter(F.col("__file_bad") == 0)
+        .drop("__file_bad")
+    )
 
     # P6: value scaling in genuine FLOAT arithmetic (golden bit parity)
     f2 = f2.withColumn(
@@ -208,10 +226,18 @@ def denormalize_with_errors(
         ).cast("float"),
     )
 
-    # P11: DST/tz shift via the per-(file, year) broadcast dim
+    # P11: DST/tz shift via the per-(file, year) broadcast dim.  The
+    # (file, year) universe is a function of the RAW facts alone —
+    # deriving it from f2 duplicated the entire fact join chain under
+    # the dim build; deriving upstream keeps the chain in the plan
+    # exactly once.  (Files later excluded by the error channel leave
+    # harmless extra dim rows: the dim is left-joined.)
     ts = F.timestamp_seconds(F.col("time_period_start_unix"))
     f2 = f2.withColumn("reading_ts", ts).withColumn("year", F.year("reading_ts").cast("long"))
-    file_years = f2.select("source_file", "year").distinct()
+    file_years = facts.select(
+        "source_file",
+        F.year(F.timestamp_seconds(F.col("time_period_start_unix"))).cast("long").alias("year"),
+    ).distinct()
     dst_dim = build_dst_dim(ltp, file_years)
     f3 = f2.join(F.broadcast(dst_dim), ["source_file", "year"], "left")
     shifted = apply_local_time_shift(
