@@ -179,3 +179,122 @@ def lsh_topk(
             "query_id", "qv", F.explode(probe_buckets).alias("bucket")
         )
     return _score_and_rank(c.join(F.broadcast(q), "bucket"), k)
+
+
+def knn_graph(
+    emb: DataFrame,
+    k: int = 5,
+    n_blocks: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine k-NN graph over the WHOLE corpus — the curation
+    primitive behind SemDeDup-style pruning, density scoring, and
+    graph-based diversity sampling, where every vector (not a small
+    query set) needs its neighbors.
+
+    Same triangle block layout as
+    ``dedup.embedding_cosine_pairs_blocked``: each vector visits the
+    B tasks covering its block's pairings (O(n*B) shuffle), each task
+    computes its block-pair cosine matrix in one Arrow batch and emits
+    ONLY its local top-k per vector (k rows per vector per task, so the
+    reduce side sees O(n*B*k) candidates, never O(n^2)).  The global
+    per-vector top-k over the union of per-task top-ks equals the true
+    top-k because tasks partition the neighbor set and both selections
+    use the same total order (cosine desc, neighbor id asc).  The
+    k-ordered numpy accumulation keeps cosines bitwise-equal to the
+    Catalyst/DuckDB fold, so the declared query is oracle-checkable.
+
+    Output: (vec_id, neighbor_id, cosine, rank), rank in 1..k.
+    """
+    import numpy as np
+    import pandas as pd
+
+    g = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int")
+    tasks = F.expr(
+        f"transform(sequence(0, {n_blocks - 1}),"
+        " t -> named_struct('ti', least(__g, t), 'tj', greatest(__g, t)))"
+    )
+    exploded = (
+        emb.select(F.col(id_col), F.col(vec_col), g.alias("__g"))
+        .select(id_col, vec_col, "__g", F.explode(tasks).alias("__t"))
+        .select(
+            F.col(id_col).alias("vid"),
+            F.col(vec_col).alias("vec"),
+            F.col("__g").alias("blk"),
+            F.col("__t.ti").alias("ti"),
+            F.col("__t.tj").alias("tj"),
+        )
+    )
+
+    def _seq_norm(m, d):
+        acc = np.zeros(m.shape[0])
+        for kk in range(d):
+            acc += m[:, kk] * m[:, kk]
+        return np.sqrt(acc)
+
+    def _seq_dots(a, b, d):
+        acc = np.zeros((a.shape[0], b.shape[0]))
+        for kk in range(d):
+            acc += np.outer(a[:, kk], b[:, kk])
+        return acc
+
+    def _emit_topk(q_ids, n_ids, cos):
+        # per row: top-k under (cosine desc, neighbor id asc)
+        out_q, out_n, out_c = [], [], []
+        for r in range(cos.shape[0]):
+            order = np.lexsort((n_ids, -cos[r]))[:k]
+            out_q.append(np.full(len(order), q_ids[r]))
+            out_n.append(n_ids[order])
+            out_c.append(cos[r][order])
+        if not out_q:
+            return [], [], []
+        return np.concatenate(out_q), np.concatenate(out_n), np.concatenate(out_c)
+
+    def _part(pdf: pd.DataFrame) -> pd.DataFrame:
+        ti, tj = int(pdf["ti"].iloc[0]), int(pdf["tj"].iloc[0])
+        ids = pdf["vid"].to_numpy()
+        mat = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
+        blk = pdf["blk"].to_numpy()
+        d = mat.shape[1]
+        empty = pd.DataFrame({"vec_id": [], "neighbor_id": [], "cosine": []}).astype(
+            {"vec_id": "int64", "neighbor_id": "int64", "cosine": "float64"}
+        )
+        if ti == tj:
+            if len(ids) < 2:
+                return empty
+            cos = _seq_dots(mat, mat, d) / np.outer(_seq_norm(mat, d), _seq_norm(mat, d))
+            np.fill_diagonal(cos, -np.inf)  # exclude self
+            q, n, c = _emit_topk(ids, ids, cos)
+        else:
+            am = blk == ti
+            a_ids, b_ids = ids[am], ids[~am]
+            a_mat, b_mat = mat[am], mat[~am]
+            if len(a_ids) == 0 or len(b_ids) == 0:
+                return empty
+            na, nb = _seq_norm(a_mat, d), _seq_norm(b_mat, d)
+            cos = _seq_dots(a_mat, b_mat, d) / np.outer(na, nb)
+            qa, nna, ca = _emit_topk(a_ids, b_ids, cos)
+            qb, nnb, cb = _emit_topk(b_ids, a_ids, cos.T)
+            q = np.concatenate([qa, qb]) if len(qa) or len(qb) else []
+            n = np.concatenate([nna, nnb]) if len(nna) or len(nnb) else []
+            c = np.concatenate([ca, cb]) if len(ca) or len(cb) else []
+        if len(q) == 0:
+            return empty
+        return pd.DataFrame(
+            {"vec_id": np.asarray(q, dtype="int64"),
+             "neighbor_id": np.asarray(n, dtype="int64"),
+             "cosine": np.asarray(c, dtype="float64")}
+        )
+
+    cand = exploded.groupBy("ti", "tj").applyInPandas(
+        _part, "vec_id long, neighbor_id long, cosine double"
+    )
+    # tiny-corpus guard: a vector with < k true neighbors would surface
+    # its -inf self sentinel from the diagonal task
+    cand = cand.filter(F.col("vec_id") != F.col("neighbor_id"))
+    w = W.partitionBy("vec_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )

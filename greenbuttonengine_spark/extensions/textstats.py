@@ -246,3 +246,112 @@ def analyze(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
         "fingerprint": fingerprint_col(text),
     }
     return docs.select(F.col(id_col), *[c.alias(n) for n, c in cols.items()])
+
+
+def rare_token_stats(
+    docs: DataFrame,
+    min_cf: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-frequency quality signals (the data-driven complement to
+    the static Gopher rules): a doc dominated by tokens the corpus has
+    barely seen is OCR noise / mojibake / codeswitched junk; a doc of
+    only ultra-common tokens is boilerplate.
+
+    Output per doc: ``n_tokens``, ``rare_frac`` (fraction of token
+    occurrences whose corpus collection frequency < ``min_cf``) and
+    ``mean_token_cf`` (mean corpus frequency of the doc's tokens).
+    Integer count sums divided in double -> bit-deterministic.
+
+    Scale shape: pass 1 aggregates the vocabulary (shuffle keyed by
+    token, map-side combine so the wire carries one row per distinct
+    (partition, token)); pass 2 joins token occurrences back to the
+    vocabulary (shuffle on token; Zipf hot keys are exactly what AQE
+    skew splitting handles — the join is a pure equi-join) and
+    re-aggregates per doc.  The vocabulary is NOT broadcast-hinted: at
+    web scale it is millions of rows, and AQE will broadcast it when
+    it turns out small.
+    """
+    words = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("__w"),
+    )
+    cf = words.groupBy("__w").agg(F.count("*").alias("__cf"))
+    joined = words.join(cf, "__w")
+    return joined.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        (
+            F.sum((F.col("__cf") < min_cf).cast("long")).cast("double")
+            / F.count("*").cast("double")
+        ).alias("rare_frac"),
+        (F.sum("__cf").cast("double") / F.count("*").cast("double")).alias(
+            "mean_token_cf"
+        ),
+    )
+
+
+def line_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-corpus line-level dedup (the CCNet prep: boilerplate
+    lines — headers, cookie banners, navigation — repeat across
+    documents and get removed before training).
+
+    A line is KEPT in a document iff it is globally unique, or this
+    document is the line's canonical owner (minimum doc id among the
+    documents containing it; repeats within one document keep only the
+    first position).  Output per doc: ``n_lines``, ``dup_line_frac``
+    (fraction of the doc's lines removed), and ``cleaned_text`` (the
+    kept lines rejoined in original order).
+
+    Scale shape: posexplode lines -> one shuffle keyed by the line text
+    for the global (min_doc, min_pos) owner aggregate -> join back on
+    the line key (equi-join; AQE skew handles hot boilerplate lines) ->
+    one shuffle keyed by doc to rebuild the text with an order-
+    insensitive ``array_sort(collect_list(struct(pos, line)))`` (the
+    collect is per-document, bounded by document size, never corpus-
+    wide).  Whole docs are never carried through the line shuffle —
+    only (line, doc, pos) triples.
+    """
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("__pos", "__line"),
+    )
+    owner = lines.groupBy("__line").agg(
+        F.min(F.struct(F.col(id_col).alias("d"), F.col("__pos").alias("p"))).alias(
+            "__own"
+        ),
+        F.count("*").alias("__n"),
+    )
+    tagged = lines.join(owner, "__line").withColumn(
+        "__keep",
+        (F.col("__n") == 1)
+        | (
+            (F.col("__own.d") == F.col(id_col))
+            & (F.col("__own.p") == F.col("__pos"))
+        ),
+    )
+    return tagged.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_lines"),
+        (
+            F.sum((~F.col("__keep")).cast("long")).cast("double")
+            / F.count("*").cast("double")
+        ).alias("dup_line_frac"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("__keep"),
+                            F.struct(F.col("__pos").alias("p"), F.col("__line").alias("l")),
+                        )
+                    )
+                ),
+                lambda s: s["l"],
+            ),
+            "\n",
+        ).alias("cleaned_text"),
+    )

@@ -580,6 +580,103 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_rare_token_stats",
+    r"""
+    WITH w AS (
+        SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+        FROM documents
+    ), cf AS (
+        SELECT w, COUNT(*) AS cf FROM w GROUP BY w
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN cf < 5 THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS rare_frac,
+           CAST(SUM(cf) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_token_cf
+    FROM w JOIN cf USING (w)
+    GROUP BY doc_id
+    """,
+    tags=("textstats",),
+    doc="Corpus-frequency quality signals: fraction of token "
+    "occurrences whose corpus collection frequency < 5, plus mean "
+    "token frequency — the data-driven junk/boilerplate detector. "
+    "Two shuffles (vocab aggregate, token join-back with AQE skew "
+    "guard on Zipf hot keys); integer-count ratios in double -> "
+    "bit-deterministic.",
+)
+def text_rare_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.rare_token_stats(load_table(spark, "documents", sf_dir))
+
+
+@register(
+    "text_line_dedup",
+    r"""
+    WITH l AS (
+        SELECT doc_id,
+               unnest(generate_series(1, len(lines))) - 1 AS pos,
+               unnest(lines) AS line
+        FROM (SELECT doc_id, string_split(text, chr(10)) AS lines
+              FROM documents) t
+    ), o AS (
+        SELECT line, COUNT(*) AS n, MIN(doc_id) AS od FROM l GROUP BY line
+    ), o2 AS (
+        SELECT o.line, o.n, o.od, MIN(l.pos) AS op
+        FROM l JOIN o ON l.line = o.line AND l.doc_id = o.od
+        GROUP BY 1, 2, 3
+    ), k AS (
+        SELECT l.doc_id, l.pos, l.line,
+               (o2.n = 1 OR (l.doc_id = o2.od AND l.pos = o2.op)) AS keep
+        FROM l JOIN o2 ON l.line = o2.line
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS dup_line_frac,
+           COALESCE(string_agg(CASE WHEN keep THEN line END, chr(10)
+                               ORDER BY pos), '') AS cleaned_text
+    FROM k GROUP BY doc_id
+    """,
+    tags=("textstats", "dedup"),
+    doc="Cross-corpus line-level dedup (CCNet prep): repeated "
+    "boilerplate lines keep only their canonical (min doc, min pos) "
+    "occurrence; per doc emits n_lines, removed fraction and the "
+    "cleaned text rebuilt in original order. Line shuffle + per-doc "
+    "rebuild; whole docs never ride the line shuffle.",
+)
+def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.line_dedup(load_table(spark, "documents", sf_dir))
+
+
+@register(
+    "graph_knn_cosine",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s AS (
+        SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+               list_dot_product(a.v, b.v)
+                   / (sqrt(list_dot_product(a.v, a.v))
+                      * sqrt(list_dot_product(b.v, b.v))) AS cosine
+        FROM e a JOIN e b ON a.vec_id <> b.vec_id
+    )
+    SELECT vec_id, neighbor_id, cosine, rank FROM (
+        SELECT s.*, CAST(ROW_NUMBER() OVER (
+            PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+        FROM s
+    ) t WHERE rank <= 5
+    """,
+    tags=("similarity", "blocked"),
+    doc="Exact cosine 5-NN graph over the whole corpus (SemDeDup "
+    "pruning / density scoring / diversity-sampling primitive). "
+    "Triangle block join; each Arrow task emits only its local top-k "
+    "per vector, so the reduce side sees O(n*B*k) candidates, never "
+    "O(n^2). k-ordered numpy adds keep cosines bitwise-equal to the "
+    "DuckDB oracle.",
+)
+def graph_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.knn_graph(load_table(spark, "embeddings", sf_dir), k=5)
+
+
+@register(
     "dedup_cascade",
     None,  # step 3 is an iterative fixpoint -> rows-only
     tags=("dedup", "iterative"),

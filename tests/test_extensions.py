@@ -815,3 +815,63 @@ def test_lsh_planted_skew_band(spark, docs):
     ]
     assert len(copy_pairs) == 180 * 179 // 2
     assert all(r.est_jaccard == 1.0 for r in copy_pairs)
+
+
+def test_knn_graph_bitwise_equals_bruteforce(spark, emb):
+    """The blocked kNN graph must equal the broadcast brute-force
+    ranking bitwise (same neighbors, same cosines, same ranks) for any
+    block count: per-task top-k union is a lossless cover of the true
+    top-k because both use the (cosine desc, id asc) total order."""
+    from greenbuttonengine_spark.extensions import similarity
+
+    brute = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in similarity.cosine_topk(emb, emb, k=5).collect()
+    }
+    for n_blocks in (3, 8):
+        g = {
+            (r.vec_id, r.rank): (r.neighbor_id, r.cosine)
+            for r in similarity.knn_graph(emb, k=5, n_blocks=n_blocks).collect()
+        }
+        assert g == brute, f"n_blocks={n_blocks}"
+
+
+def test_line_dedup_planted_corpus(spark):
+    """Boilerplate lines keep only the (min doc, min pos) occurrence;
+    unique lines always survive; cleaned text preserves order."""
+    from greenbuttonengine_spark.extensions import textstats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "COOKIE BANNER\nunique alpha\nCOOKIE BANNER"),
+            (2, "COOKIE BANNER\nunique beta"),
+            (3, "unique gamma\nCOOKIE BANNER\nunique delta"),
+            (4, "totally unique doc"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in textstats.line_dedup(docs).collect()}
+    # doc 1 owns the banner at pos 0; its pos-2 repeat is removed
+    assert out[1].cleaned_text == "COOKIE BANNER\nunique alpha"
+    assert out[1].n_lines == 3 and out[1].dup_line_frac == pytest.approx(1 / 3)
+    assert out[2].cleaned_text == "unique beta"
+    assert out[3].cleaned_text == "unique gamma\nunique delta"
+    assert out[4].cleaned_text == "totally unique doc"
+    assert out[4].dup_line_frac == 0.0
+
+
+def test_rare_token_stats_planted(spark):
+    """rare_frac counts occurrences of corpus-rare tokens; mean_token_cf
+    is the exact integer-ratio mean frequency."""
+    from greenbuttonengine_spark.extensions import textstats
+
+    docs = spark.createDataFrame(
+        [(1, "the the the the the zzyzx"), (2, "the the the the common words")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in textstats.rare_token_stats(docs, min_cf=2).collect()}
+    # corpus cf: the=9, zzyzx=1, common=1, words=1
+    assert out[1].n_tokens == 6
+    assert out[1].rare_frac == pytest.approx(1 / 6)
+    assert out[1].mean_token_cf == pytest.approx((9 * 5 + 1) / 6)
+    assert out[2].rare_frac == pytest.approx(2 / 6)
