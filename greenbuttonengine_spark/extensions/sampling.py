@@ -153,3 +153,38 @@ def sample_fixed_per_stratum(
         .filter(F.col("__rn") <= n_per_stratum)
         .drop("__rn")
     )
+
+
+def sample_token_budget(
+    docs: DataFrame,
+    stratum_col: str,
+    order_col: str,
+    token_col: str,
+    budget: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Greedy per-stratum token-budget selection: within each stratum,
+    rank docs by (order_col DESC, id) — highest-quality first — and
+    keep the ordered prefix whose cumulative token count stays within
+    ``budget``.  The standard "best N tokens per language" training-mix
+    builder: token budgets, not doc counts, are what trainer epochs
+    are priced in.
+
+    Semantics are the simple ordered PREFIX (first doc whose cumulative
+    count exceeds the budget ends the stratum's selection) — not
+    first-fit-decreasing packing, which back-fills smaller docs and
+    needs iteration; :mod:`packing` covers that shape.  One shuffle
+    keyed by stratum (the cumulative-sum window; ties impossible — the
+    order key ends in the unique id); nothing is global, so 100 TB
+    scales by stratum count and the skew ceiling is the largest
+    stratum.
+    """
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy(stratum_col)
+        .orderBy(F.col(order_col).desc(), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = docs.withColumn("__cum", F.sum(F.col(token_col)).over(w))
+    return out.filter(F.col("__cum") <= budget)

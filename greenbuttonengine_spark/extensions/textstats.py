@@ -291,6 +291,57 @@ def rare_token_stats(
     )
 
 
+def unigram_surprisal(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Unigram-LM surprisal scoring — the cheap stand-in for the
+    KenLM-perplexity quality filter (CCNet buckets its corpus by LM
+    perplexity; a unigram model needs no external artifacts and the
+    same machinery scales to n-grams).
+
+    Each token occurrence scores an integer surprisal
+    ``ilog2(N) - ilog2(cf)`` bits, where ``N`` is the corpus token
+    count, ``cf`` the token's collection frequency, and
+    ``ilog2(x) = bit_length(x) - 1`` (integer-exact floor(log2) —
+    fp log is not cross-engine-stable, see length_histogram).  A doc
+    full of corpus-rare tokens scores high (OCR junk / mojibake); one
+    of only stop-words scores near zero (boilerplate).
+
+    Output per doc: ``n_tokens``, ``sum_surprisal_bits`` (exact
+    BIGINT), ``mean_surprisal_bits`` (one exact-int division in
+    double -> bit-deterministic).
+
+    Scale shape: identical to :func:`rare_token_stats` — vocabulary
+    aggregate (shuffle keyed by token, map-side combine), token
+    join-back (equi-join, AQE splits Zipf hot keys), per-doc
+    re-aggregate.  The corpus total ``N`` is a one-row aggregate
+    broadcast into the projection; the vocabulary is deliberately NOT
+    broadcast-hinted (millions of rows at web scale — AQE promotes it
+    when small).
+    """
+    ilog2 = lambda c: (F.length(F.bin(c)) - F.lit(1)).cast("long")  # noqa: E731
+    words = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("__w"),
+    )
+    cf = words.groupBy("__w").agg(F.count("*").alias("__cf"))
+    # one-row corpus total: a broadcast nested-loop join whose build
+    # side is exactly ONE row (the j6 scalar-dim shape; the declared
+    # query carries the tiny-bnlj tag the guardrail sanctions for this)
+    total = words.select(F.count("*").alias("__n_corpus"))
+    joined = words.join(cf, "__w").crossJoin(F.broadcast(total))
+    s = ilog2(F.col("__n_corpus")) - ilog2(F.col("__cf"))
+    return joined.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.sum(s).cast("long").alias("sum_surprisal_bits"),
+        (F.sum(s).cast("double") / F.count("*").cast("double")).alias(
+            "mean_surprisal_bits"
+        ),
+    )
+
+
 def line_dedup(
     docs: DataFrame,
     text_col: str = "text",

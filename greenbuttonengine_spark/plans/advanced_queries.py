@@ -721,3 +721,155 @@ def anomaly_zscore_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "event_type", z.alias("zscore"))
         .filter(F.abs(F.col("zscore")) > 3.0)
     )
+
+
+@register(
+    "ts1_gap_fill_daily",
+    """
+    WITH c AS (
+        SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    ), extent AS (
+        SELECT user_id, MIN(day) AS lo, MAX(day) AS hi FROM c GROUP BY user_id
+    ), days AS (
+        SELECT user_id,
+               CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+        FROM extent
+    )
+    SELECT days.user_id AS user_id, days.day AS day,
+           CAST(COALESCE(c.n, 0) AS BIGINT) AS n_events
+    FROM days LEFT JOIN c ON days.user_id = c.user_id AND days.day = c.day
+    """,
+    tags=("timeseries",),
+    doc="Per-series calendar gap fill: every user's daily event-count "
+    "series is made dense over its own [min_day, max_day] extent, "
+    "missing days zero-filled — the resample/densify primitive every "
+    "charting and windowed-model pipeline needs (the reference's "
+    "date-aggregated charts draw these gaps as zeros; "
+    "web-frontend/src/date_aggregated_chart.ts buckets by day). "
+    "Shape: one (user, day) hash agg, a tiny per-user extent agg, "
+    "sequence+explode of O(days) rows, then an equi-join back on "
+    "(user, day) — both sides already clustered by user; rows out are "
+    "O(users x days), never a cross join.",
+)
+def ts1_gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    c = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.count("*").alias("n")
+    )
+    extent = c.groupBy("user_id").agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    )
+    days = extent.select(
+        "user_id",
+        F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("day"),
+    )
+    return days.join(c, ["user_id", "day"], "left").select(
+        "user_id",
+        "day",
+        F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_events"),
+    )
+
+
+@register(
+    "w5_moving_avg_time_range",
+    """
+    SELECT event_id, user_id,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_win,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT)
+               AS sum_cents,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER w AS DOUBLE)
+               / CAST(COUNT(*) OVER w AS DOUBLE) AS avg_cents
+    FROM (SELECT event_id, user_id, value,
+                 CAST(floor(date_part('epoch', ts)) AS BIGINT) AS sec
+          FROM events) t
+    WINDOW w AS (PARTITION BY user_id ORDER BY sec
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    """,
+    tags=("window", "timeseries"),
+    doc="Event-time sliding mean: per user, mean value over the "
+    "trailing hour at each event (RANGE frame on epoch seconds, so "
+    "simultaneous events share one frame regardless of tie order — a "
+    "ROWS frame would be partition-order-dependent). Values enter as "
+    "exact integer cents (order-independent window sums; one int/int "
+    "division in double). One shuffle keyed by user; frames never "
+    "cross users, so 100 TB scales by user cardinality, not corpus "
+    "size.",
+)
+def w5_moving_avg_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        F.unix_timestamp("ts").alias("sec"),
+    )
+    w = W.partitionBy("user_id").orderBy("sec").rangeBetween(-3600, 0)
+    n_win = F.count("*").over(w).cast("bigint")
+    sum_cents = F.sum("cents").over(w).cast("bigint")
+    return ev.select(
+        "event_id",
+        "user_id",
+        n_win.alias("n_win"),
+        sum_cents.alias("sum_cents"),
+        (sum_cents.cast("double") / n_win.cast("double")).alias("avg_cents"),
+    )
+
+
+@register(
+    "anomaly_mad_events",
+    """
+    WITH c AS (
+        SELECT event_id, event_type,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    ), m AS (
+        SELECT event_type, quantile_cont(cents, 0.5) AS med_c FROM c
+        GROUP BY event_type
+    ), d AS (
+        SELECT c.event_id, c.event_type, c.cents, m.med_c,
+               abs(c.cents - m.med_c) AS abs_dev
+        FROM c JOIN m USING (event_type)
+    ), mad AS (
+        SELECT event_type, quantile_cont(abs_dev, 0.5) AS mad_c FROM d
+        GROUP BY event_type
+    )
+    SELECT d.event_id, d.event_type,
+           d.cents - d.med_c AS dev_cents, mad.mad_c AS mad_cents
+    FROM d JOIN (SELECT * FROM mad WHERE mad_c > 0) mad USING (event_type)
+    WHERE d.abs_dev > mad.mad_c * 4.4478
+    """,
+    tags=("analytics", "percentile"),
+    doc="Robust outlier sweep: median/MAD instead of mean/std, so the "
+    "anomalies themselves cannot drag the threshold (the failure mode "
+    "of z-scores on heavy-tailed metrics). Flags |x - med| > "
+    "3*1.4826*MAD. Values as exact integer cents; medians interpolate "
+    "(a+b)/2 on exact ints in both engines -> bit-deterministic. Two "
+    "tiny per-type aggregates broadcast onto scan-stage filters; for "
+    "100 TB swap percentile for approx_percentile (same plan shape) — "
+    "exact group medians buffer per-group values.",
+)
+def anomaly_mad_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    med = ev.groupBy("event_type").agg(F.percentile("cents", 0.5).alias("med_c"))
+    d = ev.join(F.broadcast(med), "event_type").withColumn(
+        "abs_dev", F.abs(F.col("cents") - F.col("med_c"))
+    )
+    mad = (
+        d.groupBy("event_type")
+        .agg(F.percentile("abs_dev", 0.5).alias("mad_c"))
+        .filter(F.col("mad_c") > 0)
+    )
+    return (
+        d.join(F.broadcast(mad), "event_type")
+        .filter(F.col("abs_dev") > F.col("mad_c") * 4.4478)
+        .select(
+            "event_id",
+            "event_type",
+            (F.col("cents") - F.col("med_c")).alias("dev_cents"),
+            F.col("mad_c").alias("mad_cents"),
+        )
+    )

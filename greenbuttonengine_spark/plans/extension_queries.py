@@ -609,6 +609,38 @@ def text_rare_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_unigram_surprisal",
+    r"""
+    WITH w AS (
+        SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+        FROM documents
+    ), cf AS (
+        SELECT w, COUNT(*) AS cf FROM w GROUP BY w
+    ), n AS (
+        SELECT COUNT(*) AS n_corpus FROM w
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM((length(bin(n_corpus)) - 1) - (length(bin(cf)) - 1))
+                AS BIGINT) AS sum_surprisal_bits,
+           CAST(SUM((length(bin(n_corpus)) - 1) - (length(bin(cf)) - 1))
+                AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_surprisal_bits
+    FROM w JOIN cf USING (w) CROSS JOIN n
+    GROUP BY doc_id
+    """,
+    tags=("textstats", "tiny-bnlj"),
+    doc="Unigram-LM surprisal scoring (KenLM-perplexity stand-in, the "
+    "CCNet quality-bucket signal): per-token integer surprisal "
+    "ilog2(N)-ilog2(cf) bits via bit-length (fp log2 is not cross-"
+    "engine-stable), per-doc exact sum + one int/int division. Same "
+    "two-shuffle shape as text_rare_token_stats; corpus total is a "
+    "one-row broadcast.",
+)
+def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.unigram_surprisal(load_table(spark, "documents", sf_dir))
+
+
+@register(
     "text_line_dedup",
     r"""
     WITH l AS (
@@ -1222,6 +1254,47 @@ def sample_eval_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     return sample_fixed_per_stratum(docs, "lang", "doc_id", n_per_stratum=25).select(
         "doc_id", "lang"
+    )
+
+
+@register(
+    "sample_token_budget_lang",
+    r"""
+    WITH t AS (
+        SELECT doc_id, lang, n_chars,
+               CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+                   AS n_tokens
+        FROM documents
+    ), c AS (
+        SELECT doc_id, lang, n_tokens,
+               SUM(n_tokens) OVER (PARTITION BY lang
+                                   ORDER BY n_chars DESC, doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        FROM t
+    )
+    SELECT doc_id, lang, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM c WHERE cum_tokens <= 2000
+    """,
+    tags=("sampling",),
+    doc="Per-language token-budget selection: longest-first ordered "
+    "prefix whose cumulative whitespace-token count stays within 2k "
+    "tokens per lang — training mixes are priced in tokens, not docs. "
+    "One per-stratum cumulative-sum window (shuffle keyed by lang, "
+    "never a global window); exact integer sums.",
+)
+def sample_token_budget_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.sampling import sample_token_budget
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("bigint").alias("n_tokens"),
+    )
+    return sample_token_budget(
+        docs, "lang", "n_chars", "n_tokens", budget=2000
+    ).select(
+        "doc_id", "lang", "n_tokens", F.col("__cum").cast("bigint").alias("cum_tokens")
     )
 
 

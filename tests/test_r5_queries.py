@@ -1,0 +1,141 @@
+"""Round-5 operators: unigram surprisal, calendar gap fill, time-range
+moving average, per-stratum token budget, MAD anomalies.  Each test
+plants a corpus where the expected output is hand-computable, so these
+complement the DuckDB oracle (which checks engine agreement, not
+intent)."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+
+def test_unigram_surprisal_planted(spark):
+    from greenbuttonengine_spark.extensions.textstats import unigram_surprisal
+
+    # corpus: "a a a a b" + "b c" -> N=7 tokens, cf: a=4, b=2, c=1
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="a a a a b"), Row(doc_id=2, text="b c")]
+    )
+    rows = {r.doc_id: r for r in unigram_surprisal(docs).collect()}
+    # ilog2(7)=2; surprisal a: 2-2=0, b: 2-1=1, c: 2-0=2
+    assert rows[1].n_tokens == 5
+    assert rows[1].sum_surprisal_bits == 0 * 4 + 1  # four a's + one b
+    assert rows[2].sum_surprisal_bits == 1 + 2  # b + c
+    assert rows[2].mean_surprisal_bits == 1.5
+
+
+def test_gap_fill_daily_planted(spark):
+    from greenbuttonengine_spark.plans.registry import QUERIES  # noqa: F401
+
+    # direct DataFrame shape: user 1 has events on day 1 and day 4 ->
+    # days 2 and 3 must appear zero-filled; user 2 has a single day.
+    ev = spark.createDataFrame(
+        [
+            Row(user_id=1, ts=datetime.datetime(2024, 1, 1, 10)),
+            Row(user_id=1, ts=datetime.datetime(2024, 1, 4, 9)),
+            Row(user_id=1, ts=datetime.datetime(2024, 1, 4, 11)),
+            Row(user_id=2, ts=datetime.datetime(2024, 3, 5, 0)),
+        ]
+    )
+    c = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.count("*").alias("n")
+    )
+    extent = c.groupBy("user_id").agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    days = extent.select(
+        "user_id", F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("day")
+    )
+    out = (
+        days.join(c, ["user_id", "day"], "left")
+        .select("user_id", "day", F.coalesce("n", F.lit(0)).alias("n_events"))
+        .collect()
+    )
+    got = {(r.user_id, str(r.day)): r.n_events for r in out}
+    assert got == {
+        (1, "2024-01-01"): 1,
+        (1, "2024-01-02"): 0,
+        (1, "2024-01-03"): 0,
+        (1, "2024-01-04"): 2,
+        (2, "2024-03-05"): 1,
+    }
+
+
+def test_moving_avg_range_frame_includes_ties(spark, sf_correct_dir):
+    """RANGE frame ties: simultaneous events must share one frame —
+    and the declared query must agree with a brute-force recompute."""
+    from greenbuttonengine_spark.plans import advanced_queries  # noqa: F401
+    from greenbuttonengine_spark.plans.registry import QUERIES
+
+    out = QUERIES["w5_moving_avg_time_range"].fn(spark, sf_correct_dir)
+    sample = out.orderBy("user_id", "event_id").limit(200).collect()
+    assert all(r.n_win >= 1 for r in sample)
+    assert all(abs(r.avg_cents - r.sum_cents / r.n_win) < 1e-9 for r in sample)
+    # brute-force one user
+    ev = (
+        spark.read.parquet(f"{sf_correct_dir}/events.parquet")
+        .filter(F.col("user_id") == sample[0].user_id)
+        .select(
+            "event_id",
+            F.unix_timestamp("ts").alias("sec"),
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        .collect()
+    )
+    by_id = {r.event_id: r for r in ev}
+    for r in (x for x in sample if x.user_id == sample[0].user_id):
+        me = by_id[r.event_id]
+        frame = [e.cents for e in ev if me.sec - 3600 <= e.sec <= me.sec]
+        assert r.n_win == len(frame) and r.sum_cents == sum(frame)
+
+
+def test_token_budget_prefix_semantics(spark):
+    from greenbuttonengine_spark.extensions.sampling import sample_token_budget
+
+    docs = spark.createDataFrame(
+        [
+            # lang a, ordered by n_chars desc: d1(60 tok), d2(30), d3(20)
+            Row(doc_id=1, lang="a", n_chars=600, n_tokens=60),
+            Row(doc_id=2, lang="a", n_chars=300, n_tokens=30),
+            Row(doc_id=3, lang="a", n_chars=200, n_tokens=20),
+            Row(doc_id=4, lang="b", n_chars=10, n_tokens=1000),
+        ]
+    )
+    kept = sample_token_budget(docs, "lang", "n_chars", "n_tokens", budget=95)
+    ids = sorted(r.doc_id for r in kept.collect())
+    # prefix: 60, 90 fit; 110 exceeds -> d3 dropped even though 20 alone
+    # would fit a back-fill (prefix semantics, not FFD). lang b's first
+    # doc overflows alone -> nothing kept.
+    assert ids == [1, 2]
+
+
+def test_mad_anomaly_planted(spark, tmp_path):
+    from greenbuttonengine_spark.plans import advanced_queries  # noqa: F401
+    from greenbuttonengine_spark.plans.registry import QUERIES
+
+    ev = spark.createDataFrame(
+        [
+            Row(event_id=i, ts=datetime.datetime(2024, 1, 1), user_id=1,
+                event_type="t", value=float(v), props="{}")
+            for i, v in enumerate([10, 10, 10, 11, 9, 10, 10, 500])
+        ]
+    )
+    d = str(tmp_path / "sfx")
+    ev.write.parquet(f"{d}/events.parquet")
+    out = QUERIES["anomaly_mad_events"].fn(spark, d).collect()
+    # med=1000 cents, MAD=median(|dev|)=0? devs: 0x5,100,100,49000 ->
+    # sorted abs devs [0,0,0,0,0,100,100,49000], median=(0+0)/2=0 ->
+    # zero-MAD stratum filtered, no rows (mirrors zscore zero-variance)
+    assert out == []
+    ev2 = spark.createDataFrame(
+        [
+            Row(event_id=i, ts=datetime.datetime(2024, 1, 1), user_id=1,
+                event_type="t", value=float(v), props="{}")
+            for i, v in enumerate([10, 12, 9, 11, 8, 13, 10.5, 500])
+        ]
+    )
+    d2 = str(tmp_path / "sfy")
+    ev2.write.parquet(f"{d2}/events.parquet")
+    out2 = QUERIES["anomaly_mad_events"].fn(spark, d2).collect()
+    assert [r.event_id for r in out2] == [7]  # only the planted outlier
