@@ -862,3 +862,47 @@ def semantic_dedup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def blocked_fuzzy_pairs(
+    df: DataFrame,
+    name_col: str,
+    max_dist: int = 2,
+) -> DataFrame:
+    """Entity-resolution candidate pairs: distinct name strings whose
+    Levenshtein distance is <= ``max_dist``, generated only WITHIN
+    blocks of equal string length (classic blocking: candidate count
+    is bounded by sum C(block, 2) over the distinct-name vocabulary,
+    never by row count — exact duplicates collapse in the distinct
+    step, so a billion-row catalog with a 100k-name vocabulary does a
+    100k-scale comparison).
+
+    A length block catches substitution typos but misses
+    insertions/deletions — the standard recall trade; production ER
+    runs several blocking passes (length, prefix, phonetic) and unions
+    the candidates.  One pass is declared here so the oracle semantics
+    are exact.
+
+    Output: (name_a, name_b, distance, n_a, n_b) with name_a < name_b;
+    n_* are the row counts carrying each name, so downstream merge
+    decisions know each entity's weight.
+    """
+    names = (
+        df.select(F.col(name_col).alias("name"))
+        .groupBy("name")
+        .agg(F.count("*").alias("n"))
+        .withColumn("__blk", F.length("name"))
+    )
+    a = names.select(
+        F.col("name").alias("name_a"), F.col("n").alias("n_a"), "__blk"
+    )
+    b = names.select(
+        F.col("name").alias("name_b"), F.col("n").alias("n_b"), "__blk"
+    )
+    return (
+        a.join(b, "__blk")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .withColumn("distance", F.levenshtein("name_a", "name_b").cast("bigint"))
+        .filter(F.col("distance") <= max_dist)
+        .select("name_a", "name_b", "distance", "n_a", "n_b")
+    )

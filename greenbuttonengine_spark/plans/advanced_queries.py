@@ -873,3 +873,102 @@ def anomaly_mad_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("mad_c").alias("mad_cents"),
         )
     )
+
+
+@register(
+    "stats_corr_events",
+    """
+    WITH m AS (
+        SELECT event_type,
+               COUNT(*) AS n,
+               SUM(CAST(round(value * 100) AS BIGINT)) AS sx,
+               SUM(CAST(date_part('hour', ts) AS BIGINT)) AS sy,
+               SUM(CAST(round(value * 100) AS BIGINT)
+                   * CAST(round(value * 100) AS BIGINT)) AS sxx,
+               SUM(CAST(date_part('hour', ts) AS BIGINT)
+                   * CAST(date_part('hour', ts) AS BIGINT)) AS syy,
+               SUM(CAST(round(value * 100) AS BIGINT)
+                   * CAST(date_part('hour', ts) AS BIGINT)) AS sxy
+        FROM events GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+               / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                  * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr_value_hour
+    FROM m
+    WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+    """,
+    tags=("analytics",),
+    doc="Pearson correlation per group (does metric value track hour "
+    "of day?) computed from exact BIGINT moments, NOT F.corr: built-in "
+    "corr accumulates doubles in partition order, so its last bits "
+    "differ across engines/layouts. Integer moments are "
+    "order-independent and overflow-checked by ANSI mode; the final "
+    "combination is a fixed sequence of correctly-rounded double ops. "
+    "One map-side-combined aggregate; zero-variance groups filtered "
+    "(no correlation is defined there).",
+)
+def stats_corr_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir).select(
+        F.col("event_type"),
+        F.round(F.col("value") * 100).cast("bigint").alias("x"),
+        F.hour("ts").cast("bigint").alias("y"),
+    )
+    m = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return (
+        m.filter((vx > 0) & (vy > 0))
+        .select(
+            "event_type",
+            F.col("n").cast("bigint").alias("n"),
+            (
+                num.cast("double")
+                / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double")))
+            ).alias("corr_value_hour"),
+        )
+    )
+
+
+@register(
+    "cumulative_distinct_users",
+    """
+    WITH f AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day FROM events
+        GROUP BY user_id
+    ), d AS (
+        SELECT first_day AS day, COUNT(*) AS new_users FROM f GROUP BY 1
+    )
+    SELECT day, CAST(new_users AS BIGINT) AS new_users,
+           CAST(SUM(new_users) OVER (ORDER BY day
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS total_users
+    FROM d
+    """,
+    tags=("analytics", "tiny-global-window"),
+    doc="Running distinct-user count by day (the growth curve): "
+    "first-seen day per user (one shuffle keyed by user), daily "
+    "new-user counts (tiny agg), then a cumulative sum over the "
+    "O(days) aggregate — the global window runs on days, never on "
+    "events, which is the only sanctioned partition-less window shape "
+    "(tiny-global-window). Running COUNT(DISTINCT) over raw events "
+    "would instead buffer per-day user sets.",
+)
+def cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    f = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("day"))
+    d = f.groupBy("day").agg(F.count("*").alias("new_users"))
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return d.select(
+        "day",
+        F.col("new_users").cast("bigint").alias("new_users"),
+        F.sum("new_users").over(w).cast("bigint").alias("total_users"),
+    )

@@ -1366,3 +1366,30 @@ def multimodal_hist_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select(
         "doc_id", F.posexplode("byte_histogram").alias("bin", "share")
     ).select("doc_id", F.col("bin").cast("bigint").alias("bin"), "share")
+
+
+@register(
+    "er_fuzzy_part_names",
+    """
+    WITH n AS (
+        SELECT p_name AS name, COUNT(*) AS n FROM part GROUP BY 1
+    )
+    SELECT a.name AS name_a, b.name AS name_b,
+           CAST(levenshtein(a.name, b.name) AS BIGINT) AS distance,
+           CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b
+    FROM n a JOIN n b
+      ON length(a.name) = length(b.name) AND a.name < b.name
+    WHERE levenshtein(a.name, b.name) <= 2
+    """,
+    tags=("entity-resolution", "dedup"),
+    doc="Blocked fuzzy entity matching over the part catalog: distinct "
+    "names compared within equal-length blocks, Levenshtein <= 2 "
+    "emitted with each side's row weight. The distinct step collapses "
+    "row-level duplicates BEFORE any comparison, so candidate cost "
+    "scales with the name vocabulary (sum C(block,2)), not the "
+    "catalog; the block join is a pure equi-join on length. Integer "
+    "distances/counts -> bit-deterministic.",
+)
+def er_fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, "part", sf_dir)
+    return dedup.blocked_fuzzy_pairs(part, "p_name", max_dist=2)

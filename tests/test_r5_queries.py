@@ -139,3 +139,60 @@ def test_mad_anomaly_planted(spark, tmp_path):
     ev2.write.parquet(f"{d2}/events.parquet")
     out2 = QUERIES["anomaly_mad_events"].fn(spark, d2).collect()
     assert [r.event_id for r in out2] == [7]  # only the planted outlier
+
+
+def test_corr_exact_moments_matches_numpy(spark, sf_correct_dir):
+    import numpy as np
+
+    from greenbuttonengine_spark.plans import advanced_queries  # noqa: F401
+    from greenbuttonengine_spark.plans.registry import QUERIES
+
+    out = {r.event_type: r for r in QUERIES["stats_corr_events"].fn(
+        spark, sf_correct_dir).collect()}
+    pdf = (
+        spark.read.parquet(f"{sf_correct_dir}/events.parquet")
+        .select("event_type", "value", "ts")
+        .toPandas()
+    )
+    for etype, grp in pdf.groupby("event_type"):
+        x = np.round(grp["value"].to_numpy() * 100)
+        y = grp["ts"].dt.hour.to_numpy().astype(float)
+        if x.std() == 0 or y.std() == 0:
+            assert etype not in out
+            continue
+        expect = np.corrcoef(x, y)[0, 1]
+        assert abs(out[etype].corr_value_hour - expect) < 1e-9
+
+
+def test_cumulative_users_monotone_and_total(spark, sf_correct_dir):
+    from greenbuttonengine_spark.plans import advanced_queries  # noqa: F401
+    from greenbuttonengine_spark.plans.registry import QUERIES
+
+    rows = sorted(
+        QUERIES["cumulative_distinct_users"].fn(spark, sf_correct_dir).collect(),
+        key=lambda r: r.day,
+    )
+    assert rows[-1].total_users == (
+        spark.read.parquet(f"{sf_correct_dir}/events.parquet")
+        .select("user_id").distinct().count()
+    )
+    running = 0
+    for r in rows:
+        running += r.new_users
+        assert r.total_users == running
+
+
+def test_blocked_fuzzy_pairs_planted(spark):
+    from greenbuttonengine_spark.extensions.dedup import blocked_fuzzy_pairs
+
+    df = spark.createDataFrame(
+        [Row(name=n) for n in
+         ["red bolt", "red bolt", "red bolt", "ted bolt",   # dist 1, same len
+          "red   bolt",                                      # longer: other block
+          "blue gear", "blue gearx"]]                        # dist 1 but len differs
+    )
+    pairs = blocked_fuzzy_pairs(df, "name", max_dist=2).collect()
+    assert len(pairs) == 1
+    p = pairs[0]
+    assert (p.name_a, p.name_b, p.distance) == ("red bolt", "ted bolt", 1)
+    assert (p.n_a, p.n_b) == (3, 1)  # exact dups collapsed, weight kept
