@@ -355,6 +355,74 @@ def o9_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "o10_except_all",
+    """
+    SELECT o_custkey AS c_key FROM orders WHERE o_totalprice > 50000.0
+    EXCEPT ALL
+    SELECT o_custkey AS c_key FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+    tags=("setop",),
+    doc="EXCEPT ALL (multiplicity-subtracting set op; completes the "
+    "set-op surface next to o6/o7/o9). One shuffle on the row key.",
+)
+def o10_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir)
+    left = o.filter(F.col("o_totalprice") > 50000.0).select(
+        F.col("o_custkey").alias("c_key")
+    )
+    right = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("c_key")
+    )
+    return left.exceptAll(right)
+
+
+@register(
+    "j9_full_outer_reconcile",
+    """
+    WITH a AS (
+        SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS n_orders
+        FROM orders GROUP BY 1
+    ), b AS (
+        SELECT CAST(l_shipdate AS DATE) AS day, COUNT(*) AS n_ship
+        FROM lineitem GROUP BY 1
+    )
+    SELECT COALESCE(a.day, b.day) AS day,
+           CAST(COALESCE(a.n_orders, 0) AS BIGINT) AS n_orders,
+           CAST(COALESCE(b.n_ship, 0) AS BIGINT) AS n_ship
+    FROM a FULL OUTER JOIN b ON a.day = b.day
+    """,
+    tags=("join",),
+    doc="FULL OUTER reconciliation: daily order volume vs daily ship "
+    "volume, days present on only one side surfaced with zero on the "
+    "other — the ledger-vs-ledger audit shape (completes the join "
+    "surface: inner/left/semi/anti declared elsewhere). Both inputs "
+    "pre-aggregate to O(days) before the join, so the outer join "
+    "itself is tiny at any corpus size.",
+)
+def j9_full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = (
+        load_table(spark, "orders", sf_dir)
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.count("*").alias("n_orders"))
+    )
+    li = (
+        load_table(spark, "lineitem", sf_dir)
+        .groupBy(F.to_date("l_shipdate").alias("day"))
+        .agg(F.count("*").alias("n_ship"))
+    )
+    j = o.withColumnRenamed("day", "day_a").join(
+        li.withColumnRenamed("day", "day_b"),
+        F.col("day_a") == F.col("day_b"),
+        "full_outer",
+    )
+    return j.select(
+        F.coalesce("day_a", "day_b").alias("day"),
+        F.coalesce("n_orders", F.lit(0)).cast("bigint").alias("n_orders"),
+        F.coalesce("n_ship", F.lit(0)).cast("bigint").alias("n_ship"),
+    )
+
+
+@register(
     "espi_egd_timeseries",
     None,  # input is the reference's XML corpus, not the oracle tables
     tags=("espi", "flagship"),
@@ -892,21 +960,28 @@ def anomaly_mad_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events GROUP BY event_type
     )
     SELECT event_type, CAST(n AS BIGINT) AS n,
-           CAST(n * sxy - sx * sy AS DOUBLE)
-               / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
-                  * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr_value_hour
+           CAST(CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy
+                AS DOUBLE)
+               / (sqrt(CAST(CAST(n AS DECIMAL(38,0)) * sxx
+                            - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE))
+                  * sqrt(CAST(CAST(n AS DECIMAL(38,0)) * syy
+                              - CAST(sy AS DECIMAL(38,0)) * sy AS DOUBLE)))
+               AS corr_value_hour
     FROM m
-    WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+    WHERE CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx > 0
+      AND CAST(n AS DECIMAL(38,0)) * syy - CAST(sy AS DECIMAL(38,0)) * sy > 0
     """,
     tags=("analytics",),
     doc="Pearson correlation per group (does metric value track hour "
     "of day?) computed from exact BIGINT moments, NOT F.corr: built-in "
     "corr accumulates doubles in partition order, so its last bits "
     "differ across engines/layouts. Integer moments are "
-    "order-independent and overflow-checked by ANSI mode; the final "
-    "combination is a fixed sequence of correctly-rounded double ops. "
-    "One map-side-combined aggregate; zero-variance groups filtered "
-    "(no correlation is defined there).",
+    "order-independent; the n*sxy-style combination runs in "
+    "DECIMAL(38,0) because it crosses int64 around a billion rows "
+    "per group (BIGINT would ANSI-throw at scale), and a scale-0 "
+    "decimal -> double cast is one correctly-rounded step in both "
+    "engines. One map-side-combined aggregate; zero-variance groups "
+    "filtered (no correlation is defined there).",
 )
 def stats_corr_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir).select(
@@ -922,9 +997,12 @@ def stats_corr_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("y") * F.col("y")).alias("syy"),
         F.sum(F.col("x") * F.col("y")).alias("sxy"),
     )
-    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
-    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
-    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    # the moment combination crosses int64 near 1e9 rows/group: run it
+    # in DECIMAL(38,0) (exact; one correctly-rounded cast to double)
+    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    vx = d("n") * F.col("sxx") - d("sx") * F.col("sx")
+    vy = d("n") * F.col("syy") - d("sy") * F.col("sy")
+    num = d("n") * F.col("sxy") - d("sx") * F.col("sy")
     return (
         m.filter((vx > 0) & (vy > 0))
         .select(
