@@ -1050,3 +1050,104 @@ def cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("new_users").cast("bigint").alias("new_users"),
         F.sum("new_users").over(w).cast("bigint").alias("total_users"),
     )
+
+
+@register(
+    "feature_bin_quantile",
+    """
+    WITH q AS (
+        SELECT l_returnflag,
+               quantile_cont(l_quantity, 0.25) AS q1,
+               quantile_cont(l_quantity, 0.5) AS q2,
+               quantile_cont(l_quantity, 0.75) AS q3
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+           CAST(CASE WHEN l_quantity <= q1 THEN 0
+                     WHEN l_quantity <= q2 THEN 1
+                     WHEN l_quantity <= q3 THEN 2
+                     ELSE 3 END AS BIGINT) AS qty_bin
+    FROM lineitem JOIN q USING (l_returnflag)
+    """,
+    tags=("analytics", "percentile"),
+    doc="Equal-frequency feature binning: per-group exact quartile "
+    "cutoffs broadcast back onto a scan-stage CASE — the quantile "
+    "bucketizer every feature pipeline needs before hashing/crossing "
+    "features. Cutoffs interpolate on integer-valued doubles "
+    "(deterministic); assignment is pure comparison. One tiny "
+    "aggregate + broadcast join; at 100 TB use approx_percentile "
+    "cutoffs (same plan, sketch-mergeable).",
+)
+def feature_bin_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"
+    )
+    q = li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", 0.25).alias("q1"),
+        F.percentile("l_quantity", 0.5).alias("q2"),
+        F.percentile("l_quantity", 0.75).alias("q3"),
+    )
+    binned = (
+        F.when(F.col("l_quantity") <= F.col("q1"), 0)
+        .when(F.col("l_quantity") <= F.col("q2"), 1)
+        .when(F.col("l_quantity") <= F.col("q3"), 2)
+        .otherwise(3)
+    )
+    return (
+        li.join(F.broadcast(q), "l_returnflag")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_returnflag",
+            "l_quantity",
+            binned.cast("bigint").alias("qty_bin"),
+        )
+    )
+
+
+@register(
+    "rolling_7d_active_users",
+    """
+    WITH ud AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ), span AS (
+        SELECT CAST(unnest(generate_series(MIN(day), MAX(day),
+                                           INTERVAL 1 DAY)) AS DATE) AS day
+        FROM ud
+    ), contrib AS (
+        SELECT DISTINCT ud.user_id, span.day
+        FROM ud JOIN span
+          ON span.day >= ud.day AND span.day <= ud.day + INTERVAL 6 DAY
+    )
+    SELECT day, CAST(COUNT(*) AS BIGINT) AS active_7d
+    FROM contrib GROUP BY day
+    """,
+    tags=("analytics", "timeseries"),
+    doc="Rolling 7-day distinct active users — sliding COUNT(DISTINCT) "
+    "does not decompose over windows, so the exact scale shape is: "
+    "distinct (user, day) pairs (one dedup shuffle, the only pass over "
+    "raw events), explode each active day into the <=7 target days it "
+    "covers, re-distinct, count per day. Cost is O(active-user-days x "
+    "7), independent of event volume; the raw stream is touched "
+    "exactly once. (HLL sketch union is the approximate alternative "
+    "when user-days themselves blow up.)",
+)
+def rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    ud = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    span = ud.agg(F.min("day").alias("lo"), F.max("day").alias("hi")).select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("day")
+    )
+    # each (user, active day) contributes to target days [day, day+6],
+    # clipped to the observed span via the equi-join on exploded targets
+    contrib = (
+        ud.select(
+            "user_id",
+            F.explode(
+                F.expr("sequence(day, date_add(day, 6), interval 1 day)")
+            ).alias("day"),
+        )
+        .join(F.broadcast(span), "day", "left_semi")
+        .distinct()
+    )
+    return contrib.groupBy("day").agg(F.count("*").cast("bigint").alias("active_7d"))

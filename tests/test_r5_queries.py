@@ -196,3 +196,49 @@ def test_blocked_fuzzy_pairs_planted(spark):
     p = pairs[0]
     assert (p.name_a, p.name_b, p.distance) == ("red bolt", "ted bolt", 1)
     assert (p.n_a, p.n_b) == (3, 1)  # exact dups collapsed, weight kept
+
+
+def test_feature_bins_equal_frequency(spark, sf_correct_dir):
+    from greenbuttonengine_spark.plans import advanced_queries  # noqa: F401
+    from greenbuttonengine_spark.plans.registry import QUERIES
+
+    out = QUERIES["feature_bin_quantile"].fn(spark, sf_correct_dir)
+    counts = (
+        out.groupBy("l_returnflag", "qty_bin").count()
+        .orderBy("l_returnflag", "qty_bin").collect()
+    )
+    # every group has all 4 bins and they are roughly equal-frequency
+    # (exact equality impossible with heavily tied integer quantities)
+    by_flag = {}
+    for r in counts:
+        by_flag.setdefault(r.l_returnflag, {})[r.qty_bin] = r["count"]
+    for flag, bins in by_flag.items():
+        assert set(bins) == {0, 1, 2, 3}, (flag, bins)
+        tot = sum(bins.values())
+        for b, n in bins.items():
+            assert 0.15 < n / tot < 0.35, (flag, b, n / tot)
+
+
+def test_rolling_7d_matches_bruteforce(spark, sf_correct_dir):
+    import datetime
+
+    from greenbuttonengine_spark.plans import advanced_queries  # noqa: F401
+    from greenbuttonengine_spark.plans.registry import QUERIES
+
+    got = {
+        r.day: r.active_7d
+        for r in QUERIES["rolling_7d_active_users"].fn(spark, sf_correct_dir).collect()
+    }
+    ud = (
+        spark.read.parquet(f"{sf_correct_dir}/events.parquet")
+        .select("user_id", F.to_date("ts").alias("day")).distinct().collect()
+    )
+    days = sorted({r.day for r in ud})
+    span = [days[0] + datetime.timedelta(days=i)
+            for i in range((days[-1] - days[0]).days + 1)]
+    for target in span:
+        expect = len({
+            r.user_id for r in ud
+            if target - datetime.timedelta(days=6) <= r.day <= target
+        })
+        assert got[target] == expect, target
