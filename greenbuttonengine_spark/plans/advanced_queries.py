@@ -806,7 +806,8 @@ def anomaly_zscore_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT days.user_id AS user_id, days.day AS day,
            CAST(COALESCE(c.n, 0) AS BIGINT) AS n_events
-    FROM days LEFT JOIN c ON days.user_id = c.user_id AND days.day = c.day
+    FROM days LEFT JOIN c
+      ON days.user_id IS NOT DISTINCT FROM c.user_id AND days.day = c.day
     """,
     tags=("timeseries",),
     doc="Per-series calendar gap fill: every user's daily event-count "
@@ -832,10 +833,21 @@ def ts1_gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("day"),
     )
-    return days.join(c, ["user_id", "day"], "left").select(
-        "user_id",
-        "day",
-        F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_events"),
+    # null-safe on the series key: a NULL-keyed series (unattributed
+    # events) must still see its own counts, not all-zeros (plain
+    # equi-join semantics silently zero it in both engines)
+    cj = c.select(F.col("user_id").alias("cu"), F.col("day").alias("cd"), "n")
+    return (
+        days.join(
+            cj,
+            days["user_id"].eqNullSafe(cj["cu"]) & (days["day"] == cj["cd"]),
+            "left",
+        )
+        .select(
+            "user_id",
+            "day",
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_events"),
+        )
     )
 
 

@@ -242,3 +242,30 @@ def test_rolling_7d_matches_bruteforce(spark, sf_correct_dir):
             if target - datetime.timedelta(days=6) <= r.day <= target
         })
         assert got[target] == expect, target
+
+
+def test_gap_fill_null_series_key(spark, tmp_path):
+    """A NULL-keyed series (unattributed events) keeps its own counts —
+    a plain equi-join would silently zero every day of that series."""
+    import datetime as dt
+
+    from greenbuttonengine_spark.plans import advanced_queries  # noqa: F401
+    from greenbuttonengine_spark.plans.registry import QUERIES
+
+    ev = spark.createDataFrame(
+        [
+            Row(event_id=1, ts=dt.datetime(2024, 1, 1), user_id=None,
+                event_type="t", value=1.0, props="{}"),
+            Row(event_id=2, ts=dt.datetime(2024, 1, 3), user_id=None,
+                event_type="t", value=1.0, props="{}"),
+        ],
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string",
+    )
+    d = str(tmp_path / "sfnull")
+    ev.write.parquet(f"{d}/events.parquet")
+    rows = sorted(
+        QUERIES["ts1_gap_fill_daily"].fn(spark, d).collect(), key=lambda r: r.day
+    )
+    assert [r.n_events for r in rows] == [1, 0, 1]
+    assert all(r.user_id is None for r in rows)
