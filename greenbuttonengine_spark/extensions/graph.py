@@ -1,0 +1,81 @@
+"""Graph algorithms over edge DataFrames.
+
+The duplicate-cluster resolver (``dedup.connected_components``) covers
+the equivalence-class shape; this module adds importance scoring —
+PageRank over an arbitrary edge list, typically the kNN similarity
+graph (``similarity.knn_graph``), where rank identifies central /
+representative documents for diversity sampling and keeper election.
+
+Design (same iterative discipline as connected components):
+the driver loop is CONTROL FLOW ONLY — each iteration is one
+shuffle-by-dst aggregation; ``localCheckpoint`` truncates the lineage
+each round so the plan does not grow with iteration count.  All data
+movement is DataFrame joins/aggregations; nothing is collected.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    iters: int = 10,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """PageRank over a directed edge list; returns (node, rank).
+
+    Semantics: standard power iteration with uniform teleport,
+    ``rank = (1-d)/N + d * (sum of rank/outdeg over in-edges
+    + dangling mass / N)``.  Dangling nodes (no out-edges) donate
+    their rank uniformly, so total rank stays 1 each round.
+
+    Scale shape per iteration: one equi-join of the rank vector onto
+    the edge list (both sides keyed by src — co-partitioned after the
+    first round) and one shuffle-by-dst sum; the dangling-mass term is
+    a one-row aggregate broadcast into the update.  The rank vector is
+    O(nodes); edges are never materialized per-iteration beyond the
+    join.  Iterations localCheckpoint so round N's plan doesn't replay
+    rounds 1..N-1 (the CC discipline; on a multi-node cluster prefer
+    reliable checkpoints if executor loss must be recoverable).
+    """
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n = nodes.count()
+    outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    for _ in range(iters):
+        contribs = (
+            ranks.join(outdeg, ranks["node"] == outdeg["src"], "inner")
+            .join(e, "src")
+            .select(F.col("dst").alias("node"), (F.col("rank") / F.col("outdeg")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("in_mass"))
+        )
+        # dangling nodes (no out-edges) donate their rank uniformly
+        dangling = ranks.join(
+            outdeg, ranks["node"] == outdeg["src"], "left_anti"
+        ).agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .crossJoin(F.broadcast(dangling))  # one-row scalar dim (j6 shape)
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("in_mass"), F.lit(0.0)) + F.col("dm") / n)
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks

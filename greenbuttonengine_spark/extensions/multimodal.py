@@ -1,10 +1,13 @@
 """Multimodal column support: image/audio/video as opaque binary columns
 with typed metadata.
 
-The container has no codec libraries (PIL/librosa/ffmpeg), so the
-DECODE step is stubbed — raising NotImplementedError with install
-guidance, or substituting a deterministic fake when
-``allow_fake=True`` — while the Spark-side plumbing is real and tested:
+The container has no codec libraries (PIL/librosa/ffmpeg).  Decode is
+REAL for uncompressed 24-bit BMP — a pure-numpy encoder/decoder pair
+(``encode_bmp``/``decode_bmp``), so the resize path genuinely decodes,
+resamples and re-encodes pixels with zero dependencies.  Other formats
+raise NotImplementedError with install guidance, or substitute a
+deterministic fake when ``allow_fake=True``.  The Spark-side plumbing
+is real and tested either way:
 
 * schema: (id, media binary, media_meta struct<kind,width,height,n_bytes>)
 * partition-aware batch processing via mapInPandas (Arrow binary
@@ -68,17 +71,66 @@ def attach_fake_media(docs: DataFrame, text_col: str = "text", id_col: str = "do
     return docs.select(F.col(id_col), blob.alias("media"), meta.alias("media_meta"))
 
 
-def decode_image(blob: bytes):
-    """Decode a real image — requires a codec library not present here."""
+def encode_bmp(rgb: np.ndarray) -> bytes:
+    """Encode an (H, W, 3) uint8 RGB array as an uncompressed 24-bit
+    BI_RGB BMP — pure numpy, no codec library.  BMP stores rows
+    bottom-up in BGR order, each row padded to a 4-byte boundary."""
+    import struct
+
+    h, w, _ = rgb.shape
+    row_bytes = (w * 3 + 3) & ~3
+    img_size = row_bytes * h
+    padded = np.zeros((h, row_bytes), dtype=np.uint8)
+    padded[:, : w * 3] = rgb[::-1, :, ::-1].reshape(h, w * 3)  # flip rows, RGB->BGR
+    header = struct.pack("<2sIHHI", b"BM", 54 + img_size, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0)
+    return header + info + padded.tobytes()
+
+
+def decode_bmp(blob: bytes) -> np.ndarray:
+    """Decode an uncompressed 24-bit BI_RGB BMP to an (H, W, 3) uint8
+    RGB array — pure numpy.  Supports the common bottom-up layout and
+    the top-down (negative height) variant; anything else (palette,
+    RLE, 32-bit) raises ValueError so callers fall back to a real
+    codec library."""
+    import struct
+
+    if blob[:2] != b"BM" or len(blob) < 54:
+        raise ValueError("not a BMP file")
+    (pix_off,) = struct.unpack_from("<I", blob, 10)
+    hdr_size, w, h = struct.unpack_from("<Iii", blob, 14)
+    planes, bpp, compression = struct.unpack_from("<HHI", blob, 26)
+    if hdr_size < 40 or bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP variant (bpp={bpp}, compression={compression})")
+    top_down = h < 0
+    h = abs(h)
+    row_bytes = (w * 3 + 3) & ~3
+    data = np.frombuffer(blob, dtype=np.uint8, count=row_bytes * h, offset=pix_off)
+    rows = data.reshape(h, row_bytes)[:, : w * 3].reshape(h, w, 3)
+    if not top_down:
+        rows = rows[::-1]
+    return rows[:, :, ::-1].copy()  # BGR -> RGB
+
+
+def decode_image(blob: bytes) -> np.ndarray:
+    """Decode an image blob to an (H, W, 3) uint8 RGB array.
+
+    Uncompressed 24-bit BMP decodes natively (pure numpy, always
+    available); other formats need Pillow, which this container lacks
+    — the dispatch keeps one call site whatever the cluster image
+    provides."""
+    if blob[:2] == b"BM":
+        return decode_bmp(blob)
     if not _HAS_PIL:
         raise NotImplementedError(
-            "Image decode requires Pillow; install `pillow` on the cluster "
-            "image. Use extract_features(..., allow_fake=True) for the "
+            "Only BMP decodes without a codec library; install `pillow` "
+            "on the cluster image for JPEG/PNG/..., or use "
+            "extract_features(..., allow_fake=True) for the "
             "deterministic stand-in path."
         )
     import io
 
-    return Image.open(io.BytesIO(blob))  # pragma: no cover
+    return np.asarray(Image.open(io.BytesIO(blob)).convert("RGB"))  # pragma: no cover
 
 
 def extract_features(
@@ -193,28 +245,50 @@ def resize_images(
 ) -> DataFrame:
     """Resize each image blob to (width, height) via mapInPandas.
 
-    Real path: PIL decode -> resize -> re-encode (requires Pillow,
-    absent in this container).  Fake path: deterministic nearest-
-    neighbor byte resampling to width*height bytes — same Arrow batch
-    shape, same output schema (blob + updated meta), so swapping the
-    codec in changes ONE function body, not the plumbing.
+    Real path: BMP blobs decode natively (pure numpy, see decode_bmp),
+    nearest-neighbor resample per axis, re-encode BMP — genuinely
+    decoded pixels, no codec library needed.  Other formats need
+    Pillow (absent here); with ``allow_fake=True`` they fall back to
+    deterministic byte resampling — same Arrow batch shape, same
+    output schema, so a richer codec changes ONE branch, not the
+    plumbing.
 
     Scale: a narrow per-row transform in the scan stage; the resized
     blob (typically much smaller) replaces the original before any
     wide operation, shrinking every downstream shuffle.
     """
-    if not allow_fake and not _HAS_PIL:
-        raise NotImplementedError(
-            "Image resize requires Pillow; install `pillow` on the "
-            "cluster image, or pass allow_fake=True for the "
-            "deterministic stand-in path."
-        )
     n_out = width * height
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             blobs, metas = [], []
             for blob in pdf["media"]:
+                if blob[:2] == b"BM":
+                    rgb = decode_bmp(bytes(blob))
+                    yi = (np.arange(height) * rgb.shape[0] // height).clip(
+                        0, rgb.shape[0] - 1
+                    )
+                    xi = (np.arange(width) * rgb.shape[1] // width).clip(
+                        0, rgb.shape[1] - 1
+                    )
+                    out_bmp = encode_bmp(rgb[yi][:, xi])
+                    blobs.append(out_bmp)
+                    metas.append(
+                        {
+                            "kind": "image/bmp",
+                            "width": width,
+                            "height": height,
+                            "n_bytes": len(out_bmp),
+                        }
+                    )
+                    continue
+                if not allow_fake and not _HAS_PIL:
+                    raise NotImplementedError(
+                        "Non-BMP resize requires Pillow; install `pillow` "
+                        "on the cluster image, or pass allow_fake=True "
+                        "for the deterministic stand-in path (BMP inputs "
+                        "always take the real decode path)."
+                    )
                 arr = np.frombuffer(blob, dtype=np.uint8)
                 idx = (np.arange(n_out) * max(len(arr), 1) // n_out).clip(
                     0, max(len(arr) - 1, 0)

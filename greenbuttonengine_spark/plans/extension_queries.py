@@ -1393,3 +1393,27 @@ def multimodal_hist_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
 def er_fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, "part", sf_dir)
     return dedup.blocked_fuzzy_pairs(part, "p_name", max_dist=2)
+
+
+@register(
+    "graph_pagerank_knn",
+    None,  # iterative fp power iteration: not oracle-expressible
+    # (aggregates are disallowed in recursive CTE terms); pytest pins
+    # the semantics against a numpy power iteration instead
+    tags=("graph", "iterative", "tiny-bnlj"),
+    doc="PageRank over the exact cosine 5-NN graph: rank identifies "
+    "central/representative documents for diversity sampling and "
+    "cluster-keeper election (the importance complement to the "
+    "connected-components equivalence classes). Per iteration: one "
+    "rank-onto-edges equi-join + one shuffle-by-dst sum; dangling "
+    "mass is a one-row broadcast; localCheckpoint truncates lineage "
+    "per round (CC discipline).",
+)
+def graph_pagerank_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.graph import pagerank
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    edges = similarity.knn_graph(emb, k=5).select(
+        F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst")
+    )
+    return pagerank(edges, damping=0.85, iters=10)

@@ -134,8 +134,14 @@ def test_multimodal_plumbing(spark, docs):
         assert len(r.byte_histogram) == multimodal.HIST_BINS
         assert abs(sum(r.byte_histogram) - 1.0) < 1e-9  # normalized histogram
 
-    with pytest.raises(NotImplementedError, match="Pillow"):
+    # non-BMP formats still need a codec library...
+    with pytest.raises(NotImplementedError, match="pillow"):
         multimodal.decode_image(b"\x00" * 16)
+    # ...but uncompressed 24-bit BMP decodes natively (pure numpy)
+    import numpy as np
+
+    img = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+    assert np.array_equal(multimodal.decode_image(multimodal.encode_bmp(img)), img)
 
 
 def test_exact_dedup_finds_normalized_dups(spark, docs):

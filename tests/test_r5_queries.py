@@ -269,3 +269,86 @@ def test_gap_fill_null_series_key(spark, tmp_path):
     )
     assert [r.n_events for r in rows] == [1, 0, 1]
     assert all(r.user_id is None for r in rows)
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    import numpy as np
+
+    from greenbuttonengine_spark.extensions.graph import pagerank
+
+    # 5 nodes; node 4 is dangling (no out-edges); 0 is a hub
+    E = [(0, 1), (0, 2), (1, 0), (2, 0), (3, 0), (3, 4), (1, 4)]
+    edges = spark.createDataFrame([Row(src=a, dst=b) for a, b in E])
+    got = {r.node: r.rank for r in pagerank(edges, 0.85, iters=20).collect()}
+
+    n, d = 5, 0.85
+    out = {}
+    for a, _ in E:
+        out[a] = out.get(a, 0) + 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(20):
+        nxt = np.full(n, (1 - d) / n)
+        dangling = sum(r[v] for v in range(n) if v not in out)
+        nxt += d * dangling / n
+        for a, b in E:
+            nxt[b] += d * r[a] / out[a]
+        r = nxt
+    assert abs(sum(got.values()) - 1.0) < 1e-9  # rank mass conserved
+    for v in range(n):
+        assert abs(got[v] - r[v]) < 1e-9, (v, got[v], r[v])
+    # the hub outranks the leaves
+    assert got[0] == max(got.values())
+
+
+def test_bmp_codec_roundtrip_and_padding():
+    import numpy as np
+
+    from greenbuttonengine_spark.extensions.multimodal import (
+        decode_bmp, decode_image, encode_bmp,
+    )
+
+    # width 3 -> 9-byte rows padded to 12: exercises the padding path
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(5, 3, 3), dtype=np.uint8)
+    blob = encode_bmp(img)
+    assert blob[:2] == b"BM"
+    assert np.array_equal(decode_bmp(blob), img)
+    assert np.array_equal(decode_image(blob), img)  # dispatch hits BMP path
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        decode_bmp(b"BM" + b"\x00" * 60)  # garbage header fields
+    with pytest.raises(ValueError):
+        decode_bmp(b"nonsense")
+
+
+def test_resize_images_real_bmp_path(spark):
+    import numpy as np
+
+    from greenbuttonengine_spark.extensions.multimodal import (
+        decode_bmp, encode_bmp, resize_images,
+    )
+
+    # 4x4 image with distinct quadrant colors: nearest-neighbor 2x2
+    # resize must pick one pixel per quadrant
+    img = np.zeros((4, 4, 3), dtype=np.uint8)
+    img[:2, :2] = [255, 0, 0]
+    img[:2, 2:] = [0, 255, 0]
+    img[2:, :2] = [0, 0, 255]
+    img[2:, 2:] = [255, 255, 0]
+    media = spark.createDataFrame(
+        [Row(doc_id=1, media=bytearray(encode_bmp(img)),
+             media_meta={"kind": "image/bmp", "width": 4, "height": 4,
+                         "n_bytes": len(encode_bmp(img))})],
+        "doc_id bigint, media binary, "
+        "media_meta struct<kind:string,width:int,height:int,n_bytes:bigint>",
+    )
+    out = resize_images(media, 2, 2, allow_fake=False).collect()
+    assert len(out) == 1 and out[0].media_meta.kind == "image/bmp"
+    small = decode_bmp(bytes(out[0].media))
+    assert small.shape == (2, 2, 3)
+    assert small[0, 0].tolist() == [255, 0, 0]
+    assert small[0, 1].tolist() == [0, 255, 0]
+    assert small[1, 0].tolist() == [0, 0, 255]
+    assert small[1, 1].tolist() == [255, 255, 0]
