@@ -406,3 +406,87 @@ def line_dedup(
             "\n",
         ).alias("cleaned_text"),
     )
+
+
+def gopher_flags(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Gopher/MassiveText-style composite quality gate: per-doc boolean
+    flags for each rule plus the final keep verdict, so the audit table
+    shows WHY a document was dropped, not just that it was.
+
+    Rules (all integer-ratio math -> bit-deterministic):
+    * word count in [5, 10000]
+    * mean word length in [2, 12] chars
+    * symbol-to-word ratio (#/ellipsis proxies via non-alnum-space
+      chars) <= 0.5
+    * at least 60% of words contain an alphabetic character
+
+    One scan-stage projection — no shuffle, no Python; the downstream
+    filter is ``keep = every flag true``.
+    """
+    ws = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    n_words = F.size(ws).cast("long")
+    total_word_chars = F.aggregate(
+        ws, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    n_alpha_words = F.size(F.filter(ws, lambda w: w.rlike("[a-z]"))).cast("long")
+    n_sym = F.length(
+        F.regexp_replace(F.col(text_col), r"[A-Za-z0-9\s]", "")
+    ).cast("long")
+    mean_wlen = total_word_chars.cast("double") / n_words.cast("double")
+    sym_ratio = n_sym.cast("double") / n_words.cast("double")
+    alpha_frac = n_alpha_words.cast("double") / n_words.cast("double")
+    f_count = (n_words >= 5) & (n_words <= 10000)
+    f_wlen = (mean_wlen >= 2.0) & (mean_wlen <= 12.0)
+    f_sym = sym_ratio <= 0.5
+    f_alpha = alpha_frac >= 0.6
+    return docs.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        mean_wlen.alias("mean_word_len"),
+        sym_ratio.alias("symbol_word_ratio"),
+        alpha_frac.alias("alpha_word_frac"),
+        f_count.alias("ok_word_count"),
+        f_wlen.alias("ok_word_len"),
+        f_sym.alias("ok_symbols"),
+        f_alpha.alias("ok_alpha_words"),
+        (f_count & f_wlen & f_sym & f_alpha).alias("keep"),
+    )
+
+
+def ttr_hapax(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Lexical diversity per doc: type-token ratio (distinct/total
+    tokens) and hapax fraction (share of the doc's distinct tokens
+    occurring exactly once IN THE DOC).  Machine-generated spam skews
+    low-TTR; OCR noise skews hapax-heavy.  Contrast rare_token_stats,
+    which rates tokens against the CORPUS — this is purely
+    intra-document.
+
+    Scale shape: explode + one shuffle keyed by (doc, word) with
+    map-side combine (one wire row per distinct doc-word), then a
+    per-doc re-aggregate — the repetition_stats discipline.  A
+    nested-HOF form (filter-within-filter over the token array) would
+    be O(types x tokens) per document; the aggregate form is
+    O(tokens)."""
+    words = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("__w"),
+    )
+    wc = words.groupBy(id_col, "__w").agg(F.count("*").alias("__c"))
+    return wc.groupBy(id_col).agg(
+        F.sum("__c").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_types"),
+        (F.count("*").cast("double") / F.sum("__c").cast("double")).alias("ttr"),
+        F.sum((F.col("__c") == 1).cast("long")).cast("long").alias("n_hapax"),
+        (
+            F.sum((F.col("__c") == 1).cast("long")).cast("double")
+            / F.count("*").cast("double")
+        ).alias("hapax_frac"),
+    )

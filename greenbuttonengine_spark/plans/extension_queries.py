@@ -1417,3 +1417,139 @@ def graph_pagerank_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst")
     )
     return pagerank(edges, damping=0.85, iters=10)
+
+
+@register(
+    "text_gopher_flags",
+    r"""
+    WITH t AS (
+        SELECT doc_id,
+               string_split_regex(lower(trim(text)), '\s+') AS ws,
+               CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+                    AS BIGINT) AS n_sym
+        FROM documents
+    ), m AS (
+        SELECT doc_id,
+               CAST(len(ws) AS BIGINT) AS n_words,
+               CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE)
+                   / CAST(len(ws) AS DOUBLE) AS mean_word_len,
+               CAST(n_sym AS DOUBLE) / CAST(len(ws) AS DOUBLE)
+                   AS symbol_word_ratio,
+               CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-z]')))
+                    AS DOUBLE) / CAST(len(ws) AS DOUBLE) AS alpha_word_frac
+        FROM t
+    )
+    SELECT doc_id, n_words, mean_word_len, symbol_word_ratio, alpha_word_frac,
+           (n_words >= 5 AND n_words <= 10000) AS ok_word_count,
+           (mean_word_len >= 2.0 AND mean_word_len <= 12.0) AS ok_word_len,
+           (symbol_word_ratio <= 0.5) AS ok_symbols,
+           (alpha_word_frac >= 0.6) AS ok_alpha_words,
+           ((n_words >= 5 AND n_words <= 10000)
+            AND (mean_word_len >= 2.0 AND mean_word_len <= 12.0)
+            AND (symbol_word_ratio <= 0.5)
+            AND (alpha_word_frac >= 0.6)) AS keep
+    FROM m
+    """,
+    tags=("textstats",),
+    doc="Gopher/MassiveText composite quality gate with per-rule "
+    "boolean flags (word-count bounds, mean word length, symbol-to-"
+    "word ratio, alphabetic-word fraction) plus the final keep "
+    "verdict — the audit table shows WHY a doc drops. One scan-stage "
+    "projection; integer-ratio doubles.",
+)
+def text_gopher_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.gopher_flags(load_table(spark, "documents", sf_dir))
+
+
+@register(
+    "text_ttr_hapax",
+    r"""
+    WITH w AS (
+        SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+        FROM documents
+    ), wc AS (
+        SELECT doc_id, w, COUNT(*) AS c FROM w GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS ttr,
+           CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+           CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS hapax_frac
+    FROM wc GROUP BY doc_id
+    """,
+    tags=("textstats",),
+    doc="Lexical diversity: type-token ratio + intra-doc hapax "
+    "fraction (spam skews low-TTR, OCR noise hapax-heavy). One "
+    "map-side-combined (doc, word) shuffle + per-doc re-aggregate; "
+    "integer-ratio doubles.",
+)
+def text_ttr_hapax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.ttr_hapax(load_table(spark, "documents", sf_dir))
+
+
+@register(
+    "search_phrase_positions",
+    r"""
+    WITH p AS (
+        SELECT doc_id,
+               unnest(generate_series(1, len(ws))) - 1 AS pos,
+               unnest(ws) AS w
+        FROM (SELECT doc_id,
+                     string_split_regex(lower(trim(text)), '\s+') AS ws
+              FROM documents) t
+    )
+    SELECT a.doc_id AS doc_id, CAST(a.pos AS BIGINT) AS pos
+    FROM p a JOIN p b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    WHERE a.w = 'the' AND b.w = 'data'
+    """,
+    tags=("search",),
+    doc="Exact phrase retrieval via positional postings: tokenize with "
+    "positions, equi-join adjacent positions per doc ('the' at p, "
+    "'data' at p+1) — the positional-index primitive behind quoted "
+    "queries in every IR engine. Both sides filter to their term "
+    "BEFORE the join (term postings, not full token streams, meet the "
+    "shuffle); join key (doc, pos) is skew-free.",
+)
+def search_phrase_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.trim("text")), r"\s+")).alias("pos", "w"),
+    )
+    a = toks.filter(F.col("w") == "the").select("doc_id", F.col("pos").alias("pa"))
+    b = toks.filter(F.col("w") == "data").select(
+        F.col("doc_id").alias("db"), F.col("pos").alias("pb")
+    )
+    return a.join(
+        b, (F.col("doc_id") == F.col("db")) & (F.col("pb") == F.col("pa") + 1)
+    ).select("doc_id", F.col("pa").cast("bigint").alias("pos"))
+
+
+@register(
+    "events_dow_hour_heatmap",
+    """
+    SELECT CAST(dayofweek(ts) AS BIGINT) AS dow,
+           CAST(date_part('hour', ts) AS BIGINT) AS hour,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM events GROUP BY 1, 2
+    """,
+    tags=("analytics",),
+    doc="Day-of-week x hour activity heatmap (the ops-dashboard "
+    "staple; DuckDB dayofweek == Spark dayofweek-1, aligned by "
+    "formula). One map-side-combined hash agg to <=168 rows; exact "
+    "integer cents.",
+)
+def events_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return ev.groupBy(
+        (F.dayofweek("ts") - F.lit(1)).cast("bigint").alias("dow"),
+        F.hour("ts").cast("bigint").alias("hour"),
+    ).agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("sum_cents"),
+    )

@@ -352,3 +352,52 @@ def test_resize_images_real_bmp_path(spark):
     assert small[0, 1].tolist() == [0, 255, 0]
     assert small[1, 0].tolist() == [0, 0, 255]
     assert small[1, 1].tolist() == [255, 255, 0]
+
+
+def test_gopher_flags_planted(spark):
+    from greenbuttonengine_spark.extensions.textstats import gopher_flags
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a perfectly normal sentence with enough words"),
+            Row(doc_id=2, text="too short"),                      # word count
+            Row(doc_id=3, text="#### @@@@ %%%% &&&& !!!! ****"),  # symbols+alpha
+            Row(doc_id=4, text="honorificabilitudinitatibus " * 10),  # word len
+        ]
+    )
+    got = {r.doc_id: r for r in gopher_flags(docs).collect()}
+    assert got[1].keep
+    assert not got[2].ok_word_count and not got[2].keep
+    assert not got[3].ok_alpha_words and not got[3].keep
+    assert not got[4].ok_word_len and not got[4].keep
+
+
+def test_ttr_hapax_planted(spark):
+    from greenbuttonengine_spark.extensions.textstats import ttr_hapax
+
+    docs = spark.createDataFrame([Row(doc_id=1, text="a b a c a b d")])
+    r = ttr_hapax(docs).collect()[0]
+    # tokens: a x3, b x2, c, d -> 7 tokens, 4 types, hapax {c, d}
+    assert (r.n_tokens, r.n_types, r.n_hapax) == (7, 4, 2)
+    assert r.ttr == 4 / 7 and r.hapax_frac == 0.5
+
+
+def test_phrase_positions_planted(spark, tmp_path):
+    from greenbuttonengine_spark.plans import extension_queries  # noqa: F401
+    from greenbuttonengine_spark.plans.registry import QUERIES
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the data is the data", lang="en", source="s",
+                n_chars=20),
+            Row(doc_id=2, text="data the backwards", lang="en", source="s",
+                n_chars=18),
+        ]
+    )
+    d = str(tmp_path / "sfp")
+    docs.write.parquet(f"{d}/documents.parquet")
+    rows = sorted(
+        QUERIES["search_phrase_positions"].fn(spark, d).collect(),
+        key=lambda r: (r.doc_id, r.pos),
+    )
+    assert [(r.doc_id, r.pos) for r in rows] == [(1, 0), (1, 3)]
