@@ -50,6 +50,8 @@ def pagerank(
         .localCheckpoint(eager=False)
     )
     n = nodes.count()
+    if n == 0:  # empty graph: no nodes, no ranks (not a 1/0 crash)
+        return nodes.select("node", F.lit(0.0).alias("rank"))
     outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
 
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))

@@ -401,3 +401,10 @@ def test_phrase_positions_planted(spark, tmp_path):
         key=lambda r: (r.doc_id, r.pos),
     )
     assert [(r.doc_id, r.pos) for r in rows] == [(1, 0), (1, 3)]
+
+
+def test_pagerank_empty_graph(spark):
+    from greenbuttonengine_spark.extensions.graph import pagerank
+
+    edges = spark.createDataFrame([], "src bigint, dst bigint")
+    assert pagerank(edges, iters=3).collect() == []
