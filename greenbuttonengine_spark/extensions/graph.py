@@ -42,7 +42,15 @@ def pagerank(
     rounds 1..N-1 (the CC discipline; on a multi-node cluster prefer
     reliable checkpoints if executor loss must be recoverable).
     """
-    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    # The static inputs (edge list, out-degrees, the dangling-node SET)
+    # are checkpointed ONCE before the loop — without this, every
+    # iteration's join replays the upstream edge computation (for the
+    # kNN graph that is a multi-second brute-force similarity job,
+    # re-executed ~2x per round).  Same discipline as
+    # connected_components, which checkpoints its edges up front.
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).localCheckpoint(eager=False)
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
@@ -52,7 +60,12 @@ def pagerank(
     n = nodes.count()
     if n == 0:  # empty graph: no nodes, no ranks (not a 1/0 crash)
         return nodes.select("node", F.lit(0.0).alias("rank"))
-    outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg")).localCheckpoint(
+        eager=False
+    )
+    dangling_nodes = nodes.join(
+        outdeg.select(F.col("src").alias("node")), "node", "left_anti"
+    ).localCheckpoint(eager=False)
 
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     for _ in range(iters):
@@ -63,10 +76,10 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("c").alias("in_mass"))
         )
-        # dangling nodes (no out-edges) donate their rank uniformly
-        dangling = ranks.join(
-            outdeg, ranks["node"] == outdeg["src"], "left_anti"
-        ).agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
+        # dangling nodes (static set, per-round mass) donate uniformly
+        dangling = ranks.join(dangling_nodes, "node", "left_semi").agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")
+        )
         ranks = (
             nodes.join(contribs, "node", "left")
             .crossJoin(F.broadcast(dangling))  # one-row scalar dim (j6 shape)

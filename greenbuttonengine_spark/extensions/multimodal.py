@@ -116,11 +116,15 @@ def decode_image(blob: bytes) -> np.ndarray:
     """Decode an image blob to an (H, W, 3) uint8 RGB array.
 
     Uncompressed 24-bit BMP decodes natively (pure numpy, always
-    available); other formats need Pillow, which this container lacks
-    — the dispatch keeps one call site whatever the cluster image
-    provides."""
+    available); BMP variants the native path rejects (palette, RLE,
+    32-bit) fall THROUGH to Pillow when present — the dispatch keeps
+    one call site whatever the cluster image provides."""
     if blob[:2] == b"BM":
-        return decode_bmp(blob)
+        try:
+            return decode_bmp(blob)
+        except ValueError:
+            if not _HAS_PIL:
+                raise  # corrupt or unsupported-variant BMP, no codec
     if not _HAS_PIL:
         raise NotImplementedError(
             "Only BMP decodes without a codec library; install `pillow` "
@@ -263,25 +267,35 @@ def resize_images(
         for pdf in it:
             blobs, metas = [], []
             for blob in pdf["media"]:
+                # BMP magic is only 2 bytes: a non-BMP blob can start
+                # with 'BM' by chance (2^-16/doc — ~8 docs per 500k
+                # corpus), and real BMPs can be truncated or be
+                # variants the numpy path rejects.  Decode failures
+                # fall THROUGH to the fake/PIL path instead of
+                # aborting the whole job inside mapInPandas.
                 if blob[:2] == b"BM":
-                    rgb = decode_bmp(bytes(blob))
-                    yi = (np.arange(height) * rgb.shape[0] // height).clip(
-                        0, rgb.shape[0] - 1
-                    )
-                    xi = (np.arange(width) * rgb.shape[1] // width).clip(
-                        0, rgb.shape[1] - 1
-                    )
-                    out_bmp = encode_bmp(rgb[yi][:, xi])
-                    blobs.append(out_bmp)
-                    metas.append(
-                        {
-                            "kind": "image/bmp",
-                            "width": width,
-                            "height": height,
-                            "n_bytes": len(out_bmp),
-                        }
-                    )
-                    continue
+                    try:
+                        rgb = decode_bmp(bytes(blob))
+                    except ValueError:
+                        rgb = None
+                    if rgb is not None:
+                        yi = (np.arange(height) * rgb.shape[0] // height).clip(
+                            0, rgb.shape[0] - 1
+                        )
+                        xi = (np.arange(width) * rgb.shape[1] // width).clip(
+                            0, rgb.shape[1] - 1
+                        )
+                        out_bmp = encode_bmp(rgb[yi][:, xi])
+                        blobs.append(out_bmp)
+                        metas.append(
+                            {
+                                "kind": "image/bmp",
+                                "width": width,
+                                "height": height,
+                                "n_bytes": len(out_bmp),
+                            }
+                        )
+                        continue
                 if not allow_fake and not _HAS_PIL:
                     raise NotImplementedError(
                         "Non-BMP resize requires Pillow; install `pillow` "

@@ -178,6 +178,9 @@ def sample_token_budget(
     order key ends in the unique id); nothing is global, so 100 TB
     scales by stratum count and the skew ceiling is the largest
     stratum.
+
+    Output: the selected input rows plus ``cum_tokens`` (the running
+    total through each kept row — the budget consumed so far).
     """
     from pyspark.sql.window import Window
 
@@ -186,5 +189,5 @@ def sample_token_budget(
         .orderBy(F.col(order_col).desc(), F.col(id_col))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    out = docs.withColumn("__cum", F.sum(F.col(token_col)).over(w))
-    return out.filter(F.col("__cum") <= budget)
+    out = docs.withColumn("cum_tokens", F.sum(F.col(token_col)).over(w))
+    return out.filter(F.col("cum_tokens") <= budget)

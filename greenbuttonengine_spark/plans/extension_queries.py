@@ -1293,9 +1293,7 @@ def sample_token_budget_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return sample_token_budget(
         docs, "lang", "n_chars", "n_tokens", budget=2000
-    ).select(
-        "doc_id", "lang", "n_tokens", F.col("__cum").cast("bigint").alias("cum_tokens")
-    )
+    ).select("doc_id", "lang", "n_tokens", F.col("cum_tokens").cast("bigint").alias("cum_tokens"))
 
 
 @register(

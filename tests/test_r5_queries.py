@@ -27,31 +27,30 @@ def test_unigram_surprisal_planted(spark):
     assert rows[2].mean_surprisal_bits == 1.5
 
 
-def test_gap_fill_daily_planted(spark):
-    from greenbuttonengine_spark.plans.registry import QUERIES  # noqa: F401
+def test_gap_fill_daily_planted(spark, tmp_path):
+    """Drives the REGISTERED query (not a local re-implementation):
+    user 1 has events on day 1 and day 4 -> days 2 and 3 must appear
+    zero-filled; user 2's single-day series stays one row."""
+    from greenbuttonengine_spark.plans import advanced_queries  # noqa: F401
+    from greenbuttonengine_spark.plans.registry import QUERIES
 
-    # direct DataFrame shape: user 1 has events on day 1 and day 4 ->
-    # days 2 and 3 must appear zero-filled; user 2 has a single day.
     ev = spark.createDataFrame(
         [
-            Row(user_id=1, ts=datetime.datetime(2024, 1, 1, 10)),
-            Row(user_id=1, ts=datetime.datetime(2024, 1, 4, 9)),
-            Row(user_id=1, ts=datetime.datetime(2024, 1, 4, 11)),
-            Row(user_id=2, ts=datetime.datetime(2024, 3, 5, 0)),
+            Row(event_id=i, ts=ts, user_id=u, event_type="t", value=1.0,
+                props="{}")
+            for i, (u, ts) in enumerate(
+                [
+                    (1, datetime.datetime(2024, 1, 1, 10)),
+                    (1, datetime.datetime(2024, 1, 4, 9)),
+                    (1, datetime.datetime(2024, 1, 4, 11)),
+                    (2, datetime.datetime(2024, 3, 5, 0)),
+                ]
+            )
         ]
     )
-    c = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
-        F.count("*").alias("n")
-    )
-    extent = c.groupBy("user_id").agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
-    days = extent.select(
-        "user_id", F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("day")
-    )
-    out = (
-        days.join(c, ["user_id", "day"], "left")
-        .select("user_id", "day", F.coalesce("n", F.lit(0)).alias("n_events"))
-        .collect()
-    )
+    d = str(tmp_path / "sfgap")
+    ev.write.parquet(f"{d}/events.parquet")
+    out = QUERIES["ts1_gap_fill_daily"].fn(spark, d).collect()
     got = {(r.user_id, str(r.day)): r.n_events for r in out}
     assert got == {
         (1, "2024-01-01"): 1,
@@ -408,3 +407,21 @@ def test_pagerank_empty_graph(spark):
 
     edges = spark.createDataFrame([], "src bigint, dst bigint")
     assert pagerank(edges, iters=3).collect() == []
+
+
+def test_resize_false_bm_magic_does_not_crash(spark):
+    """A non-BMP blob that starts with 'BM' by chance (2 random bytes:
+    2^-16/doc) must take the fake path, not abort the job."""
+    from greenbuttonengine_spark.extensions.multimodal import resize_images
+
+    media = spark.createDataFrame(
+        [Row(doc_id=1, media=bytearray(b"BM" + bytes(range(30))),
+             media_meta={"kind": "image/fake", "width": 8, "height": 4,
+                         "n_bytes": 32})],
+        "doc_id bigint, media binary, "
+        "media_meta struct<kind:string,width:int,height:int,n_bytes:bigint>",
+    )
+    out = resize_images(media, 4, 4, allow_fake=True).collect()
+    assert len(out) == 1
+    assert out[0].media_meta.kind == "image/fake-resized"
+    assert len(bytes(out[0].media)) == 16
