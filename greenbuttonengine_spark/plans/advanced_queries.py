@@ -1163,3 +1163,120 @@ def rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return contrib.groupBy("day").agg(F.count("*").cast("bigint").alias("active_7d"))
+
+
+@register(
+    "asof2_tolerance_join",
+    """
+    WITH purchases AS (
+        SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
+        FROM events WHERE event_type = 'purchase'
+    ), clicks AS (
+        SELECT user_id, event_id AS click_id, ts AS click_ts
+        FROM events WHERE event_type = 'click'
+    ), joined AS (
+        SELECT p.user_id, p.purchase_id, c.click_id, c.click_ts,
+               ROW_NUMBER() OVER (PARTITION BY p.purchase_id
+                                  ORDER BY c.click_ts DESC, c.click_id DESC) AS rn
+        FROM purchases p JOIN clicks c
+          ON c.user_id = p.user_id
+         AND c.click_ts < p.purchase_ts
+         AND c.click_ts >= p.purchase_ts - INTERVAL 1 HOUR
+    )
+    SELECT p.user_id AS user_id, p.purchase_id AS purchase_id,
+           p.purchase_ts AS purchase_ts, j.click_id AS attributed_click_id,
+           j.click_ts AS attributed_click_ts
+    FROM purchases p
+    LEFT JOIN (SELECT * FROM joined WHERE rn = 1) j
+      ON p.purchase_id = j.purchase_id
+    """,
+    tags=("join", "asof"),
+    doc="As-of join WITH TOLERANCE (pandas merge_asof semantics): the "
+    "last click at most 1 hour before each purchase, and purchases "
+    "with no in-window click kept with NULL attribution (the "
+    "attribution-window shape; the unbounded variant is "
+    "asof_last_click_before_purchase). The tolerance bound is the "
+    "scale lever: it caps the range-join expansion per purchase to "
+    "one window of clicks, so bucketizing time to 1-hour buckets "
+    "turns this into an equi-join on (user, bucket) with at most two "
+    "buckets probed.",
+)
+def asof2_tolerance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    joined = p.join(
+        c,
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("click_ts") < F.col("purchase_ts"))
+        & (
+            F.col("click_ts")
+            >= F.col("purchase_ts") - F.expr("interval 1 hour")
+        ),
+    )
+    w = W.partitionBy("purchase_id").orderBy(F.desc("click_ts"), F.desc("click_id"))
+    best = (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("purchase_id").alias("bp"),
+            F.col("click_id").alias("attributed_click_id"),
+            F.col("click_ts").alias("attributed_click_ts"),
+        )
+    )
+    return p.join(best, p["purchase_id"] == best["bp"], "left").select(
+        "user_id",
+        "purchase_id",
+        "purchase_ts",
+        "attributed_click_id",
+        "attributed_click_ts",
+    )
+
+
+@register(
+    "ltv_decile_by_nation",
+    """
+    WITH rev AS (
+        SELECT c.c_custkey, c.c_nationkey,
+               SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS rev_cents
+        FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+    )
+    SELECT c_custkey, c_nationkey, CAST(rev_cents AS BIGINT) AS rev_cents,
+           CAST(NTILE(10) OVER (PARTITION BY c_nationkey
+                                ORDER BY rev_cents DESC, c_custkey)
+                AS BIGINT) AS ltv_decile
+    FROM rev
+    """,
+    tags=("analytics", "window"),
+    doc="Customer lifetime-value deciles within each nation: exact "
+    "integer-cent revenue aggregate, then NTILE(10) per nation with a "
+    "total order (revenue desc, key) so bucket boundaries are "
+    "deterministic. One join shuffle + one window shuffle keyed by "
+    "nation — the cohort-scoring shape; nothing global.",
+)
+def ltv_decile_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, "customer", sf_dir).select("c_custkey", "c_nationkey")
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_custkey", F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents")
+    )
+    rev = (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .groupBy("c_custkey", "c_nationkey")
+        .agg(F.sum("cents").alias("rev_cents"))
+    )
+    w = W.partitionBy("c_nationkey").orderBy(F.desc("rev_cents"), F.col("c_custkey"))
+    return rev.select(
+        "c_custkey",
+        "c_nationkey",
+        F.col("rev_cents").cast("bigint").alias("rev_cents"),
+        F.ntile(10).over(w).cast("bigint").alias("ltv_decile"),
+    )

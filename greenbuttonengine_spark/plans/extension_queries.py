@@ -1551,3 +1551,72 @@ def events_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("sum_cents"),
     )
+
+
+@register(
+    "lm_bigram_probs",
+    r"""
+    WITH w AS (
+        SELECT doc_id,
+               unnest(generate_series(1, len(ws))) - 1 AS pos, unnest(ws) AS w
+        FROM (SELECT doc_id,
+                     string_split_regex(lower(trim(text)), '\s+') AS ws
+              FROM documents) t
+    ), bg AS (
+        SELECT a.w AS w1, b.w AS w2, COUNT(*) AS c12
+        FROM w a JOIN w b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        GROUP BY 1, 2
+    ), uni AS (
+        SELECT w1, SUM(c12) AS c1 FROM bg GROUP BY w1
+    ), ranked AS (
+        SELECT bg.w1, bg.w2, CAST(bg.c12 AS BIGINT) AS c12,
+               CAST(bg.c12 AS DOUBLE) / CAST(uni.c1 AS DOUBLE) AS p,
+               ROW_NUMBER() OVER (PARTITION BY bg.w1
+                                  ORDER BY bg.c12 DESC, bg.w2) AS rn
+        FROM bg JOIN uni USING (w1)
+    )
+    SELECT w1, w2, c12, p FROM ranked WHERE rn <= 3 AND c12 >= 5
+    """,
+    tags=("textstats", "lm"),
+    doc="Bigram language-model table: P(w2|w1) = count(w1 w2) / "
+    "count(w1 *), top-3 continuations per context with count >= 5 — "
+    "the n-gram LM estimation primitive (KenLM's first order, "
+    "next-word suggesters, collocation mining). Bigram counts "
+    "shuffle once keyed by (w1, w2) with map-side combine; the "
+    "context total reuses the bigram aggregate (no second corpus "
+    "pass); per-context top-k is a window over the O(vocab^2-ish) "
+    "aggregate, partitioned by w1. Integer-ratio doubles.",
+)
+def lm_bigram_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.trim("text")), r"\s+")).alias("pos", "w"),
+    )
+    nxt = toks.select(
+        F.col("doc_id").alias("d2"),
+        (F.col("pos") - 1).alias("p2"),
+        F.col("w").alias("w2"),
+    )
+    bg = (
+        toks.join(
+            nxt, (F.col("doc_id") == F.col("d2")) & (F.col("pos") == F.col("p2"))
+        )
+        .groupBy(F.col("w").alias("w1"), "w2")
+        .agg(F.count("*").alias("c12"))
+    )
+    uni = bg.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    ranked = bg.join(uni, "w1").withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("w1").orderBy(F.desc("c12"), F.col("w2"))
+        ),
+    )
+    return ranked.filter((F.col("rn") <= 3) & (F.col("c12") >= 5)).select(
+        "w1",
+        "w2",
+        F.col("c12").cast("bigint").alias("c12"),
+        (F.col("c12").cast("double") / F.col("c1").cast("double")).alias("p"),
+    )

@@ -425,3 +425,53 @@ def test_resize_false_bm_magic_does_not_crash(spark):
     assert len(out) == 1
     assert out[0].media_meta.kind == "image/fake-resized"
     assert len(bytes(out[0].media)) == 16
+
+
+def test_bigram_lm_planted(spark, tmp_path):
+    from greenbuttonengine_spark.plans import extension_queries  # noqa: F401
+    from greenbuttonengine_spark.plans.registry import QUERIES
+
+    # "a b" x6 and "a c" x2 within docs; threshold c12 >= 5 keeps (a,b)
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text="a b a b a b x", lang="en", source="s", n_chars=13)
+         for i in range(2)]
+        + [Row(doc_id=10, text="a c a c", lang="en", source="s", n_chars=7)]
+    )
+    d = str(tmp_path / "sflm")
+    docs.write.parquet(f"{d}/documents.parquet")
+    rows = {(r.w1, r.w2): r for r in QUERIES["lm_bigram_probs"].fn(spark, d).collect()}
+    assert ("a", "b") in rows
+    r = rows[("a", "b")]
+    # contexts of 'a': b x6, c x2 -> P(b|a) = 6/8
+    assert r.c12 == 6 and r.p == 0.75
+    assert ("a", "c") not in rows  # below min count
+
+
+def test_asof_tolerance_keeps_unattributed(spark, tmp_path):
+    import datetime as dt
+
+    from greenbuttonengine_spark.plans import advanced_queries  # noqa: F401
+    from greenbuttonengine_spark.plans.registry import QUERIES
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    ev = spark.createDataFrame(
+        [
+            Row(event_id=1, ts=base - dt.timedelta(minutes=30), user_id=1,
+                event_type="click", value=0.0, props="{}"),
+            Row(event_id=2, ts=base - dt.timedelta(minutes=5), user_id=1,
+                event_type="click", value=0.0, props="{}"),
+            Row(event_id=3, ts=base, user_id=1,
+                event_type="purchase", value=9.0, props="{}"),
+            # user 2: only a stale click, outside the 1h window
+            Row(event_id=4, ts=base - dt.timedelta(hours=3), user_id=2,
+                event_type="click", value=0.0, props="{}"),
+            Row(event_id=5, ts=base, user_id=2,
+                event_type="purchase", value=9.0, props="{}"),
+        ]
+    )
+    d = str(tmp_path / "sfasof")
+    ev.write.parquet(f"{d}/events.parquet")
+    got = {r.purchase_id: r for r in
+           QUERIES["asof2_tolerance_join"].fn(spark, d).collect()}
+    assert got[3].attributed_click_id == 2  # nearest in-window click wins
+    assert got[5].attributed_click_id is None  # stale click NOT attributed
