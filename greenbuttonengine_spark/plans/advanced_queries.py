@@ -1280,3 +1280,57 @@ def ltv_decile_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rev_cents").cast("bigint").alias("rev_cents"),
         F.ntile(10).over(w).cast("bigint").alias("ltv_decile"),
     )
+
+
+@register(
+    "profile_events_columns",
+    """
+    SELECT 'event_id' AS col_name, COUNT(*) AS n_rows,
+           COUNT(*) - COUNT(event_id) AS n_null,
+           COUNT(DISTINCT event_id) AS n_distinct
+    FROM events
+    UNION ALL
+    SELECT 'user_id', COUNT(*), COUNT(*) - COUNT(user_id),
+           COUNT(DISTINCT user_id) FROM events
+    UNION ALL
+    SELECT 'event_type', COUNT(*), COUNT(*) - COUNT(event_type),
+           COUNT(DISTINCT event_type) FROM events
+    UNION ALL
+    SELECT 'value', COUNT(*), COUNT(*) - COUNT(value),
+           COUNT(DISTINCT value) FROM events
+    UNION ALL
+    SELECT 'ts', COUNT(*), COUNT(*) - COUNT(ts),
+           COUNT(DISTINCT ts) FROM events
+    """,
+    tags=("quality", "profile"),
+    doc="Column profile (the Deequ/data-quality audit shape): per "
+    "column null count + exact distinct cardinality in ONE pass — "
+    "Spark computes all columns' profiles in a single multi-aggregate "
+    "scan (Catalyst expands count(distinct x), count(distinct y) into "
+    "one expand+two-stage aggregate) and unpivots via stack; the SQL "
+    "UNION ALL form is the oracle spelling, not the plan. At 100 TB "
+    "swap exact distinct for approx_count_distinct (HLL, one pass, "
+    "mergeable). Integer outputs -> bit-deterministic.",
+)
+def profile_events_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    cols = ["event_id", "user_id", "event_type", "value", "ts"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count("*").alias(f"{c}__rows"),
+            (F.count("*") - F.count(c)).alias(f"{c}__null"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+        ]
+    wide = ev.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', {c}__rows, {c}__null, {c}__distinct" for c in cols
+    )
+    return wide.selectExpr(
+        f"stack({len(cols)}, {stack}) AS (col_name, n_rows, n_null, n_distinct)"
+    ).select(
+        "col_name",
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.col("n_null").cast("bigint").alias("n_null"),
+        F.col("n_distinct").cast("bigint").alias("n_distinct"),
+    )

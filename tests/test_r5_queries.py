@@ -475,3 +475,35 @@ def test_asof_tolerance_keeps_unattributed(spark, tmp_path):
            QUERIES["asof2_tolerance_join"].fn(spark, d).collect()}
     assert got[3].attributed_click_id == 2  # nearest in-window click wins
     assert got[5].attributed_click_id is None  # stale click NOT attributed
+
+
+def test_profile_single_pass_and_planted_nulls(spark, tmp_path):
+    import datetime as dt
+
+    from greenbuttonengine_spark.plans import advanced_queries  # noqa: F401
+    from greenbuttonengine_spark.plans.registry import QUERIES
+
+    ev = spark.createDataFrame(
+        [
+            Row(event_id=1, ts=dt.datetime(2024, 1, 1), user_id=1,
+                event_type="a", value=1.0, props="{}"),
+            Row(event_id=2, ts=dt.datetime(2024, 1, 2), user_id=None,
+                event_type="a", value=None, props="{}"),
+            Row(event_id=3, ts=dt.datetime(2024, 1, 3), user_id=1,
+                event_type="b", value=1.0, props="{}"),
+        ],
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string",
+    )
+    d = str(tmp_path / "sfprof")
+    ev.write.parquet(f"{d}/events.parquet")
+    got = {r.col_name: r for r in
+           QUERIES["profile_events_columns"].fn(spark, d).collect()}
+    assert got["user_id"].n_null == 1 and got["user_id"].n_distinct == 1
+    assert got["value"].n_null == 1 and got["value"].n_distinct == 1
+    assert got["event_type"].n_distinct == 2
+    assert all(r.n_rows == 3 for r in got.values())
+    # single scan: the plan must contain exactly one parquet read
+    plan = QUERIES["profile_events_columns"].fn(spark, d)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert plan.count("Scan parquet") == 1, plan[:1500]
