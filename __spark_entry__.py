@@ -35,6 +35,7 @@ def _registry():
     from greenbuttonengine_spark.plans import search_queries  # noqa: F401
     from greenbuttonengine_spark.plans import complex_queries  # noqa: F401
     from greenbuttonengine_spark.plans import tpch_queries  # noqa: F401
+    from greenbuttonengine_spark.plans import extra_queries  # noqa: F401
 
     return registry
 
@@ -95,6 +96,13 @@ _DRIVER_CHECKED = frozenset(
 )
 
 
+# New-this-round queries that yield their in-budget slot to the rotated
+# re-check block (ADVICE r4: keep re-check slots even when new queries
+# compete for the budget).  They are local-gate-verified now and become
+# ordinary oracle-new entries next round, when the budget has room.
+_DEFER_NEW = frozenset({"user_event_transitions", "o11_latest_per_key"})
+
+
 def _rotation_seed() -> int:
     # One CORRECTNESS_r*.json lands per completed round, so their count
     # is a stable per-round seed for rotating the re-check slice.
@@ -103,7 +111,12 @@ def _rotation_seed() -> int:
 
 def _ordered_names(reg) -> list[str]:
     names = [n for n in reg.QUERIES if n not in _LAST]
-    oracle_new = [n for n in names if n in reg.ORACLES and n not in _DRIVER_CHECKED]
+    oracle_new = [
+        n
+        for n in names
+        if n in reg.ORACLES and n not in _DRIVER_CHECKED and n not in _DEFER_NEW
+    ]
+    deferred_new = [n for n in names if n in reg.ORACLES and n in _DEFER_NEW]
     oracle_checked = [n for n in names if n in reg.ORACLES and n in _DRIVER_CHECKED]
     rows_only = [n for n in names if n not in reg.ORACLES]
     # Rotate the checked block so the budget slots left after the new
@@ -111,7 +124,7 @@ def _ordered_names(reg) -> list[str]:
     if oracle_checked:
         k = (_rotation_seed() * 29) % len(oracle_checked)
         oracle_checked = oracle_checked[k:] + oracle_checked[:k]
-    return oracle_new + oracle_checked + rows_only + [
+    return oracle_new + oracle_checked + deferred_new + rows_only + [
         n for n in _LAST if n in reg.QUERIES
     ]
 

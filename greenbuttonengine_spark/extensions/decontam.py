@@ -120,3 +120,69 @@ def flag_contamination(
             (F.col("n_shared_ngrams") / F.col("n_ngrams")).alias("share"),
         )
     )
+
+
+def contamination_spans(
+    train: DataFrame,
+    eval_df: DataFrame,
+    n: int = 3,
+    min_grams: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Contiguous contaminated spans per training doc: maximal runs of
+    consecutive word positions whose ``n``-grams all appear in the eval
+    set, reported as (doc, span_start, span_grams, span_words).
+
+    :func:`flag_contamination` answers "how much of this doc overlaps
+    the eval set"; this answers "WHERE, and in how long a block" — the
+    distinction the published decontamination protocols draw (PaLM /
+    GPT-3 drop docs on long verbatim collisions, not scattered n-gram
+    hits, precisely because isolated hits are chance at web scale
+    while a 13-gram run is quotation).  ``span_words`` =
+    ``span_grams + n - 1`` is the verbatim-shared word count.
+
+    Shape: positional (non-distinct) n-grams via one zip/posexplode
+    pass, membership probe against the broadcast eval gram-hash set,
+    then the gaps-and-islands trick — ``pos - row_number()`` is
+    constant exactly on consecutive-position runs — with a window
+    partitioned BY DOC (never global).  The train side never shuffles
+    before the per-doc window, and only hit positions (two longs) ride
+    it, never text.
+    """
+    big = 1 << 30
+    words = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != F.lit(""))
+    z = F.arrays_zip(
+        *[F.slice(words, k + 1, big).alias(f"w{k}") for k in range(n)]
+    )
+    tr = (
+        train.select(F.col(id_col), F.posexplode(z).alias("__pos", "__s"))
+        .filter(F.col(f"__s.w{n-1}").isNotNull())
+        .select(
+            F.col(id_col),
+            F.col("__pos"),
+            F.xxhash64(
+                F.concat_ws(" ", *[F.col(f"__s.w{k}") for k in range(n)])
+            ).alias("__gh"),
+        )
+    )
+    ev = (
+        eval_df.select(F.explode(word_ngrams(F.col(text_col), n)).alias("__g"))
+        .select(F.xxhash64("__g").alias("__gh"))
+        .distinct()
+    )
+    hits = tr.join(F.broadcast(ev), "__gh").select(id_col, "__pos")
+    from pyspark.sql import Window as W
+
+    rn = F.row_number().over(W.partitionBy(id_col).orderBy("__pos"))
+    runs = hits.withColumn("__grp", F.col("__pos") - rn)
+    return (
+        runs.groupBy(id_col, "__grp")
+        .agg(
+            (F.min("__pos") + 1).cast("long").alias("span_start"),
+            F.count("*").cast("long").alias("span_grams"),
+            (F.count("*") + (n - 1)).cast("long").alias("span_words"),
+        )
+        .filter(F.col("span_grams") >= min_grams)
+        .select(id_col, "span_start", "span_grams", "span_words")
+    )

@@ -191,3 +191,48 @@ def sample_token_budget(
     )
     out = docs.withColumn("cum_tokens", F.sum(F.col(token_col)).over(w))
     return out.filter(F.col("cum_tokens") <= budget)
+
+
+def sample_weighted(
+    df: DataFrame,
+    weight_col: str,
+    key_col: str,
+    rate_per_max: float = 0.5,
+    buckets: int = _BUCKETS,
+) -> DataFrame:
+    """Weight-proportional Bernoulli sampling: row i is kept with
+    probability ``rate_per_max * w_i / max(w)`` — the importance-
+    weighted corpus thinning (keep long/high-quality docs more often)
+    that a fixed-k weighted reservoir cannot do deterministically.
+    Bernoulli (independent per row) rather than exact-k because exact-k
+    selection orders on ``u^(1/w)`` whose libm ``pow`` is not
+    bit-identical across engines, while this membership rule is:
+    ``w_i / max_w`` is one correctly-rounded division, the scaling by
+    ``rate_per_max * buckets`` one correctly-rounded multiply, and the
+    floor/compare against the integer LCG bucket is exact — the same
+    determinism contract as :func:`sample_stratified`.
+
+    Output keeps the input row plus ``keep_prob`` for downstream
+    Horvitz-Thompson reweighting (1/p importance weights).
+
+    Scale shape: one scalar max() aggregate broadcast back onto a
+    scan-stage filter (one-row build side — the j6 scalar-dim shape);
+    no shuffle of kept rows, no RNG state, reproducible across
+    retries, partition layouts, and engines.
+    """
+    mx = df.select(F.max(F.col(weight_col)).cast("double").alias("__maxw"))
+    scaled = F.floor(
+        F.col(weight_col).cast("double")
+        * F.lit(float(rate_per_max) * buckets)
+        / F.col("__maxw")
+    ).cast("long")
+    cutoff = F.least(scaled, F.lit(buckets).cast("long"))
+    return (
+        df.crossJoin(F.broadcast(mx))
+        .filter(hash_bucket(F.col(key_col), buckets) < cutoff)
+        .withColumn(
+            "keep_prob",
+            cutoff.cast("double") / F.lit(float(buckets)),
+        )
+        .drop("__maxw")
+    )

@@ -490,3 +490,52 @@ def ttr_hapax(
             / F.count("*").cast("double")
         ).alias("hapax_frac"),
     )
+
+
+def doc_bigram_surprisal(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Bigram-LM surprisal scoring — the second-order upgrade of
+    :func:`unigram_surprisal` (one step closer to the KenLM perplexity
+    filter CCNet buckets by): each bigram occurrence scores
+    ``ilog2(C(w1 *)) - ilog2(C(w1 w2))`` bits against a bigram LM
+    estimated from the corpus itself, so documents full of improbable
+    word *transitions* (shuffled text, spam keyword strings) score
+    high even when every individual word is common — exactly the
+    failure mode a unigram model cannot see.
+
+    Integer bit-length surprisal (``ilog2(x) = bit_length(x) - 1``)
+    keeps the score cross-engine-exact; the per-doc mean is one
+    int/int double division.  Docs with <2 words have no bigrams and
+    are absent (score undefined, not zero).
+
+    Scale shape: one bigram-count shuffle with map-side combine (the
+    LM fit), a context re-aggregate O(vocab), and one equi-join of the
+    bigram stream back to the LM — deliberately NOT broadcast-hinted
+    (a web-corpus bigram table is billions of rows; AQE promotes it
+    when it is small).  Same discipline as unigram_surprisal but the
+    join key is the bigram, whose frequency skew is milder than
+    unigrams' (Zipf mass spreads across contexts); AQE skew-split
+    covers the residual hot pairs.
+    """
+    ilog2 = lambda c: (F.length(F.bin(c)) - F.lit(1)).cast("long")  # noqa: E731
+    bgs = docs.select(
+        F.col(id_col), F.explode(word_bigrams(F.col(text_col))).alias("__bg")
+    )
+    c12 = bgs.groupBy("__bg").agg(F.count("*").alias("__c12"))
+    ctx = (
+        c12.groupBy(F.substring_index("__bg", " ", 1).alias("__w1"))
+        .agg(F.sum("__c12").cast("long").alias("__c1"))
+    )
+    lm = c12.join(ctx, F.substring_index(c12["__bg"], " ", 1) == ctx["__w1"]).select(
+        "__bg", "__c12", "__c1"
+    )
+    joined = bgs.join(lm, "__bg")
+    s = ilog2(F.col("__c1")) - ilog2(F.col("__c12"))
+    return joined.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        F.sum(s).cast("long").alias("sum_surprisal_bits"),
+        (F.sum(s).cast("double") / F.count("*").cast("double")).alias(
+            "mean_surprisal_bits"
+        ),
+    )

@@ -1,0 +1,293 @@
+"""Round-5 additions: attribution, event transitions, CDC-latest,
+weighted sampling, bigram-LM document scoring, contamination spans.
+
+Registered LAST in ``__spark_entry__._registry`` on purpose: the
+driver's correctness gate verifies a 50-row budget per round in
+registry order, and this round already carries 44 never-checked
+queries (the TPC-H tail handoff).  The first entries here take the
+remaining in-budget slots; the rest are listed in
+``__spark_entry__._DEFER_NEW`` so they queue BEHIND the rotated
+re-check block (ADVICE r4: keep re-check slots) and get their driver
+rows next round.
+
+Cross-engine exactness follows the registry's house rules: integer
+bit-length surprisal instead of fp log, single correctly-rounded
+double divisions of exact integers, explicit total-order window keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from ..extensions import decontam, sampling, textstats
+from ..sources.catalog import load_table
+from .registry import register
+
+
+@register(
+    "text_doc_bigram_surprisal",
+    r"""
+    WITH b AS (
+        SELECT doc_id,
+               unnest([array_to_string(ws[i:i+1], ' ')
+                       for i in generate_series(1, len(ws) - 1)]) AS bg
+        FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+              FROM documents) t
+    ), c AS (
+        SELECT bg, CAST(COUNT(*) AS BIGINT) AS c12 FROM b GROUP BY bg
+    ), ctx AS (
+        SELECT split_part(bg, ' ', 1) AS w1, CAST(SUM(c12) AS BIGINT) AS c1
+        FROM c GROUP BY 1
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM((length(bin(c1)) - 1) - (length(bin(c12)) - 1))
+                AS BIGINT) AS sum_surprisal_bits,
+           CAST(SUM((length(bin(c1)) - 1) - (length(bin(c12)) - 1))
+                AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_surprisal_bits
+    FROM b JOIN c USING (bg)
+           JOIN ctx ON split_part(b.bg, ' ', 1) = ctx.w1
+    GROUP BY doc_id
+    """,
+    tags=("textstats", "lm"),
+    doc="Bigram-LM surprisal scoring (second-order CCNet-style quality "
+    "signal): each bigram occurrence scores ilog2(C(w1 *))-ilog2(C(w1 w2)) "
+    "bits against the corpus-estimated bigram LM, so improbable word "
+    "TRANSITIONS (shuffled text, keyword spam) score high even when "
+    "every word is common. One bigram-count shuffle (map-side combine), "
+    "O(vocab) context re-aggregate, one un-hinted equi-join back "
+    "(AQE promotes/broadcasts when small; skew-splits hot pairs).",
+)
+def text_doc_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.doc_bigram_surprisal(load_table(spark, "documents", sf_dir))
+
+
+@register(
+    "decontam_contig_spans",
+    r"""
+    WITH ev AS (
+        SELECT DISTINCT unnest(list_distinct(
+                   [array_to_string(ws[i:i+2], ' ')
+                    for i in generate_series(1, len(ws) - 2)])) AS g
+        FROM (SELECT list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS ws
+              FROM documents WHERE doc_id % 97 = 0)
+    ), tr AS (
+        SELECT doc_id,
+               unnest(generate_series(1, len(ws) - 2)) - 1 AS pos,
+               unnest([array_to_string(ws[i:i+2], ' ')
+                       for i in generate_series(1, len(ws) - 2)]) AS g
+        FROM (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS ws
+              FROM documents WHERE doc_id % 97 <> 0) t
+    ), h AS (
+        SELECT tr.doc_id, tr.pos FROM tr JOIN ev USING (g)
+    ), r AS (
+        SELECT doc_id, pos,
+               pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        FROM h
+    )
+    SELECT doc_id,
+           CAST(MIN(pos) + 1 AS BIGINT) AS span_start,
+           CAST(COUNT(*) AS BIGINT) AS span_grams,
+           CAST(COUNT(*) + 2 AS BIGINT) AS span_words
+    FROM r GROUP BY doc_id, grp
+    HAVING COUNT(*) >= 2
+    """,
+    tags=("decontam",),
+    doc="Contiguous contaminated spans: maximal runs of consecutive "
+    "word positions whose 3-grams all hit the eval set (doc_id % 97), "
+    "the PaLM/GPT-3 decontamination distinction — long verbatim runs "
+    "are quotation, scattered hits are chance. Positional grams via "
+    "one zip/posexplode pass, broadcast eval-hash probe, then "
+    "gaps-and-islands (pos - row_number, window partitioned by doc); "
+    "only hit positions ride the window, never text.",
+)
+def decontam_contig_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    eval_df = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    return decontam.contamination_spans(train, eval_df, n=3, min_grams=2)
+
+
+@register(
+    "attribution_linear_clicks",
+    r"""
+    WITH e AS (
+        SELECT event_id, user_id, ts, event_type,
+               last_value(CASE WHEN event_type = 'purchase' THEN event_id END
+                          IGNORE NULLS)
+                   OVER (PARTITION BY user_id
+                         ORDER BY ts DESC, event_id DESC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS purchase_id
+        FROM events WHERE event_type IN ('click', 'purchase')
+    ), c AS (
+        SELECT event_id AS click_id, user_id, purchase_id
+        FROM e WHERE event_type = 'click' AND purchase_id IS NOT NULL
+    ), n AS (
+        SELECT purchase_id, COUNT(*) AS n_clicks FROM c GROUP BY purchase_id
+    )
+    SELECT c.click_id, c.user_id, c.purchase_id,
+           CAST(n.n_clicks AS BIGINT) AS n_clicks,
+           1.0 / CAST(n.n_clicks AS DOUBLE) AS weight
+    FROM c JOIN n USING (purchase_id)
+    """,
+    tags=("events", "attribution"),
+    doc="Linear multi-touch attribution: every click is credited to "
+    "the next purchase by the same user (at-or-after in (ts, event_id) "
+    "order), weight 1/n over that purchase's clicks — the standard "
+    "equal-credit model. One per-user window (descending scan with "
+    "last_value IGNORE NULLS finds the nearest following purchase "
+    "without a range self-join), one count aggregate joined back; "
+    "1/n is one exact int division.",
+)
+def attribution_linear_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir).filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.desc("ts"), F.desc("event_id"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    e = ev.withColumn(
+        "purchase_id",
+        F.last(
+            F.when(F.col("event_type") == "purchase", F.col("event_id")),
+            ignorenulls=True,
+        ).over(w),
+    )
+    c = e.filter(
+        (F.col("event_type") == "click") & F.col("purchase_id").isNotNull()
+    ).select(F.col("event_id").alias("click_id"), "user_id", "purchase_id")
+    n = c.groupBy("purchase_id").agg(F.count("*").alias("n_clicks"))
+    return c.join(n, "purchase_id").select(
+        "click_id",
+        "user_id",
+        "purchase_id",
+        F.col("n_clicks").cast("long").alias("n_clicks"),
+        (F.lit(1.0) / F.col("n_clicks").cast("double")).alias("weight"),
+    )
+
+
+@register(
+    "sample_weighted_chars",
+    r"""
+    WITH m AS (SELECT CAST(MAX(n_chars) AS DOUBLE) AS mx FROM documents)
+    SELECT doc_id, lang, source, n_chars,
+           CAST(least(CAST(floor(CAST(n_chars AS DOUBLE) * 5000.0 / mx)
+                           AS BIGINT), 10000) AS DOUBLE) / 10000.0 AS keep_prob
+    FROM documents CROSS JOIN m
+    WHERE ((doc_id % 2147483648) * 1103515245 + 12345) // 65536 % 10000
+          < least(CAST(floor(CAST(n_chars AS DOUBLE) * 5000.0 / mx) AS BIGINT),
+                  10000)
+    """,
+    tags=("sampling", "tiny-bnlj"),
+    doc="Weight-proportional Bernoulli sampling: keep-prob 0.5 * "
+    "n_chars / max(n_chars), with keep_prob emitted for 1/p "
+    "Horvitz-Thompson reweighting. Bernoulli rather than exact-k "
+    "weighted reservoir because u^(1/w) ordering rides libm pow "
+    "(not cross-engine-stable), while this rule is one exact division "
+    "+ multiply against the integer LCG bucket. One scalar max "
+    "broadcast onto a scan-stage filter; no shuffle, no RNG state.",
+)
+def sample_weighted_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return sampling.sample_weighted(
+        docs, "n_chars", "doc_id", rate_per_max=0.5
+    ).select("doc_id", "lang", "source", "n_chars", "keep_prob")
+
+
+@register(
+    "user_event_transitions",
+    r"""
+    WITH s AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS next_type
+        FROM events
+    ), t AS (
+        SELECT event_type AS from_type, next_type AS to_type,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM s WHERE next_type IS NOT NULL
+        GROUP BY 1, 2
+    ), tot AS (
+        SELECT from_type, SUM(n) AS total FROM t GROUP BY from_type
+    )
+    SELECT t.from_type, t.to_type, t.n,
+           CAST(t.n AS DOUBLE) / CAST(tot.total AS DOUBLE) AS p
+    FROM t JOIN tot USING (from_type)
+    """,
+    tags=("events",),
+    doc="First-order Markov transition matrix over user event streams: "
+    "P(next | current) = exact count ratio, the session-model / "
+    "next-action-prediction primitive. One per-user lead() window "
+    "(partitioned, never global), one (from, to) count shuffle with "
+    "map-side combine, O(event_types) marginal re-aggregate joined "
+    "back — the transition table is O(types^2) rows regardless of "
+    "corpus size.",
+)
+def user_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    s = ev.withColumn(
+        "next_type",
+        F.lead("event_type").over(
+            W.partitionBy("user_id").orderBy("ts", "event_id")
+        ),
+    )
+    t = (
+        s.filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    tot = t.groupBy("from_type").agg(F.sum("n").alias("total"))
+    return t.join(tot, "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        (F.col("n").cast("double") / F.col("total").cast("double")).alias("p"),
+    )
+
+
+@register(
+    "o11_latest_per_key",
+    r"""
+    SELECT user_id, event_type, event_id AS last_event_id, ts AS last_ts,
+           value AS last_value
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+    tags=("events", "cdc"),
+    doc="Latest-record-per-key dedup (the CDC/SCD 'current snapshot' "
+    "compaction every changelog consumer runs): one row per "
+    "(user, event_type), the max-(ts, event_id) record. Partitioned "
+    "row_number window with an explicit total-order tiebreak — at "
+    "scale this is the standard upsert-view materialization; Spark "
+    "plans one hash shuffle on the key then a sorted window, and AQE "
+    "coalesces the post-filter output.",
+)
+def o11_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    rn = F.row_number().over(
+        W.partitionBy("user_id", "event_type").orderBy(
+            F.desc("ts"), F.desc("event_id")
+        )
+    )
+    return (
+        ev.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("event_id").alias("last_event_id"),
+            F.col("ts").alias("last_ts"),
+            F.col("value").alias("last_value"),
+        )
+    )

@@ -73,14 +73,18 @@ def test_gate_rotation_ordering():
     phase = []
     for n in names:
         if n in e._LAST:
-            phase.append(3)
+            phase.append(4)
         elif n not in registry.ORACLES:
+            phase.append(3)
+        elif n in e._DEFER_NEW:
             phase.append(2)
         elif n in e._DRIVER_CHECKED:
             phase.append(1)
         else:
             phase.append(0)
-    assert phase == sorted(phase), "gate order must be new-oracle, checked, rows-only, espi"
+    assert phase == sorted(phase), (
+        "gate order must be new-oracle, checked, deferred-new, rows-only, espi"
+    )
     assert names[-1] == "espi_egd_timeseries"
     # every _DRIVER_CHECKED name must still exist (renames would
     # silently re-shuffle the budget)

@@ -1,0 +1,152 @@
+"""Round-5 second batch: bigram surprisal scoring, contamination
+spans, linear attribution, weighted Bernoulli sampling, event
+transitions, latest-per-key.  Planted-corpus tests pin INTENT; the
+DuckDB oracle gate pins cross-engine agreement."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import Row
+
+
+def test_doc_bigram_surprisal_planted(spark):
+    from greenbuttonengine_spark.extensions.textstats import doc_bigram_surprisal
+
+    # corpus bigrams: doc1 "a b a b" -> (a b) x2, (b a) x1
+    #                 doc2 "a b"     -> (a b) x1
+    # c12: (a b)=3, (b a)=1; contexts: a->3, b->1
+    # surprisal(a b) = ilog2(3)-ilog2(3) = 0; (b a) = ilog2(1)-ilog2(1) = 0
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="a b a b"), Row(doc_id=2, text="a b")]
+    )
+    rows = {r.doc_id: r for r in doc_bigram_surprisal(docs).collect()}
+    assert rows[1].n_bigrams == 3 and rows[2].n_bigrams == 1
+    assert rows[1].sum_surprisal_bits == 0 and rows[2].sum_surprisal_bits == 0
+
+    # now plant a rare transition: "a c" once among many "a b"
+    docs2 = spark.createDataFrame(
+        [Row(doc_id=i, text="a b") for i in range(7)] + [Row(doc_id=99, text="a c")]
+    )
+    rows2 = {r.doc_id: r for r in doc_bigram_surprisal(docs2).collect()}
+    # c12(a b)=7, c12(a c)=1, ctx a=8 -> surprisal(a b)=3-2=1, (a c)=3-0=3
+    assert rows2[0].sum_surprisal_bits == 1
+    assert rows2[99].sum_surprisal_bits == 3
+
+
+def test_contamination_spans_planted(spark):
+    from greenbuttonengine_spark.extensions.decontam import contamination_spans
+
+    # eval doc contributes 3-grams of "q w e r t y"; the train doc
+    # quotes "w e r t" (positions 3..6, 0-based 2..5 -> grams at pos
+    # 2,3 hit: "w e r","e r t") plus an isolated hit elsewhere.
+    ev = spark.createDataFrame([Row(doc_id=100, text="q w e r t y")])
+    tr = spark.createDataFrame(
+        [Row(doc_id=1, text="x x w e r t x x x q w e x")]
+    )
+    spans = contamination_spans(tr, ev, n=3, min_grams=2).collect()
+    # run of grams at pos 2 ("w e r") and 3 ("e r t") -> span_start=3
+    # (1-based), span_grams=2, span_words=4.  The lone "q w e" hit at
+    # pos 9 is below min_grams and must NOT appear.
+    assert len(spans) == 1
+    s = spans[0]
+    assert (s.doc_id, s.span_start, s.span_grams, s.span_words) == (1, 3, 2, 4)
+
+
+def test_attribution_linear_weights_sum_to_one(spark, sf_correct_dir):
+    """Each purchase's click weights must sum to exactly 1, and every
+    attributed click must precede (or tie) its purchase per the
+    (ts, event_id) order."""
+    from greenbuttonengine_spark.plans import extra_queries  # noqa: F401
+    from greenbuttonengine_spark.plans.registry import QUERIES
+
+    out = QUERIES["attribution_linear_clicks"].fn(spark, sf_correct_dir)
+    rows = out.collect()
+    assert rows
+    by_purchase: dict[int, float] = {}
+    for r in rows:
+        by_purchase[r.purchase_id] = by_purchase.get(r.purchase_id, 0.0) + r.weight
+    for pid, s in by_purchase.items():
+        assert abs(s - 1.0) < 1e-9, (pid, s)
+
+
+def test_attribution_planted_ordering(spark):
+    """Clicks after the last purchase are unattributed; a click credits
+    the NEXT purchase, not a prior one."""
+    from greenbuttonengine_spark.plans import extra_queries
+    from greenbuttonengine_spark.plans.registry import QUERIES
+    import os, tempfile
+
+    t0 = datetime.datetime(2026, 1, 1)
+    rows = [
+        # user 1: click(1) -> purchase(2) -> click(3) -> purchase(4) -> click(5)
+        Row(event_id=i, ts=t0 + datetime.timedelta(minutes=i), user_id=1,
+            event_type=t, value=1.0, props="{}")
+        for i, t in [(1, "click"), (2, "purchase"), (3, "click"),
+                     (4, "purchase"), (5, "click")]
+    ]
+    d = tempfile.mkdtemp()
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(
+        os.path.join(d, "events.parquet")
+    )
+    out = {
+        r.click_id: r.purchase_id
+        for r in QUERIES["attribution_linear_clicks"].fn(spark, d).collect()
+    }
+    assert out == {1: 2, 3: 4}  # click 5 unattributed
+
+
+def test_sample_weighted_monotone_and_prob(spark, sf_correct_dir):
+    """Longer docs must be kept at >= the rate of shorter docs (in
+    expectation via keep_prob), keep_prob in (0, 1], and membership is
+    deterministic across repartitionings."""
+    from greenbuttonengine_spark.extensions.sampling import sample_weighted
+
+    docs = spark.read.parquet(f"{sf_correct_dir}/documents.parquet")
+    kept = sample_weighted(docs, "n_chars", "doc_id", rate_per_max=0.5)
+    rows = kept.collect()
+    assert rows
+    assert all(0.0 < r.keep_prob <= 0.5 + 1e-12 for r in rows)
+    # determinism across partition layouts
+    again = {
+        r.doc_id
+        for r in sample_weighted(
+            docs.repartition(7), "n_chars", "doc_id", rate_per_max=0.5
+        ).collect()
+    }
+    assert again == {r.doc_id for r in rows}
+    # keep_prob proportional to weight: p = floor(w*5000/max)/10000
+    mx = docs.agg({"n_chars": "max"}).first()[0]
+    for r in rows:
+        assert r.keep_prob == min(int(r.n_chars * 5000.0 / mx), 10000) / 10000.0
+
+
+def test_event_transitions_probabilities(spark, sf_correct_dir):
+    from greenbuttonengine_spark.plans import extra_queries  # noqa: F401
+    from greenbuttonengine_spark.plans.registry import QUERIES
+
+    out = QUERIES["user_event_transitions"].fn(spark, sf_correct_dir).collect()
+    assert out
+    by_from: dict[str, float] = {}
+    for r in out:
+        by_from[r.from_type] = by_from.get(r.from_type, 0.0) + r.p
+    for f, s in by_from.items():
+        assert abs(s - 1.0) < 1e-9, (f, s)
+
+
+def test_latest_per_key_matches_bruteforce(spark, sf_correct_dir):
+    from greenbuttonengine_spark.plans import extra_queries  # noqa: F401
+    from greenbuttonengine_spark.plans.registry import QUERIES
+
+    ev = spark.read.parquet(f"{sf_correct_dir}/events.parquet")
+    expect = {}
+    for r in ev.collect():
+        k = (r.user_id, r.event_type)
+        cur = expect.get(k)
+        if cur is None or (r.ts, r.event_id) > (cur.ts, cur.event_id):
+            expect[k] = r
+    got = QUERIES["o11_latest_per_key"].fn(spark, sf_correct_dir).collect()
+    assert len(got) == len(expect)
+    for r in got:
+        e = expect[(r.user_id, r.event_type)]
+        assert (r.last_event_id, r.last_value) == (e.event_id, e.value)
