@@ -100,7 +100,13 @@ _DRIVER_CHECKED = frozenset(
 # re-check block (ADVICE r4: keep re-check slots even when new queries
 # compete for the budget).  They are local-gate-verified now and become
 # ordinary oracle-new entries next round, when the budget has room.
-_DEFER_NEW = frozenset({"user_event_transitions", "o11_latest_per_key"})
+_DEFER_NEW = frozenset(
+    {
+        "user_event_transitions",
+        "o11_latest_per_key",
+        "embedding_centroid_similarity",
+    }
+)
 
 
 def _rotation_seed() -> int:

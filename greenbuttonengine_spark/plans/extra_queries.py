@@ -291,3 +291,108 @@ def o11_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("value").alias("last_value"),
         )
     )
+
+
+@register(
+    "embedding_centroid_similarity",
+    r"""
+    WITH qv AS (
+        SELECT label,
+               unnest([i for i in generate_series(0, len(embedding) - 1)]) AS dim,
+               unnest([CAST(round(CAST(x AS DOUBLE) * 4096) AS BIGINT)
+                       for x in embedding]) AS q
+        FROM embeddings
+    ), s AS (
+        SELECT label, dim, CAST(SUM(q) AS BIGINT) AS s FROM qv GROUP BY 1, 2
+    ), nrm AS (
+        SELECT label, CAST(SUM(s * s) AS BIGINT) AS d2 FROM s GROUP BY 1
+    ), num AS (
+        SELECT a.label AS label_a, b.label AS label_b,
+               CAST(SUM(a.s * b.s) AS BIGINT) AS n
+        FROM s a JOIN s b ON a.dim = b.dim AND a.label < b.label
+        GROUP BY 1, 2
+    )
+    SELECT CAST(label_a AS BIGINT) AS label_a,
+           CAST(label_b AS BIGINT) AS label_b,
+           CAST(num.n AS DOUBLE)
+               / (sqrt(CAST(na.d2 AS DOUBLE)) * sqrt(CAST(nb.d2 AS DOUBLE)))
+               AS cosine
+    FROM num
+    JOIN nrm na ON na.label = num.label_a
+    JOIN nrm nb ON nb.label = num.label_b
+    """,
+    tags=("embeddings",),
+    doc="Pairwise cosine similarity between per-label centroid "
+    "directions — the class-confusability / cluster-drift monitor. "
+    "Components quantize to the exact 2^-12 binary grid so the "
+    "centroid numerators are exact BIGINTs (bounded 2^57 even at "
+    "20k vecs/label); dot products and norms stay in integer "
+    "arithmetic and the ONLY float ops are the final correctly-"
+    "rounded sqrt/multiply/divide — bit-identical across engines "
+    "without decimal casts. Scale shape: posexplode + one "
+    "(label, dim) hash agg (wire = labels x dims rows regardless of "
+    "corpus size), then an O(labels^2 x dims) equi-join on dim over "
+    "the tiny aggregate.",
+)
+def embedding_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = emb.select(
+        F.col("label").cast("long").alias("label"),
+        F.posexplode(
+            F.transform(
+                F.col("embedding").cast("array<double>"),
+                lambda x: F.round(x * F.lit(4096.0)).cast("long"),
+            )
+        ).alias("dim", "q"),
+    )
+    s = q.groupBy("label", "dim").agg(F.sum("q").alias("s"))
+    nrm = s.groupBy("label").agg(F.sum(F.col("s") * F.col("s")).alias("d2"))
+    a = s.select(
+        F.col("label").alias("label_a"), F.col("dim").alias("dim"), F.col("s").alias("sa")
+    )
+    b = s.select(
+        F.col("label").alias("label_b"), F.col("dim").alias("dim"), F.col("s").alias("sb")
+    )
+    num = (
+        a.join(b, "dim")
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(F.sum(F.col("sa") * F.col("sb")).alias("n"))
+    )
+    na = nrm.select(F.col("label").alias("label_a"), F.col("d2").alias("da"))
+    nb = nrm.select(F.col("label").alias("label_b"), F.col("d2").alias("db"))
+    return (
+        num.join(na, "label_a")
+        .join(nb, "label_b")
+        .select(
+            "label_a",
+            "label_b",
+            (
+                F.col("n").cast("double")
+                / (
+                    F.sqrt(F.col("da").cast("double"))
+                    * F.sqrt(F.col("db").cast("double"))
+                )
+            ).alias("cosine"),
+        )
+    )
+
+
+@register(
+    "embedding_pca_project",
+    None,  # eigendecomposition is not SQL-expressible; pytest pins vs numpy
+    tags=("embeddings",),
+    doc="Distributed PCA: per-partition Gram/mean partials via one "
+    "Arrow mapInPandas pass (wire = d^2 doubles per partition, "
+    "independent of corpus size), driver-side d x d eigensolve "
+    "(numpy.eigh, microseconds at d=64), then pure-JVM projection — "
+    "the fitted basis rides the plan as ~4 KB of literals, so pc1..pc8 "
+    "are zip_with/aggregate folds in the scan stage with no Python "
+    "and no shuffle. Signs canonicalized for run-to-run stability; "
+    "pytest pins the subspace against numpy full-data PCA.",
+)
+def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.embeddings import pca_project
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    return pca_project(emb, keep_cols=("vec_id", "label"), k=8)
