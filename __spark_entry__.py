@@ -105,6 +105,8 @@ _DEFER_NEW = frozenset(
         "user_event_transitions",
         "o11_latest_per_key",
         "embedding_centroid_similarity",
+        "dq_events_expectations",
+        "scd2_user_type_intervals",
     }
 )
 

@@ -396,3 +396,91 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, "embeddings", sf_dir)
     return pca_project(emb, keep_cols=("vec_id", "label"), k=8)
+
+
+@register(
+    "dq_events_expectations",
+    r"""
+    WITH m AS (
+        SELECT CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_eid,
+               CAST(COUNT(event_id) - COUNT(DISTINCT event_id) AS BIGINT) AS uq_eid,
+               CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_ts,
+               CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_uid,
+               CAST(SUM(CASE WHEN value IS NULL OR value < 0 OR value > 1000000
+                        THEN 1 ELSE 0 END) AS BIGINT) AS rng_val,
+               CAST(SUM(CASE WHEN event_type IS NULL OR event_type NOT IN
+                        ('click', 'view', 'purchase', 'signup', 'error')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS set_type,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM events
+    )
+    SELECT 'not_null(event_id)' AS "check", nn_eid AS observed, nn_eid = 0 AS passed FROM m
+    UNION ALL SELECT 'unique(event_id)', uq_eid, uq_eid = 0 FROM m
+    UNION ALL SELECT 'not_null(ts)', nn_ts, nn_ts = 0 FROM m
+    UNION ALL SELECT 'not_null(user_id)', nn_uid, nn_uid = 0 FROM m
+    UNION ALL SELECT 'in_range(value)', rng_val, rng_val = 0 FROM m
+    UNION ALL SELECT 'in_set(event_type)', set_type, set_type = 0 FROM m
+    UNION ALL SELECT 'min_rows(1000)', n_rows, n_rows >= 1000 FROM m
+    """,
+    tags=("dq",),
+    doc="Deequ-style data-quality expectation suite compiled to ONE "
+    "aggregate pass: every check (not-null, uniqueness, range, "
+    "categorical domain, min-rows) is a conditional count inside a "
+    "single agg, unpivoted to an O(checks)-row report via stack — no "
+    "per-check scans, one partial+final aggregate over the table "
+    "regardless of suite size. Integer counts, cross-engine exact; "
+    "'observed' is the violation count, so failures are actionable.",
+)
+def dq_events_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions import dq
+
+    ev = load_table(spark, "events", sf_dir)
+    return dq.check_report(
+        ev,
+        [
+            dq.not_null("event_id"),
+            dq.unique("event_id"),
+            dq.not_null("ts"),
+            dq.not_null("user_id"),
+            dq.in_range("value", 0.0, 1000000.0),
+            dq.in_set(
+                "event_type", ("click", "view", "purchase", "signup", "error")
+            ),
+            dq.min_rows(1000),
+        ],
+    )
+
+
+@register(
+    "scd2_user_type_intervals",
+    r"""
+    SELECT user_id, event_type, event_id, value AS attr_value,
+           ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id, event_type
+                          ORDER BY ts, event_id) AS valid_to,
+           lead(ts) OVER (PARTITION BY user_id, event_type
+                          ORDER BY ts, event_id) IS NULL AS is_current
+    FROM events
+    """,
+    tags=("events", "cdc"),
+    doc="SCD2 interval materialization: each record's validity window "
+    "[valid_from, valid_to) closes at the next record for the same "
+    "(user, type) key, open-ended (is_current) on the latest — the "
+    "standard changelog -> slowly-changing-dimension build every "
+    "warehouse runs. One hash shuffle on the key, one sorted lead() "
+    "window with an explicit (ts, event_id) total order; pairs with "
+    "o11_latest_per_key (which keeps only the is_current rows).",
+)
+def scd2_user_type_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return ev.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.col("value").alias("attr_value"),
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )

@@ -196,3 +196,69 @@ def test_pca_projection_plan_is_jvm_only(spark, sf_correct_dir):
 
     m = np.array([[r.pc1, r.pc2, r.pc3, r.pc4] for r in rows]).mean(0)
     assert np.allclose(m, 0, atol=1e-9)
+
+
+def test_dq_report_planted_violations(spark):
+    from pyspark.sql import Row
+
+    from greenbuttonengine_spark.extensions import dq
+
+    df = spark.createDataFrame(
+        [
+            Row(id=1, v=5.0, t="a"),
+            Row(id=1, v=50.0, t="b"),   # dup id, v out of range
+            Row(id=None, v=None, t="x"),  # null id, null v, bad type
+        ]
+    )
+    rows = {
+        r.check: r
+        for r in dq.check_report(
+            df,
+            [
+                dq.not_null("id"),
+                dq.unique("id"),
+                dq.in_range("v", 0.0, 10.0),
+                dq.in_set("t", ("a", "b")),
+                dq.min_rows(5),
+            ],
+        ).collect()
+    }
+    assert (rows["not_null(id)"].observed, rows["not_null(id)"].passed) == (1, False)
+    # 2 non-null ids, 1 distinct -> 1 duplicate
+    assert (rows["unique(id)"].observed, rows["unique(id)"].passed) == (1, False)
+    # v=50 out of range, v=NULL counts as violation
+    assert (rows["in_range(v)"].observed, rows["in_range(v)"].passed) == (2, False)
+    assert (rows["in_set(t)"].observed, rows["in_set(t)"].passed) == (1, False)
+    assert (rows["min_rows(5)"].observed, rows["min_rows(5)"].passed) == (3, False)
+
+
+def test_dq_report_single_scan(spark, sf_correct_dir):
+    """The whole suite must compile to one aggregate over one scan —
+    no per-check jobs (except the countDistinct expand)."""
+    from greenbuttonengine_spark.plans import extra_queries  # noqa: F401
+    from greenbuttonengine_spark.plans.registry import QUERIES
+
+    out = QUERIES["dq_events_expectations"].fn(spark, sf_correct_dir)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan") == 1, plan[:2000]
+    assert all(r.passed for r in out.collect())
+
+
+def test_scd2_intervals_chain(spark, sf_correct_dir):
+    """Per key: intervals tile the timeline (valid_to == next
+    valid_from), exactly one open (is_current) row."""
+    from collections import defaultdict
+
+    from greenbuttonengine_spark.plans import extra_queries  # noqa: F401
+    from greenbuttonengine_spark.plans.registry import QUERIES
+
+    rows = QUERIES["scd2_user_type_intervals"].fn(spark, sf_correct_dir).collect()
+    bykey = defaultdict(list)
+    for r in rows:
+        bykey[(r.user_id, r.event_type)].append(r)
+    for key, rs in bykey.items():
+        rs.sort(key=lambda r: (r.valid_from, r.event_id))
+        assert sum(1 for r in rs if r.is_current) == 1
+        assert rs[-1].valid_to is None
+        for a, b in zip(rs, rs[1:]):
+            assert a.valid_to == b.valid_from, key
