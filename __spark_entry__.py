@@ -107,6 +107,7 @@ _DEFER_NEW = frozenset(
         "embedding_centroid_similarity",
         "dq_events_expectations",
         "scd2_user_type_intervals",
+        "trending_topk_events",
     }
 )
 

@@ -484,3 +484,44 @@ def scd2_user_type_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         nxt.alias("valid_to"),
         nxt.isNull().alias("is_current"),
     )
+
+
+@register(
+    "trending_topk_events",
+    r"""
+    WITH e AS (
+        SELECT event_type AS key,
+               make_timestamp(((epoch_us(ts) // 3600000000) - i) * 3600000000)
+                   AS window_start
+        FROM events, generate_series(0, 1) t(i)
+    ), c AS (
+        SELECT window_start, key, CAST(COUNT(*) AS BIGINT) AS n
+        FROM e GROUP BY 1, 2
+    ), r AS (
+        SELECT window_start, key, n,
+               ROW_NUMBER() OVER (PARTITION BY window_start
+                                  ORDER BY n DESC, key) AS rank
+        FROM c
+    )
+    SELECT window_start,
+           window_start + INTERVAL '120 minutes' AS window_end,
+           key, n, CAST(rank AS BIGINT) AS rank
+    FROM r WHERE rank <= 3
+    """,
+    tags=("events", "streaming-parity"),
+    doc="Sliding-window trending top-3 (120-min windows, 60-min "
+    "slide): each event lands in exactly width/slide = 2 windows; "
+    "counts aggregate with map-side combine and the rank is a "
+    "per-window row_number over the O(keys)-per-window AGGREGATE, "
+    "never the stream. This is the batch/backfill path of "
+    "streaming.stateful.start_trending_stream — the same rank_topk "
+    "function runs inside its foreachBatch, so stream and batch "
+    "cannot diverge (pytest pins them equal on a file-driven stream).",
+)
+def trending_topk_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.stateful import rank_topk, windowed_key_counts
+
+    ev = load_table(spark, "events", sf_dir)
+    return rank_topk(
+        windowed_key_counts(ev, window="120 minutes", slide="60 minutes"), k=3
+    )

@@ -199,3 +199,82 @@ def use_rocksdb_state_store(spark) -> None:
         "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
         "true",
     )
+
+
+def windowed_key_counts(
+    events: DataFrame,
+    window: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "10 minutes",
+    key_col: str = "event_type",
+) -> DataFrame:
+    """Sliding-window per-key counts — the stream-legal half of the
+    trending-top-k pipeline.  Sliding (not tumbling) windows give
+    overlap so a burst is visible as soon as its first window closes;
+    the watermark bounds lateness and aggregation state.  Emits
+    (window_start, window_end, key, n) in append mode once the
+    watermark passes window end."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide), F.col(key_col).alias("key"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "key",
+            F.col("n").cast("long").alias("n"),
+        )
+    )
+
+
+def rank_topk(windowed: DataFrame, k: int = 3) -> DataFrame:
+    """Per-window top-k rank over the windowed AGGREGATE (O(keys) rows
+    per window, never the stream).  Spark rejects window functions on
+    a streaming aggregation, so on a live stream this runs inside
+    ``foreachBatch`` on the watermark-closed rows (see
+    :func:`start_trending_stream`); the same function doubles as the
+    batch/backfill path, so stream and batch can never diverge."""
+    from pyspark.sql import Window as W
+
+    rn = F.row_number().over(
+        W.partitionBy("window_start", "window_end").orderBy(
+            F.desc("n"), F.col("key")
+        )
+    )
+    return (
+        windowed.withColumn("rank", rn)
+        .filter(F.col("rank") <= k)
+        .withColumn("rank", F.col("rank").cast("long"))
+    )
+
+
+def start_trending_stream(
+    events: DataFrame,
+    out_dir: str,
+    k: int = 3,
+    window: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "10 minutes",
+    key_col: str = "event_type",
+    checkpoint_dir: str | None = None,
+):
+    """Live "trending now": sliding-window counts (stream-legal
+    stateful aggregation) append watermark-closed windows to each
+    micro-batch, and ``foreachBatch`` ranks those O(keys)-per-window
+    rows and appends the top-k to ``out_dir`` as parquet.  Because a
+    closed window arrives in exactly one micro-batch, ranking within
+    the batch IS ranking within the window — no cross-batch state
+    beyond the aggregation's own."""
+    agg = windowed_key_counts(
+        events, window=window, slide=slide, watermark=watermark, key_col=key_col
+    )
+
+    def _rank_and_write(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        rank_topk(batch, k=k).write.mode("append").parquet(out_dir)
+
+    writer = agg.writeStream.outputMode("append").foreachBatch(_rank_and_write)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()

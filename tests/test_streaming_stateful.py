@@ -236,3 +236,45 @@ def test_dedup_stream_drops_rearrivals(spark, event_stream):
         assert got.n == src.count(), "lost genuine events"
     finally:
         q.stop()
+
+
+def test_trending_topk_stream_matches_batch(spark, event_stream, tmp_path):
+    """The streamed top-k (foreachBatch rank over watermark-closed
+    windows) must equal the batch rank over the same windows computed
+    directly from the static input — restricted to windows the stream
+    actually closed (append mode withholds the final open windows)."""
+    from greenbuttonengine_spark.streaming.stateful import (
+        rank_topk,
+        start_trending_stream,
+        windowed_key_counts,
+    )
+
+    stream, src = event_stream
+    out = str(tmp_path / "trending")
+    q = start_trending_stream(
+        stream,
+        out,
+        k=2,
+        window="120 minutes",
+        slide="60 minutes",
+        watermark="1 minute",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.read.parquet(out)
+    assert got.count() > 0
+    batch = rank_topk(
+        windowed_key_counts(src, window="120 minutes", slide="60 minutes"), k=2
+    )
+    closed = {(r.window_start, r.window_end) for r in got.collect()}
+    expect = {
+        (r.window_start, r.window_end, r.key, r.n, r.rank)
+        for r in batch.collect()
+        if (r.window_start, r.window_end) in closed
+    }
+    assert {
+        (r.window_start, r.window_end, r.key, r.n, r.rank) for r in got.collect()
+    } == expect
