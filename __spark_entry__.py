@@ -108,6 +108,8 @@ _DEFER_NEW = frozenset(
         "dq_events_expectations",
         "scd2_user_type_intervals",
         "trending_topk_events",
+        "corpus_zipf_topk",
+        "w6_nth_value_cume_dist",
     }
 )
 

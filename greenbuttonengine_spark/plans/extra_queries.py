@@ -525,3 +525,99 @@ def trending_topk_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rank_topk(
         windowed_key_counts(ev, window="120 minutes", slide="60 minutes"), k=3
     )
+
+
+@register(
+    "corpus_zipf_topk",
+    r"""
+    WITH w AS (
+        SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+        FROM documents
+    ), c AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM w GROUP BY token
+    ), tot AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS total FROM c
+    ), top AS (
+        SELECT token, n FROM c ORDER BY n DESC, token LIMIT 100
+    )
+    SELECT token, n,
+           CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token) AS BIGINT) AS rank,
+           CAST(n * ROW_NUMBER() OVER (ORDER BY n DESC, token) AS BIGINT)
+               AS rank_times_freq,
+           CAST(SUM(n) OVER (ORDER BY n DESC, token
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) / CAST(total AS DOUBLE) AS cum_share
+    FROM top CROSS JOIN tot
+    """,
+    tags=("textstats", "tiny-bnlj", "tiny-global-window"),
+    doc="Zipf head of the corpus vocabulary: top-100 tokens with rank, "
+    "rank*frequency (Zipf's law predicts ~constant), and exact "
+    "cumulative corpus share. The global window is sanctioned: its "
+    "input is the TakeOrdered top-100 of the vocabulary AGGREGATE "
+    "(100 rows), never the corpus; the share denominator is a one-row "
+    "broadcast. One token-count shuffle with map-side combine + "
+    "TakeOrderedAndProject — the standard vocabulary health check "
+    "before tokenizer/LM work.",
+)
+def corpus_zipf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("token")
+    )
+    c = toks.groupBy("token").agg(F.count("*").alias("n"))
+    tot = c.agg(F.sum("n").cast("long").alias("total"))
+    top = c.orderBy(F.desc("n"), "token").limit(100)
+    w = W.orderBy(F.desc("n"), "token")
+    return (
+        top.crossJoin(F.broadcast(tot))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .withColumn("rank_times_freq", (F.col("n") * F.col("rank")).cast("long"))
+        .withColumn(
+            "cum_share",
+            F.sum("n")
+            .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+            .cast("double")
+            / F.col("total").cast("double"),
+        )
+        .select(
+            "token", F.col("n").cast("long").alias("n"), "rank",
+            "rank_times_freq", "cum_share",
+        )
+    )
+
+
+@register(
+    "w6_nth_value_cume_dist",
+    r"""
+    SELECT event_id, user_id, value,
+           nth_value(value, 2) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND UNBOUNDED FOLLOWING) AS second_value,
+           cume_dist() OVER (PARTITION BY user_id ORDER BY value) AS value_cume
+    FROM events
+    """,
+    tags=("window",),
+    doc="nth_value + cume_dist completion of the window-function "
+    "surface: per user, the second event's value over the full-"
+    "partition frame (explicit (ts, event_id) total order) and each "
+    "value's cumulative distribution within the user (tie-safe: "
+    "cume_dist counts rows <= current by the ORDER BY key, identical "
+    "across engines regardless of tie order). One hash shuffle on "
+    "user_id shared by both windows.",
+)
+def w6_nth_value_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    wf = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    wc = W.partitionBy("user_id").orderBy("value")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.nth_value("value", 2).over(wf).alias("second_value"),
+        F.cume_dist().over(wc).alias("value_cume"),
+    )
