@@ -110,6 +110,7 @@ _DEFER_NEW = frozenset(
         "trending_topk_events",
         "corpus_zipf_topk",
         "w6_nth_value_cume_dist",
+        "session_concurrency_daily",
     }
 )
 

@@ -621,3 +621,107 @@ def w6_nth_value_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.nth_value("value", 2).over(wf).alias("second_value"),
         F.cume_dist().over(wc).alias("value_cume"),
     )
+
+
+@register(
+    "session_concurrency_daily",
+    r"""
+    WITH marked AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE OR
+                         LAG(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM marked
+    ), s AS (
+        SELECT user_id, session_id, MIN(ts) AS session_start, MAX(ts) AS session_end
+        FROM sess GROUP BY user_id, session_id
+    ), frag AS (
+        SELECT unnest(generate_series(CAST(session_start AS DATE),
+                                      CAST(session_end AS DATE),
+                                      INTERVAL 1 DAY)) AS day_ts,
+               session_start, session_end
+        FROM s
+    ), bounds AS (
+        SELECT CAST(day_ts AS DATE) AS day,
+               greatest(session_start,
+                        CAST(CAST(day_ts AS DATE) AS TIMESTAMP)) AS fs,
+               least(session_end,
+                     CAST(CAST(day_ts AS DATE) + INTERVAL 1 DAY AS TIMESTAMP)
+                         - INTERVAL 1 MICROSECOND) AS fe
+        FROM frag
+    ), deltas AS (
+        SELECT day, fs AS ts, 1 AS kind, 1 AS delta FROM bounds
+        UNION ALL
+        SELECT day, fe AS ts, 0 AS kind, -1 AS delta FROM bounds
+    ), run AS (
+        SELECT day, SUM(delta) OVER (PARTITION BY day ORDER BY ts, kind DESC
+                                     ROWS UNBOUNDED PRECEDING) AS conc
+        FROM deltas
+    )
+    SELECT day, CAST(MAX(conc) AS BIGINT) AS peak_concurrency
+    FROM run GROUP BY day
+    """,
+    tags=("events", "sessionization"),
+    doc="Peak concurrent sessions per day, by sweep-line: sessionize "
+    "(30-min gap), split sessions at midnight so every interval "
+    "fragment lives inside one day, emit +1/-1 deltas at fragment "
+    "bounds, running-sum them per day (starts before ends on ties: a "
+    "session ending the instant another starts overlaps it), take the "
+    "daily max. The capacity-planning primitive. Scale shape: the "
+    "sweep window is partitioned BY DAY over O(sessions-active-that-"
+    "day) delta rows — never a global sort — and sessionization "
+    "itself is the one shuffle on user_id.",
+)
+def session_concurrency_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")
+    marked = ev.withColumn(
+        "new_session",
+        F.when(F.lag("ts").over(w).isNull() | (gap > 30 * 60), 1).otherwise(0),
+    )
+    sess = marked.withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    s = sess.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"), F.max("ts").alias("session_end")
+    )
+    frag = s.select(
+        F.explode(
+            F.sequence(F.to_date("session_start"), F.to_date("session_end"))
+        ).alias("day"),
+        "session_start",
+        "session_end",
+    )
+    day_ts = F.col("day").cast("timestamp")
+    next_day_ts = F.date_add("day", 1).cast("timestamp")
+    bounds = frag.select(
+        "day",
+        F.greatest(F.col("session_start"), day_ts).alias("fs"),
+        F.least(
+            F.col("session_end"),
+            F.timestamp_micros(F.unix_micros(next_day_ts) - 1),
+        ).alias("fe"),
+    )
+    deltas = bounds.select(
+        "day", F.col("fs").alias("ts"), F.lit(1).alias("kind"), F.lit(1).alias("delta")
+    ).unionAll(
+        bounds.select(
+            "day", F.col("fe").alias("ts"), F.lit(0).alias("kind"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    sweep = W.partitionBy("day").orderBy(F.col("ts"), F.desc("kind")).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    run = deltas.withColumn("conc", F.sum("delta").over(sweep))
+    return run.groupBy("day").agg(
+        F.max("conc").cast("long").alias("peak_concurrency")
+    )

@@ -262,3 +262,40 @@ def test_scd2_intervals_chain(spark, sf_correct_dir):
         assert rs[-1].valid_to is None
         for a, b in zip(rs, rs[1:]):
             assert a.valid_to == b.valid_from, key
+
+
+def test_session_concurrency_planted(spark):
+    """Overlap, exact-touch (end == start counts as concurrent), and a
+    midnight-spanning session that must appear in both days."""
+    import os
+    import tempfile
+
+    from greenbuttonengine_spark.plans import extra_queries  # noqa: F401
+    from greenbuttonengine_spark.plans.registry import QUERIES
+
+    def ev(i, u, t):
+        return Row(event_id=i, ts=t, user_id=u, event_type="view",
+                   value=1.0, props="{}")
+
+    d = datetime.datetime
+    rows = [
+        # user 1: one session 10:00-11:00 (events bound it; gap <= 30m)
+        ev(1, 1, d(2026, 1, 1, 10, 0)), ev(2, 1, d(2026, 1, 1, 10, 30)),
+        ev(3, 1, d(2026, 1, 1, 11, 0)),
+        # user 2: 10:45-10:50 -> overlaps user 1 (peak 2)
+        ev(4, 2, d(2026, 1, 1, 10, 45)), ev(5, 2, d(2026, 1, 1, 10, 50)),
+        # user 3: single event exactly at user 1's session end 11:00 ->
+        # still concurrent with it (closed intervals)
+        ev(6, 3, d(2026, 1, 1, 11, 0)),
+        # user 4: 23:50 -> 00:10 next day (one session, <=30m gaps)
+        ev(7, 4, d(2026, 1, 1, 23, 50)), ev(8, 4, d(2026, 1, 2, 0, 10)),
+    ]
+    tmp = tempfile.mkdtemp()
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(
+        os.path.join(tmp, "events.parquet")
+    )
+    got = {
+        r.day.isoformat(): r.peak_concurrency
+        for r in QUERIES["session_concurrency_daily"].fn(spark, tmp).collect()
+    }
+    assert got == {"2026-01-01": 2, "2026-01-02": 1}
