@@ -111,6 +111,8 @@ _DEFER_NEW = frozenset(
         "corpus_zipf_topk",
         "w6_nth_value_cume_dist",
         "session_concurrency_daily",
+        "dedup_cross_source_matrix",
+        "drift_value_histogram",
     }
 )
 

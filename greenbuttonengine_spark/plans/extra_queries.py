@@ -725,3 +725,114 @@ def session_concurrency_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run.groupBy("day").agg(
         F.max("conc").cast("long").alias("peak_concurrency")
     )
+
+
+@register(
+    "dedup_cross_source_matrix",
+    r"""
+    WITH fp AS (
+        SELECT DISTINCT
+               md5(substring(lower(regexp_replace(trim(text), '\s+', ' ', 'g')),
+                             1, 60)) AS f,
+               source
+        FROM documents
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_fingerprints
+    FROM fp a JOIN fp b ON a.f = b.f AND a.source < b.source
+    GROUP BY 1, 2
+    """,
+    tags=("dedup", "audit"),
+    doc="Cross-source duplicate-leakage matrix: for every source pair, "
+    "how many 60-char normalized-prefix fingerprints (the boilerplate-"
+    "leakage variant of dedup_exact's hash; full-text dups almost "
+    "never cross sources, shared templates do) appear in BOTH — the "
+    "provenance-contamination "
+    "report that tells you which crawls/feeds mirror each other "
+    "before you weight them independently in a training mix. Shape: "
+    "per-source-distinct fingerprints (one hash shuffle), then an "
+    "equi-join on fingerprint whose per-key fan-out is bounded by "
+    "the SOURCE count (distinct-per-source first), never by copy "
+    "count — a hot duplicate with 1M copies joins as <= n_sources "
+    "rows.",
+)
+def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    fp = docs.select(
+        F.md5(
+            F.substring(
+                F.lower(F.regexp_replace(F.trim("text"), r"\s+", " ")), 1, 60
+            )
+        ).alias("f"),
+        "source",
+    ).distinct()
+    a = fp.select(F.col("f"), F.col("source").alias("source_a"))
+    b = fp.select(F.col("f"), F.col("source").alias("source_b"))
+    return (
+        a.join(b, "f")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("long").alias("n_shared_fingerprints"))
+    )
+
+
+@register(
+    "drift_value_histogram",
+    r"""
+    WITH b AS (
+        SELECT event_type,
+               CAST(floor(value / 50) AS BIGINT) AS bucket,
+               CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+                    THEN 0 ELSE 1 END AS half
+        FROM events
+    ), c AS (
+        SELECT event_type, bucket,
+               CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+               CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        FROM b GROUP BY 1, 2
+    ), t AS (
+        SELECT event_type,
+               CAST(SUM(n_a) AS BIGINT) AS tot_a,
+               CAST(SUM(n_b) AS BIGINT) AS tot_b
+        FROM c GROUP BY 1
+    )
+    SELECT c.event_type, c.bucket, c.n_a, c.n_b,
+           CAST(c.n_a AS DOUBLE) / CAST(t.tot_a AS DOUBLE) AS share_a,
+           CAST(c.n_b AS DOUBLE) / CAST(t.tot_b AS DOUBLE) AS share_b,
+           abs(CAST(c.n_a AS DOUBLE) / CAST(t.tot_a AS DOUBLE)
+               - CAST(c.n_b AS DOUBLE) / CAST(t.tot_b AS DOUBLE)) AS share_drift
+    FROM c JOIN t USING (event_type)
+    """,
+    tags=("analytics", "dq"),
+    doc="Distribution-drift report (the PSI-style monitor without the "
+    "cross-engine-unstable log): per event_type, the value histogram "
+    "of the month's first half vs second half as exact count ratios "
+    "plus absolute share drift per bucket — the input-data-shift "
+    "alarm every production scoring pipeline runs. One scan, one "
+    "(type, bucket) hash agg, O(types) marginals joined back; all "
+    "arithmetic is exact-int ratios so the report is bit-stable.",
+)
+def drift_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    b = ev.select(
+        "event_type",
+        F.floor(F.col("value") / 50).cast("long").alias("bucket"),
+        F.when(F.to_date("ts") < F.lit("2024-01-16").cast("date"), 0)
+        .otherwise(1)
+        .alias("half"),
+    )
+    c = b.groupBy("event_type", "bucket").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).cast("long").alias("n_b"),
+    )
+    t = c.groupBy("event_type").agg(
+        F.sum("n_a").cast("long").alias("tot_a"),
+        F.sum("n_b").cast("long").alias("tot_b"),
+    )
+    sa = F.col("n_a").cast("double") / F.col("tot_a").cast("double")
+    sb = F.col("n_b").cast("double") / F.col("tot_b").cast("double")
+    return c.join(t, "event_type").select(
+        "event_type", "bucket", "n_a", "n_b",
+        sa.alias("share_a"), sb.alias("share_b"),
+        F.abs(sa - sb).alias("share_drift"),
+    )
