@@ -66,6 +66,13 @@ def _normalize_nanos_timestamps(df: DataFrame) -> DataFrame:
     for f in df.schema.fields:
         if f.name in ("ts",) and isinstance(f.dataType, T.LongType):
             out = out.withColumn(f.name, F.timestamp_micros(F.expr(f"{f.name} div 1000")))
+        elif isinstance(f.dataType, T.TimestampNTZType):
+            # Files annotated isAdjustedToUTC=false surface as NTZ no
+            # matter what inferTimestampNTZ says; NTZ forbids the
+            # cast-to-long epoch arithmetic the sessionization/as-of
+            # queries use (ANSI CANNOT_CAST). The session is pinned to
+            # UTC, so NTZ -> LTZ keeps identical wall values.
+            out = out.withColumn(f.name, F.col(f.name).cast(T.TimestampType()))
     return out
 
 

@@ -8,6 +8,7 @@ from __future__ import annotations
 import datetime
 
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 
 def test_doc_bigram_surprisal_planted(spark):
@@ -299,3 +300,26 @@ def test_session_concurrency_planted(spark):
         for r in QUERIES["session_concurrency_daily"].fn(spark, tmp).collect()
     }
     assert got == {"2026-01-01": 2, "2026-01-02": 1}
+
+
+def test_catalog_normalizes_ntz_timestamps(spark, tmp_path):
+    """Parquet annotated isAdjustedToUTC=false (TIMESTAMP_NTZ) must
+    load as session-UTC TimestampType so epoch-arithmetic queries
+    (sessionize, as-of, concurrency) keep working — ANSI forbids
+    casting NTZ to long."""
+    from pyspark.sql import types as T
+
+    from greenbuttonengine_spark.plans import extra_queries  # noqa: F401
+    from greenbuttonengine_spark.plans.registry import QUERIES
+    from greenbuttonengine_spark.sources.catalog import load_table
+
+    src = load_table(spark, "events", "/root/testdata/sf0.001")
+    ntz = src.withColumn("ts", F.col("ts").cast(T.TimestampNTZType()))
+    ntz.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    back = load_table(spark, "events", str(tmp_path))
+    assert isinstance(back.schema["ts"].dataType, T.TimestampType)
+    # an epoch-arithmetic query must run end-to-end on the NTZ file
+    out = QUERIES["session_concurrency_daily"].fn(spark, str(tmp_path))
+    assert out.count() > 0
+    # wall values survive the round-trip
+    assert back.agg(F.max("ts")).first()[0] == src.agg(F.max("ts")).first()[0]
