@@ -113,6 +113,7 @@ _DEFER_NEW = frozenset(
         "session_concurrency_daily",
         "dedup_cross_source_matrix",
         "drift_value_histogram",
+        "dt1_datetime_functions",
     }
 )
 

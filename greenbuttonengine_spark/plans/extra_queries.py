@@ -836,3 +836,48 @@ def drift_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         sa.alias("share_a"), sb.alias("share_b"),
         F.abs(sa - sb).alias("share_drift"),
     )
+
+
+@register(
+    "dt1_datetime_functions",
+    r"""
+    SELECT o_orderkey, o_orderdate,
+           CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS y,
+           CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS m,
+           CAST(EXTRACT(day FROM o_orderdate) AS BIGINT) AS d,
+           CAST(EXTRACT(quarter FROM o_orderdate) AS BIGINT) AS q,
+           CAST(isodow(o_orderdate) AS BIGINT) AS iso_dow,
+           CAST(EXTRACT(doy FROM o_orderdate) AS BIGINT) AS doy,
+           last_day(o_orderdate) AS month_end,
+           CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus_3m,
+           CAST(datediff('day', DATE '1995-01-01', o_orderdate) AS BIGINT)
+               AS days_since_95
+    FROM orders
+    """,
+    tags=("scalar",),
+    doc="Temporal scalar-function batch (the datetime analog of "
+    "math1/str1): year/month/day/quarter extracts, ISO day-of-week "
+    "(both engines number Monday=1..Sunday=7 — Spark's default "
+    "dayofweek starts Sunday and diverges), day-of-year, last_day, "
+    "calendar-clamped +3 months (both engines clamp Jan 31 + 1m to "
+    "Feb 28), and integer day diffs. Pure scan-stage projection, "
+    "whole-stage codegen, no shuffle.",
+)
+def dt1_datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir)
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        "o_orderdate",
+        F.year(d).cast("long").alias("y"),
+        F.month(d).cast("long").alias("m"),
+        F.dayofmonth(d).cast("long").alias("d"),
+        F.quarter(d).cast("long").alias("q"),
+        (F.weekday(d) + 1).cast("long").alias("iso_dow"),
+        F.dayofyear(d).cast("long").alias("doy"),
+        F.last_day(d).alias("month_end"),
+        F.add_months(d, 3).alias("plus_3m"),
+        F.datediff(d, F.lit("1995-01-01").cast("date")).cast("long").alias(
+            "days_since_95"
+        ),
+    )
