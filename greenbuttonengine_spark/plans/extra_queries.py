@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-from ..extensions import decontam, sampling, textstats
+from ..extensions import decontam, dedup, sampling, textstats
 from ..sources.catalog import load_table
 from .registry import register
 
@@ -881,3 +881,25 @@ def dt1_datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "days_since_95"
         ),
     )
+
+
+@register(
+    "dedup_clusters_lsh",
+    None,  # LSH candidates ride engine-specific xxhash64; pytest pins
+    # cluster-membership recall >= 0.9 against the exact clusters
+    tags=("dedup", "approx", "iterative"),
+    doc="Connected components over MinHash-LSH candidate pairs — the "
+    "100 TB clustering path: the exact prefix join's candidate set "
+    "grows ~n^2/corpus-shard on shingle-dense corpora (measured: "
+    "single-box disk exhaustion at 10x, SCALING.md wave-4) while LSH "
+    "candidates stay linear via banded bucketing with max_bucket "
+    "caps. Same duplicate_clusters CC kernel as dedup_clusters, so "
+    "the exact variant doubles as this one's recall oracle in "
+    "pytest. At scale this is the full dedup story: LSH pairs -> "
+    "CC -> keeper per cluster.",
+)
+def dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup.minhash_lsh_pairs(
+        load_table(spark, "documents", sf_dir), threshold=0.8
+    )
+    return dedup.duplicate_clusters(pairs)

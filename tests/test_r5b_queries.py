@@ -323,3 +323,32 @@ def test_catalog_normalizes_ntz_timestamps(spark, tmp_path):
     assert out.count() > 0
     # wall values survive the round-trip
     assert back.agg(F.max("ts")).first()[0] == src.agg(F.max("ts")).first()[0]
+
+
+def test_lsh_clusters_recall_vs_exact(spark, sf_correct_dir):
+    """The LSH-fed CC (scale path) must recover >= 90% of the exact
+    clusters' co-membership pairs — same recall contract as the pair
+    stage, lifted to the transitive closure."""
+    from collections import defaultdict
+
+    from greenbuttonengine_spark.plans import extension_queries  # noqa: F401
+    from greenbuttonengine_spark.plans import extra_queries  # noqa: F401
+    from greenbuttonengine_spark.plans.registry import QUERIES
+
+    def comember(rows):
+        by_cluster = defaultdict(list)
+        for r in rows:
+            by_cluster[r.cluster_id].append(r.node)
+        pairs = set()
+        for nodes in by_cluster.values():
+            nodes.sort()
+            pairs.update(
+                (a, b) for i, a in enumerate(nodes) for b in nodes[i + 1:]
+            )
+        return pairs
+
+    exact = comember(QUERIES["dedup_clusters"].fn(spark, sf_correct_dir).collect())
+    lsh = comember(QUERIES["dedup_clusters_lsh"].fn(spark, sf_correct_dir).collect())
+    assert exact
+    recall = len(exact & lsh) / len(exact)
+    assert recall >= 0.9, recall
