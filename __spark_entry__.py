@@ -114,6 +114,7 @@ _DEFER_NEW = frozenset(
         "dedup_cross_source_matrix",
         "drift_value_histogram",
         "dt1_datetime_functions",
+        "embedding_outlier_topk",
     }
 )
 

@@ -903,3 +903,89 @@ def dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, "documents", sf_dir), threshold=0.8
     )
     return dedup.duplicate_clusters(pairs)
+
+
+@register(
+    "embedding_outlier_topk",
+    r"""
+    WITH qv AS (
+        SELECT vec_id, label,
+               unnest([i for i in generate_series(0, len(embedding) - 1)]) AS dim,
+               unnest([CAST(round(CAST(x AS DOUBLE) * 4096) AS BIGINT)
+                       for x in embedding]) AS q
+        FROM embeddings
+    ), s AS (
+        SELECT label, dim, CAST(SUM(q) AS BIGINT) AS sq,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM qv GROUP BY 1, 2
+    ), d AS (
+        SELECT qv.vec_id, qv.label,
+               CAST(SUM((qv.q * s.cnt - s.sq) * (qv.q * s.cnt - s.sq))
+                    AS BIGINT) AS d2,
+               MAX(s.cnt) AS cnt
+        FROM qv JOIN s ON qv.label = s.label AND qv.dim = s.dim
+        GROUP BY 1, 2
+    ), r AS (
+        SELECT vec_id, label, d2, cnt,
+               ROW_NUMBER() OVER (PARTITION BY label
+                                  ORDER BY d2 DESC, vec_id) AS rank
+        FROM d
+    )
+    SELECT CAST(label AS BIGINT) AS label, vec_id, CAST(d2 AS BIGINT) AS d2,
+           sqrt(CAST(d2 AS DOUBLE)) / (4096.0 * CAST(cnt AS DOUBLE))
+               AS dist_to_centroid,
+           CAST(rank AS BIGINT) AS rank
+    FROM r WHERE rank <= 5
+    """,
+    tags=("embeddings",),
+    doc="Per-label embedding outliers: the 5 vectors furthest from "
+    "their own label's centroid — the mislabeled-example / junk-"
+    "cluster sweep run before using labels as training signal. "
+    "Distance stays in EXACT integer arithmetic on the 2^-12 grid "
+    "(d2 = sum over dims of (q*count - sum_q)^2, bounded 2^58), so "
+    "the ranking has no float ties and the only float ops are the "
+    "final correctly-rounded sqrt/divide. Shape: posexplode + one "
+    "(label, dim) agg, join-back keyed the same way (co-partitioned), "
+    "per-vector re-aggregate, top-k window over labels.",
+)
+def embedding_outlier_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    qv = emb.select(
+        "vec_id",
+        F.col("label").cast("long").alias("label"),
+        F.posexplode(
+            F.transform(
+                F.col("embedding").cast("array<double>"),
+                lambda x: F.round(x * F.lit(4096.0)).cast("long"),
+            )
+        ).alias("dim", "q"),
+    )
+    s = qv.groupBy("label", "dim").agg(
+        F.sum("q").alias("sq"), F.count("*").alias("cnt")
+    )
+    diff = F.col("q") * F.col("cnt") - F.col("sq")
+    d = (
+        qv.join(s, ["label", "dim"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(diff * diff).cast("long").alias("d2"),
+            F.max("cnt").alias("cnt"),
+        )
+    )
+    rn = F.row_number().over(
+        W.partitionBy("label").orderBy(F.desc("d2"), "vec_id")
+    )
+    return (
+        d.withColumn("rank", rn.cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "label",
+            "vec_id",
+            "d2",
+            (
+                F.sqrt(F.col("d2").cast("double"))
+                / (F.lit(4096.0) * F.col("cnt").cast("double"))
+            ).alias("dist_to_centroid"),
+            "rank",
+        )
+    )
