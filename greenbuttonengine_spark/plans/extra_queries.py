@@ -989,3 +989,39 @@ def embedding_outlier_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+@register(
+    "multimodal_audio_features",
+    None,  # decode runs in the Arrow Python stage; features pinned vs
+    # numpy in pytest (test_audio_features_match_numpy)
+    tags=("multimodal",),
+    doc="End-to-end audio feature pipeline on deterministic synthetic "
+    "WAV clips: a PCM16 payload is built JVM-side (md5-derived bytes "
+    "behind a constant RIFF header — binary concat in codegen, no "
+    "Python), then the native WAV decoder + RMS/zero-crossing/frame-"
+    "envelope extraction runs in one Arrow mapInPandas stage — the "
+    "silence-trim/clipping/energy-bucket slice of a speech-data "
+    "pipeline. Blobs never leave the scan stage; output is O(frames) "
+    "doubles per clip; no shuffle.",
+)
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.multimodal import audio_features, encode_wav
+    import numpy as np
+
+    docs = load_table(spark, "documents", sf_dir)
+    # constant 44-byte header for a 1600-byte PCM16 mono 8 kHz payload
+    # (100 md5 digests x 16 bytes = 800 samples)
+    header = encode_wav(np.zeros(800, dtype=np.int16), 8000)[:44]
+    pcm = F.unhex(
+        F.concat_ws(
+            "",
+            F.array(
+                *[F.md5(F.concat(F.col("text"), F.lit(f"#{i}"))) for i in range(100)]
+            ),
+        )
+    )
+    media = docs.select(
+        "doc_id", F.concat(F.lit(bytearray(header)), pcm).alias("media")
+    )
+    return audio_features(media)

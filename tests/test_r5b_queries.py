@@ -352,3 +352,55 @@ def test_lsh_clusters_recall_vs_exact(spark, sf_correct_dir):
     assert exact
     recall = len(exact & lsh) / len(exact)
     assert recall >= 0.9, recall
+
+
+def test_wav_codec_roundtrip_and_variants():
+    import numpy as np
+
+    from greenbuttonengine_spark.extensions.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    t = np.arange(1600)
+    sig = (10000 * np.sin(2 * np.pi * 440 * t / 16000)).astype(np.int16)
+    samples, rate = decode_wav(encode_wav(sig, 16000))
+    assert rate == 16000 and len(samples) == 1600
+    assert np.allclose(samples * 32768.0, sig, atol=0.5)
+    # garbage and unsupported variants must raise ValueError, not crash
+    import pytest
+
+    with pytest.raises(ValueError):
+        decode_wav(b"not a wav at all" * 10)
+    # float-format WAV (format code 3) rejected
+    blob = bytearray(encode_wav(sig))
+    blob[20] = 3
+    with pytest.raises(ValueError):
+        decode_wav(bytes(blob))
+
+
+def test_audio_features_match_numpy(spark):
+    import numpy as np
+
+    from greenbuttonengine_spark.extensions.multimodal import (
+        audio_features,
+        encode_wav,
+    )
+
+    rng = np.random.RandomState(7)
+    rows = []
+    blobs = {}
+    for i in range(4):
+        sig = (rng.randn(3000 + 500 * i) * 5000).astype(np.int16)
+        blobs[i] = sig
+        rows.append(Row(doc_id=i, media=bytearray(encode_wav(sig, 8000))))
+    df = spark.createDataFrame(rows)
+    got = {r.doc_id: r for r in audio_features(df).collect()}
+    for i, sig in blobs.items():
+        s = sig.astype(np.float64) / 32768.0
+        r = got[i]
+        assert r.sample_rate == 8000 and r.n_samples == len(sig)
+        assert abs(r.rms - np.sqrt(np.mean(s**2))) < 1e-12
+        zc = np.mean(np.signbit(s[1:]) != np.signbit(s[:-1]))
+        assert abs(r.zero_cross_rate - zc) < 1e-12
+        assert len(r.frame_rms) == len(sig) // 400
