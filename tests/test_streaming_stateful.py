@@ -327,3 +327,84 @@ def test_stream_stream_click_purchase_join(spark, event_stream, tmp_path):
         ).collect()
     }
     assert got and {(a, b) for a, b, _ in got} == {(a, b) for a, b, _ in expect}
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """An event older than the watermark horizon, arriving in a later
+    micro-batch, must not re-open or update a closed window — the
+    late-data contract the 100 TB ingest relies on for bounded state.
+
+    Batch separation is forced by a stop/restart cycle on a shared
+    checkpoint (file-source batching heuristics may otherwise merge
+    small files into one micro-batch), which also pins that the
+    watermark PERSISTS across restart — the property that makes
+    resumable large-scale ingest state-bounded."""
+    import datetime
+
+    from pyspark.sql import Row
+
+    from greenbuttonengine_spark.streaming.stateful import windowed_event_counts
+
+    d = datetime.datetime
+    base = d(2026, 3, 1, 10, 0)
+    data_dir = tmp_path / "late_stream"
+
+    def ev(i, ts):
+        return Row(event_id=i, ts=ts, user_id=1, event_type="view",
+                   value=1.0, props="{}")
+
+    from collections import Counter
+
+    out_dir = tmp_path / "late_out"
+
+    def run_once():
+        """Run the stream to completion against a persistent parquet
+        sink + checkpoint (memory sinks cannot recover), returning the
+        multiset of ALL emitted (hour, n) rows so far."""
+        schema = spark.read.parquet(str(data_dir / "a")).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(str(data_dir))
+        )
+        agg = windowed_event_counts(
+            stream, window="60 minutes", watermark="1 minute")
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", str(out_dir))
+            .option("checkpointLocation", str(tmp_path / "late_ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return Counter(
+            (r.window_start.hour, r.n)
+            for r in spark.read.parquet(str(out_dir)).collect())
+
+    # run 1: events at 10:00 and 12:00 -> watermark advances to 11:59,
+    # closing the [10:00,11:00) window (end 11:00 <= 11:59), which the
+    # no-data micro-batch emits with n=1
+    spark.createDataFrame(
+        [ev(1, base), ev(2, base + datetime.timedelta(hours=2))]
+    ).coalesce(1).write.parquet(str(data_dir / "a"))
+    first = run_once()
+    assert first[(10, 1)] == 1, first
+
+    # run 2 (restart on the same checkpoint): a 10:30 straggler whose
+    # window is already CLOSED (end 11:00 <= persisted watermark 11:59
+    # -> must be dropped) plus a fresh 13:02 event that advances the
+    # watermark to 13:01, finalizing the [12:00,13:00) window
+    spark.createDataFrame(
+        [ev(3, base + datetime.timedelta(minutes=30)),
+         ev(4, base + datetime.timedelta(hours=3, minutes=2))]
+    ).coalesce(1).write.parquet(str(data_dir / "b"))
+    second = run_once()
+    # run-2 emissions = multiset delta vs run 1: the straggler must
+    # not add ANY hour-10 row (a wrongly re-admitted late event would
+    # re-emit (10, 1) a second time, or (10, 2))
+    delta = second - first
+    assert all(h != 10 for h, _ in delta), dict(delta)
+    assert delta[(12, 1)] == 1, dict(delta)
