@@ -36,6 +36,7 @@ def _registry():
     from greenbuttonengine_spark.plans import complex_queries  # noqa: F401
     from greenbuttonengine_spark.plans import tpch_queries  # noqa: F401
     from greenbuttonengine_spark.plans import extra_queries  # noqa: F401
+    from greenbuttonengine_spark.plans import wave5_queries  # noqa: F401
 
     return registry
 
@@ -115,6 +116,9 @@ _DEFER_NEW = frozenset(
         "drift_value_histogram",
         "dt1_datetime_functions",
         "embedding_outlier_topk",
+        "lm_bpe_pair_counts",
+        "dedup_doc_containment",
+        "corpus_ngram_novelty",
     }
 )
 

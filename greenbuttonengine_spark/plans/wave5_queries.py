@@ -1,0 +1,280 @@
+"""Round-5 wave-5 additions: tokenizer-training pair counts, asymmetric
+containment dedup, corpus novelty scoring, and an operational
+file-layout report.
+
+These extend the LLM-training-data surface beyond similarity dedup:
+
+* ``lm_bpe_pair_counts`` — the counting step of BPE tokenizer training
+  (most frequent adjacent symbol pair = next merge candidate).
+* ``dedup_doc_containment`` — ASYMMETRIC near-dup detection (doc A
+  mostly contained in doc B) which symmetric Jaccard misses when the
+  containing doc is much larger (quote farms, concatenated shards).
+* ``corpus_ngram_novelty`` — per-doc fraction of shingles first seen
+  in that doc (by doc_id order): the marginal-contribution signal used
+  to prune low-novelty documents during curation.
+* ``ops_file_layout_report`` — the small-files / key-range health
+  check run before compaction on a 100 TB lake (rows-only: DuckDB has
+  no analog of Spark's per-file lineage).
+
+Shingling here is WORD 3-grams (distinct per doc) with 1-based window
+starts so the Spark ``element_at`` arithmetic matches DuckDB's 1-based
+list subscripts exactly; char-8 shingles remain the dedup-module
+canon (extensions/dedup.py::_shingles) — word 3-grams read better in
+containment/novelty reports and cost one split per doc either way.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+from .registry import register
+
+# Shingles occurring in more than DF_CAP documents are boilerplate and
+# are dropped BEFORE the containment self-join: per-shingle pair
+# fan-out is then <= DF_CAP * df(s), so the join's row count is bounded
+# by DF_CAP * (total shingle occurrences) — linear in corpus size, not
+# quadratic in hot-shingle document frequency.  Production containment
+# detectors make the same trade (ultra-common shingles carry no
+# containment evidence); sizes/intersections are computed consistently
+# over the SAME capped shingle space in both engines.
+_DF_CAP = 50
+_CONTAINMENT_T = 0.8
+
+
+def _word_trigram_shingles(docs: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id") -> DataFrame:
+    """Distinct word 3-gram shingles per doc: (doc_id, s) scalar rows.
+
+    1-based window starts (``sequence(1, size-2)`` + ``element_at``)
+    mirror the oracle's ``range(1, len-1)`` + 1-based list subscripts
+    token for token.  Pure scan-stage Catalyst expressions — the only
+    shuffles in the consumers are their own groupBys/joins.
+    """
+    ws = docs.select(
+        F.col(id_col), F.split(F.lower(F.trim(text_col)), r"\s+").alias("ws")
+    ).filter(F.size("ws") >= 3)
+    tri = F.expr(
+        "transform(sequence(1, size(ws) - 2),"
+        " i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1),"
+        " element_at(ws, i + 2)))"
+    )
+    return ws.select(F.col(id_col), F.explode(F.array_distinct(tri)).alias("s"))
+
+
+@register(
+    "lm_bpe_pair_counts",
+    r"""
+    WITH w AS (
+        SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+        FROM documents
+    ), p AS (
+        SELECT unnest(list_transform(range(1, CAST(length(w) AS INTEGER)),
+                   i -> substring(w, CAST(i AS INTEGER), 2))) AS pair
+        FROM w WHERE length(w) >= 2
+    ), c AS (
+        SELECT pair, CAST(COUNT(*) AS BIGINT) AS n FROM p GROUP BY pair
+    ), top AS (
+        SELECT pair, n FROM c ORDER BY n DESC, pair LIMIT 50
+    )
+    SELECT pair, n,
+           CAST(ROW_NUMBER() OVER (ORDER BY n DESC, pair) AS BIGINT) AS rank
+    FROM top
+    """,
+    tags=("lm", "textstats", "tiny-global-window"),
+    doc="The counting step of BPE tokenizer training: frequency of "
+    "every adjacent character pair within words, top-50 with a "
+    "deterministic (n DESC, pair) total order — the head of this "
+    "table IS the next merge candidate.  One pair-count shuffle with "
+    "map-side combine, then TakeOrderedAndProject; the rank window "
+    "runs over the 50-row top-k only (tiny-global-window), never the "
+    "corpus.  Iterating merge rounds re-runs this count over the "
+    "re-tokenized corpus — each round is this same bounded plan.",
+)
+def lm_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bpe_pair_counts(load_table(spark, "documents", sf_dir))
+
+
+def bpe_pair_counts(docs: DataFrame, top_n: int = 50,
+                    text_col: str = "text") -> DataFrame:
+    words = docs.select(
+        F.explode(F.split(F.lower(F.trim(text_col)), r"\s+")).alias("w")
+    ).filter(F.length("w") >= 2)
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1),"
+                   " i -> substring(w, i, 2))")
+        ).alias("pair")
+    )
+    c = pairs.groupBy("pair").agg(F.count("*").cast("long").alias("n"))
+    top = c.orderBy(F.desc("n"), "pair").limit(top_n)
+    return top.withColumn(
+        "rank", F.row_number().over(W.orderBy(F.desc("n"), "pair")).cast("long")
+    )
+
+
+@register(
+    "dedup_doc_containment",
+    r"""
+    WITH words AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+        FROM documents
+    ), sh AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(range(1, CAST(len(ws) AS INTEGER) - 1),
+                   i -> ws[CAST(i AS INTEGER)] || ' '
+                        || ws[CAST(i AS INTEGER) + 1] || ' '
+                        || ws[CAST(i AS INTEGER) + 2])) AS s
+        FROM words WHERE len(ws) >= 3
+    ), df AS (
+        SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 50
+    ), shf AS (
+        SELECT sh.doc_id, sh.s FROM sh JOIN df USING (s)
+    ), sizes AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM shf GROUP BY doc_id
+    ), inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM shf a JOIN shf b ON a.s = b.s AND a.doc_id <> b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_shared, sa.sz AS sz_a,
+           CAST(n_shared AS DOUBLE) / CAST(sa.sz AS DOUBLE) AS containment
+    FROM inter JOIN sizes sa ON sa.doc_id = inter.doc_a
+    WHERE CAST(n_shared AS DOUBLE) / CAST(sa.sz AS DOUBLE) >= 0.8
+    """,
+    tags=("dedup",),
+    doc="Asymmetric containment dedup: ordered pairs where >= 80% of "
+    "doc A's informative shingles also occur in doc B — catches a doc "
+    "swallowed by a larger aggregate (quote farms, concatenated "
+    "shards), which symmetric Jaccard under-scores because the union "
+    "is dominated by the big doc.  Shingles with document frequency "
+    "> 50 are dropped before the self-join (see _DF_CAP note: bounds "
+    "the join to DF_CAP * corpus-shingle-occurrences rows — linear, "
+    "not quadratic); sizes and intersections are computed over the "
+    "same capped space in both engines, and containment is a single "
+    "exact-integer division (deterministic cross-engine).",
+)
+def dedup_doc_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return doc_containment(load_table(spark, "documents", sf_dir))
+
+
+def doc_containment(docs: DataFrame, threshold: float = _CONTAINMENT_T,
+                    df_cap: int = _DF_CAP) -> DataFrame:
+    sh = _word_trigram_shingles(docs)
+    df_ok = (
+        sh.groupBy("s").agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= df_cap).select("s")
+    )
+    shf = sh.join(df_ok, "s")
+    sizes = shf.groupBy("doc_id").agg(F.count("*").cast("long").alias("sz_a"))
+    a = shf.select(F.col("doc_id").alias("doc_a"), "s")
+    b = shf.select(F.col("doc_id").alias("doc_b"), "s")
+    inter = (
+        a.join(b, "s")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .withColumn(
+            "containment",
+            F.col("n_shared").cast("double") / F.col("sz_a").cast("double"),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("doc_a", "doc_b", "n_shared", "sz_a", "containment")
+    )
+
+
+@register(
+    "corpus_ngram_novelty",
+    r"""
+    WITH words AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+        FROM documents
+    ), sh AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(range(1, CAST(len(ws) AS INTEGER) - 1),
+                   i -> ws[CAST(i AS INTEGER)] || ' '
+                        || ws[CAST(i AS INTEGER) + 1] || ' '
+                        || ws[CAST(i AS INTEGER) + 2])) AS s
+        FROM words WHERE len(ws) >= 3
+    ), first AS (
+        SELECT s, MIN(doc_id) AS first_doc FROM sh GROUP BY s
+    )
+    SELECT sh.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           CAST(SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+                AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS novelty_frac
+    FROM sh JOIN first f USING (s)
+    GROUP BY sh.doc_id
+    """,
+    tags=("textstats", "dedup"),
+    doc="Per-document n-gram novelty: the fraction of a doc's distinct "
+    "word-trigram shingles whose FIRST corpus occurrence (min doc_id — "
+    "ingestion order) is this doc.  Exact duplicates of earlier docs "
+    "score 0; boilerplate-heavy docs score low — the "
+    "marginal-contribution signal curation uses to prune before "
+    "training.  Two key shuffles (shingle min-agg, doc re-agg) plus "
+    "one equi-join, all map-side combined; novelty_frac is one exact "
+    "integer division.",
+)
+def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_novelty(load_table(spark, "documents", sf_dir))
+
+
+def ngram_novelty(docs: DataFrame) -> DataFrame:
+    sh = _word_trigram_shingles(docs)
+    first = sh.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.sum(
+        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    ).cast("long")
+    return (
+        sh.join(first, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            novel.alias("n_novel"),
+        )
+        .withColumn(
+            "novelty_frac",
+            F.col("n_novel").cast("double") / F.col("n_shingles").cast("double"),
+        )
+    )
+
+
+@register(
+    "ops_file_layout_report",
+    None,  # rows-only: per-file lineage (input_file_name) has no DuckDB-view analog
+    tags=("ops",),
+    doc="Small-files / key-range health report over the lineitem scan: "
+    "rows per physical file (via input_file_name lineage, free at scan "
+    "time), min/max order keys per file, and a one-row summary with "
+    "the small-file count — the check run before scheduling compaction "
+    "on a 100 TB lake, where small files dominate task-scheduling "
+    "overhead and overlapping key ranges defeat min/max pruning.  One "
+    "file-keyed shuffle (file count << row count) then a scalar agg.",
+)
+def ops_file_layout_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    per_file = li.groupBy(F.input_file_name().alias("file")).agg(
+        F.count("*").alias("rows"),
+        F.min("l_orderkey").alias("min_key"),
+        F.max("l_orderkey").alias("max_key"),
+    )
+    return per_file.agg(
+        F.count("*").cast("long").alias("n_files"),
+        F.sum("rows").cast("long").alias("total_rows"),
+        F.min("rows").cast("long").alias("min_rows_per_file"),
+        F.max("rows").cast("long").alias("max_rows_per_file"),
+        F.sum(F.when(F.col("rows") < 10000, 1).otherwise(0))
+        .cast("long")
+        .alias("small_files"),
+        F.min("min_key").cast("long").alias("global_min_key"),
+        F.max("max_key").cast("long").alias("global_max_key"),
+    )
