@@ -119,6 +119,7 @@ _DEFER_NEW = frozenset(
         "lm_bpe_pair_counts",
         "dedup_doc_containment",
         "corpus_ngram_novelty",
+        "embedding_knn_classify",
     }
 )
 

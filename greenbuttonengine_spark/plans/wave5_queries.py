@@ -249,6 +249,95 @@ def ngram_novelty(docs: DataFrame) -> DataFrame:
 
 
 @register(
+    "embedding_knn_classify",
+    """
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    s AS (
+        SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+               list_dot_product(a.v, b.v)
+                   / (sqrt(list_dot_product(a.v, a.v))
+                      * sqrt(list_dot_product(b.v, b.v))) AS cosine
+        FROM e a JOIN e b ON a.vec_id <> b.vec_id
+    ), knn AS (
+        SELECT vec_id, neighbor_id FROM (
+            SELECT s.*, ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id) AS rank
+            FROM s
+        ) t WHERE rank <= 5
+    ), votes AS (
+        SELECT k.vec_id, e.label AS n_label, COUNT(*) AS cnt
+        FROM knn k JOIN e ON e.vec_id = k.neighbor_id
+        GROUP BY 1, 2
+    ), pred AS (
+        SELECT vec_id, n_label AS pred_label FROM (
+            SELECT votes.*, ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY cnt DESC, n_label) AS rn
+            FROM votes
+        ) t WHERE rn = 1
+    )
+    SELECT e.label,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN p.pred_label = e.label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           CAST(SUM(CASE WHEN p.pred_label = e.label THEN 1 ELSE 0 END)
+                AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS accuracy
+    FROM pred p JOIN e ON e.vec_id = p.vec_id
+    GROUP BY e.label
+    """,
+    tags=("similarity", "blocked"),
+    doc="Leave-one-out 5-NN majority-vote label prediction with "
+    "per-label accuracy — the standard label-consistency probe for "
+    "embedding quality (a label whose members' neighbors disagree is "
+    "noisy or the space is bad).  Rides the triangle-block exact kNN "
+    "graph (similarity.knn_graph: O(n*B) shuffle, per-task Arrow "
+    "top-k, never O(n^2) reduce rows); the vote adds one broadcast "
+    "label join + a per-vector count window with a total (cnt DESC, "
+    "label ASC) tie order so both engines elect the same label; "
+    "accuracy is one exact-integer division.",
+)
+def embedding_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    return knn_classify(emb)
+
+
+def knn_classify(emb: DataFrame, k: int = 5) -> DataFrame:
+    from ..extensions import similarity
+
+    knn = similarity.knn_graph(emb, k=k)
+    labels = emb.select("vec_id", "label")
+    neigh = knn.join(
+        F.broadcast(
+            labels.withColumnRenamed("vec_id", "neighbor_id")
+            .withColumnRenamed("label", "n_label")
+        ),
+        "neighbor_id",
+    )
+    votes = neigh.groupBy("vec_id", "n_label").agg(F.count("*").alias("cnt"))
+    rn = F.row_number().over(
+        W.partitionBy("vec_id").orderBy(F.desc("cnt"), F.asc("n_label"))
+    )
+    pred = (
+        votes.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("n_label").alias("pred_label"))
+    )
+    correct = F.sum(
+        F.when(F.col("pred_label") == F.col("label"), 1).otherwise(0)
+    ).cast("long")
+    return (
+        pred.join(labels, "vec_id")
+        .groupBy("label")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            correct.alias("n_correct"),
+        )
+        .withColumn(
+            "accuracy", F.col("n_correct").cast("double") / F.col("n").cast("double")
+        )
+    )
+
+
+@register(
     "ops_file_layout_report",
     None,  # rows-only: per-file lineage (input_file_name) has no DuckDB-view analog
     tags=("ops",),

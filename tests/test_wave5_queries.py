@@ -99,3 +99,29 @@ def test_file_layout_report_consistent(spark, sf_dir):
     assert 0 < row.min_rows_per_file <= row.max_rows_per_file
     assert row.global_min_key <= row.global_max_key
     assert 0 <= row.small_files <= row.n_files
+
+
+def test_knn_classify_planted_clusters(spark):
+    from greenbuttonengine_spark.plans.wave5_queries import knn_classify
+
+    # two well-separated clusters of 6 in R^4; vec 100 sits in the
+    # label-0 cluster but is labelled 1 (a planted label error): its
+    # neighbors all vote 0, so label 1 scores 0/1 while every other
+    # vector's neighborhood agrees with its label.
+    def v(base, i):
+        out = [0.0, 0.0, 0.0, 0.0]
+        out[base] = 10.0
+        out[3] = float(i % 3)  # small within-cluster spread
+        return out
+
+    rows = (
+        [(i, v(0, i), 0) for i in range(6)]
+        + [(10 + i, v(1, i), 1) for i in range(6)]
+        + [(100, v(0, 1), 1)]
+    )
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    got = {r.label: (r.n, r.n_correct, r.accuracy)
+           for r in knn_classify(emb, k=3).collect()}
+    assert got[0] == (6, 6, 1.0)
+    # label 1 has 7 members; the planted mislabel is predicted 0
+    assert got[1] == (7, 6, 6 / 7)
