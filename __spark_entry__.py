@@ -120,6 +120,7 @@ _DEFER_NEW = frozenset(
         "dedup_doc_containment",
         "corpus_ngram_novelty",
         "embedding_knn_classify",
+        "agg_contribution_bounded",
     }
 )
 

@@ -338,6 +338,78 @@ def knn_classify(emb: DataFrame, k: int = 5) -> DataFrame:
 
 
 @register(
+    "agg_contribution_bounded",
+    """
+    WITH ranked AS (
+        SELECT event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ), cap AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_capped,
+               CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS sum_cents_capped
+        FROM ranked WHERE rn <= 20 GROUP BY event_type
+    ), tot AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_total,
+               CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS sum_cents_total
+        FROM events GROUP BY event_type
+    )
+    SELECT t.event_type,
+           COALESCE(n_capped, 0) AS n_capped,
+           COALESCE(sum_cents_capped, 0) AS sum_cents_capped,
+           n_total, sum_cents_total,
+           CAST(COALESCE(n_capped, 0) AS DOUBLE) / CAST(n_total AS DOUBLE)
+               AS kept_frac
+    FROM tot t LEFT JOIN cap c ON c.event_type = t.event_type
+    """,
+    tags=("aggregate", "robustness"),
+    doc="Contribution-bounded aggregation: each user contributes at "
+    "most their first 20 events (deterministic (ts, event_id) order) "
+    "to the per-type statistics, reported next to the unbounded "
+    "totals.  The robustness hygiene every large-scale corpus stat "
+    "needs — one bot/power user must not dominate a mean (and at the "
+    "policy level, bounding per-unit contribution is the first step "
+    "toward DP-style guarantees).  One user-keyed window shuffle "
+    "(per-user state is a counter, bounded), two map-side-combined "
+    "aggregates to O(types) rows, broadcast-sized join; exact-cents "
+    "BIGINT sums per the cross-engine convention.",
+)
+def agg_contribution_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    rn = F.row_number().over(
+        W.partitionBy("user_id").orderBy("ts", "event_id")
+    )
+    cap = (
+        ev.withColumn("rn", rn)
+        .filter(F.col("rn") <= 20)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_capped"),
+            F.sum(cents).cast("long").alias("sum_cents_capped"),
+        )
+    )
+    tot = ev.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_total"),
+        F.sum(cents).cast("long").alias("sum_cents_total"),
+    )
+    return tot.join(cap, "event_type", "left").select(
+        "event_type",
+        F.coalesce("n_capped", F.lit(0)).cast("long").alias("n_capped"),
+        F.coalesce("sum_cents_capped", F.lit(0)).cast("long")
+        .alias("sum_cents_capped"),
+        "n_total",
+        "sum_cents_total",
+        (
+            F.coalesce("n_capped", F.lit(0)).cast("double")
+            / F.col("n_total").cast("double")
+        ).alias("kept_frac"),
+    )
+
+
+@register(
     "ops_file_layout_report",
     None,  # rows-only: per-file lineage (input_file_name) has no DuckDB-view analog
     tags=("ops",),

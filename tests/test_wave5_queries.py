@@ -125,3 +125,77 @@ def test_knn_classify_planted_clusters(spark):
     assert got[0] == (6, 6, 1.0)
     # label 1 has 7 members; the planted mislabel is predicted 0
     assert got[1] == (7, 6, 6 / 7)
+
+
+def test_ngram_novelty_matches_python_reference(spark):
+    """Seeded random corpus: per-doc novelty must equal a pure-Python
+    reference computation exactly, and the conservation law must hold:
+    sum(n_novel) over docs == number of distinct shingles in the
+    corpus (every shingle is novel exactly once, in its min-doc_id
+    doc)."""
+    import random
+
+    from pyspark.sql import Row
+
+    from greenbuttonengine_spark.plans.wave5_queries import ngram_novelty
+
+    rng = random.Random(0)
+    vocab = [f"w{i}" for i in range(10)]
+    docs = [(i, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 12))))
+            for i in range(30)]
+
+    def trigrams(text):
+        ws = text.split()
+        return {" ".join(ws[i:i + 3]) for i in range(len(ws) - 2)}
+
+    first = {}
+    for doc_id, text in docs:
+        for s in sorted(trigrams(text)):
+            first.setdefault(s, doc_id)
+    expect = {}
+    for doc_id, text in docs:
+        sh = trigrams(text)
+        expect[doc_id] = (len(sh), sum(1 for s in sh if first[s] == doc_id))
+
+    got = {r.doc_id: (r.n_shingles, r.n_novel)
+           for r in ngram_novelty(
+               spark.createDataFrame([Row(doc_id=d, text=t) for d, t in docs])
+           ).collect()}
+    assert got == expect
+    assert sum(n for _, n in got.values()) == len(first)
+
+
+def test_contribution_bounding_planted(spark):
+    import datetime
+
+    from pyspark.sql import Row
+
+    from greenbuttonengine_spark.plans.wave5_queries import agg_contribution_bounded
+
+    base = datetime.datetime(2026, 1, 1)
+
+    # user 1: 25 'view' events (value 1.0 each) then 2 'late' events —
+    # the cap keeps the FIRST 20 views and drops both lates entirely;
+    # user 2: 3 'view' events, all kept.
+    rows = (
+        [Row(event_id=i, ts=base + datetime.timedelta(minutes=i), user_id=1,
+             event_type="view", value=1.0, props="{}") for i in range(25)]
+        + [Row(event_id=100 + i, ts=base + datetime.timedelta(hours=1, minutes=i),
+               user_id=1, event_type="late", value=5.0, props="{}")
+           for i in range(2)]
+        + [Row(event_id=200 + i, ts=base + datetime.timedelta(minutes=i),
+               user_id=2, event_type="view", value=2.0, props="{}")
+           for i in range(3)]
+    )
+    ev = spark.createDataFrame(rows)
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    ev.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    got = {r.event_type: r for r in agg_contribution_bounded(spark, d).collect()}
+    v = got["view"]
+    assert (v.n_total, v.n_capped) == (28, 23)          # 20 of 25 + 3 of 3
+    assert (v.sum_cents_total, v.sum_cents_capped) == (3100, 2600)
+    assert v.kept_frac == 23 / 28
+    late = got["late"]
+    assert (late.n_total, late.n_capped, late.kept_frac) == (2, 0, 0.0)
+    assert late.sum_cents_capped == 0
