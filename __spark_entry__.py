@@ -121,6 +121,7 @@ _DEFER_NEW = frozenset(
         "corpus_ngram_novelty",
         "embedding_knn_classify",
         "agg_contribution_bounded",
+        "lm_pmi_collocations",
     }
 )
 

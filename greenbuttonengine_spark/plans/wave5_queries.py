@@ -338,6 +338,114 @@ def knn_classify(emb: DataFrame, k: int = 5) -> DataFrame:
 
 
 @register(
+    "lm_pmi_collocations",
+    r"""
+    WITH t AS (
+        SELECT string_split_regex(lower(trim(text)), '\s+') AS ws
+        FROM documents
+    ), p AS (
+        SELECT unnest(list_transform(range(1, CAST(len(ws) AS INTEGER)),
+                   i -> least(ws[CAST(i AS INTEGER)], ws[CAST(i AS INTEGER) + 1])
+                        || ' '
+                        || greatest(ws[CAST(i AS INTEGER)],
+                                    ws[CAST(i AS INTEGER) + 1]))) AS pair
+        FROM t WHERE len(ws) >= 2
+    ), c12 AS (
+        SELECT pair, CAST(COUNT(*) AS BIGINT) AS n12 FROM p GROUP BY pair
+    ), ptot AS (
+        SELECT CAST(SUM(n12) AS BIGINT) AS np FROM c12
+    ), uni AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS n1
+        FROM (SELECT unnest(ws) AS w FROM t) GROUP BY w
+    ), ntot AS (
+        SELECT CAST(SUM(n1) AS BIGINT) AS nn FROM uni
+    ), scored AS (
+        SELECT pair, n12,
+               a.n1 AS n_w1, b.n1 AS n_w2,
+               CAST(n12 * nn * nn AS DOUBLE)
+                   / CAST(np * a.n1 * b.n1 AS DOUBLE) AS pmi_ratio
+        FROM c12
+        JOIN uni a ON a.w = split_part(pair, ' ', 1)
+        JOIN uni b ON b.w = split_part(pair, ' ', 2)
+        CROSS JOIN ptot CROSS JOIN ntot
+        WHERE n12 >= 5
+    ), top AS (
+        SELECT * FROM scored ORDER BY pmi_ratio DESC, pair LIMIT 50
+    )
+    SELECT pair, n12, n_w1, n_w2, pmi_ratio,
+           CAST(ROW_NUMBER() OVER (ORDER BY pmi_ratio DESC, pair) AS BIGINT)
+               AS rank
+    FROM top
+    """,
+    tags=("lm", "textstats", "tiny-bnlj", "tiny-global-window"),
+    doc="PMI collocation mining: adjacent unordered word pairs ranked "
+    "by association LIFT — pmi_ratio = P(w1,w2)/(P(w1)P(w2)) as the "
+    "exact rational c12*N^2/(P*c1*c2), computed as one BIGINT product "
+    "per side (exact below 2^53) and ONE correctly-rounded division, "
+    "so both engines agree bitwise without fp logs (monotone in PMI, "
+    "so the ranking is the PMI ranking).  min-count 5 is the standard "
+    "PMI stability floor (and what keeps the numerator in BIGINT "
+    "range; ANSI overflow would throw loudly, never corrupt).  "
+    "Distinct from text_bigram_topk: frequency ranks common pairs, "
+    "lift ranks PHRASES.  One pair-count shuffle + one unigram-count "
+    "shuffle, two vocab-sized joins, one-row count broadcasts "
+    "(tiny-bnlj); rank window over the top-50 only.",
+)
+def lm_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pmi_collocations(load_table(spark, "documents", sf_dir))
+
+
+def pmi_collocations(docs: DataFrame, min_count: int = 5, top_n: int = 50,
+                     text_col: str = "text") -> DataFrame:
+    t = docs.select(
+        F.split(F.lower(F.trim(text_col)), r"\s+").alias("ws")
+    )
+    pairs = (
+        t.filter(F.size("ws") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ws) - 1),"
+                    " i -> concat_ws(' ',"
+                    "   least(element_at(ws, i), element_at(ws, i + 1)),"
+                    "   greatest(element_at(ws, i), element_at(ws, i + 1))))"
+                )
+            ).alias("pair")
+        )
+    )
+    c12 = pairs.groupBy("pair").agg(F.count("*").cast("long").alias("n12"))
+    ptot = c12.agg(F.sum("n12").cast("long").alias("np"))
+    uni = (
+        t.select(F.explode("ws").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("n1"))
+    )
+    ntot = uni.agg(F.sum("n1").cast("long").alias("nn"))
+    a = uni.select(F.col("w").alias("__w1"), F.col("n1").alias("n_w1"))
+    b = uni.select(F.col("w").alias("__w2"), F.col("n1").alias("n_w2"))
+    scored = (
+        c12.filter(F.col("n12") >= min_count)
+        .withColumn("__w1", F.split_part(F.col("pair"), F.lit(" "), F.lit(1)))
+        .withColumn("__w2", F.split_part(F.col("pair"), F.lit(" "), F.lit(2)))
+        .join(a, "__w1")
+        .join(b, "__w2")
+        .crossJoin(F.broadcast(ptot))
+        .crossJoin(F.broadcast(ntot))
+        .withColumn(
+            "pmi_ratio",
+            (F.col("n12") * F.col("nn") * F.col("nn")).cast("double")
+            / (F.col("np") * F.col("n_w1") * F.col("n_w2")).cast("double"),
+        )
+        .select("pair", "n12", "n_w1", "n_w2", "pmi_ratio")
+    )
+    top = scored.orderBy(F.desc("pmi_ratio"), "pair").limit(top_n)
+    return top.withColumn(
+        "rank",
+        F.row_number().over(W.orderBy(F.desc("pmi_ratio"), "pair")).cast("long"),
+    )
+
+
+@register(
     "agg_contribution_bounded",
     """
     WITH ranked AS (

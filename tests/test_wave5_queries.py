@@ -199,3 +199,27 @@ def test_contribution_bounding_planted(spark):
     late = got["late"]
     assert (late.n_total, late.n_capped, late.kept_frac) == (2, 0, 0.0)
     assert late.sum_cents_capped == 0
+
+
+def test_pmi_collocations_planted(spark):
+    from pyspark.sql import Row
+
+    from greenbuttonengine_spark.plans.wave5_queries import pmi_collocations
+
+    # "new york" always co-occurs (lift 12.0); "the" pairs with two
+    # different words so its pairs have half the lift (6.0) despite
+    # equal raw counts — PMI must rank the true phrase first.
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text="new york") for i in range(5)]
+        + [Row(doc_id=10 + i, text="the cat") for i in range(5)]
+        + [Row(doc_id=20 + i, text="the dog") for i in range(5)]
+    )
+    # N=30 tokens, P=15 pairs; pmi(new york)=5*30^2/(15*5*5)=12.0;
+    # pmi(cat the)=5*30^2/(15*5*10)=6.0 (pair is least/greatest order)
+    rows = [(r.pair, r.n12, r.pmi_ratio, r.rank)
+            for r in pmi_collocations(docs).collect()]
+    assert rows == [
+        ("new york", 5, 12.0, 1),
+        ("cat the", 5, 6.0, 2),
+        ("dog the", 5, 6.0, 3),
+    ]
