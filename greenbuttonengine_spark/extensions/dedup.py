@@ -258,6 +258,42 @@ def minhash_signatures(
     )
 
 
+def band_buckets(
+    sig: DataFrame, num_perm: int = 32, bands: int = 8, id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, band_idx, band_hash) LSH bucket rows from MinHash
+    signatures: band_hash = xxhash64 over the band's signature slice.
+    Scan-stage projection + explode — the shape that feeds both the
+    in-corpus self-join (``minhash_lsh_pairs``) and the persistent
+    band store of the streaming admission path
+    (``incremental_near_dedup``), so batch and stream agree on the
+    bucket function by construction."""
+    rows = num_perm // bands
+    band_cols = [
+        F.struct(
+            F.lit(bi).alias("band_idx"),
+            F.xxhash64(*[F.col("sig")[bi * rows + r] for r in range(rows)]).alias("band_hash"),
+        )
+        for bi in range(bands)
+    ]
+    return sig.select(id_col, F.explode(F.array(*band_cols)).alias("b")).select(
+        id_col, F.col("b.band_idx").alias("band_idx"), F.col("b.band_hash").alias("band_hash")
+    )
+
+
+def _sig_agreement(num_perm: int):
+    """Estimated Jaccard = fraction of agreeing MinHash components
+    (expects sig_a / sig_b array columns in scope)."""
+    return (
+        F.aggregate(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: (x == y).cast("int")),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        ).cast("double")
+        / F.lit(float(num_perm))
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     threshold: float = 0.8,
@@ -287,16 +323,7 @@ def minhash_lsh_pairs(
     # multi-node cluster note localCheckpoint truncates lineage: an
     # executor loss fails the job instead of recomputing.
     sig = sig.localCheckpoint(eager=False)
-    band_cols = [
-        F.struct(
-            F.lit(bi).alias("band_idx"),
-            F.xxhash64(*[F.col("sig")[bi * rows + r] for r in range(rows)]).alias("band_hash"),
-        )
-        for bi in range(bands)
-    ]
-    buckets = sig.select(id_col, F.explode(F.array(*band_cols)).alias("b")).select(
-        id_col, F.col("b.band_idx").alias("band_idx"), F.col("b.band_hash").alias("band_hash")
-    )
+    buckets = band_buckets(sig, num_perm=num_perm, bands=bands, id_col=id_col)
     # cap degenerate buckets (hot-key guard)
     bucket_sizes = buckets.groupBy("band_idx", "band_hash").agg(F.count("*").alias("bn"))
     buckets = buckets.join(
@@ -317,14 +344,7 @@ def minhash_lsh_pairs(
     )
     sa = sig.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
     sb = sig.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
-    est = (
-        F.aggregate(
-            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: (x == y).cast("int")),
-            F.lit(0),
-            lambda acc, v: acc + v,
-        ).cast("double")
-        / F.lit(float(num_perm))
-    )
+    est = _sig_agreement(num_perm)
     return (
         cand.join(sa, "id_a").join(sb, "id_b")
         .select("id_a", "id_b", est.alias("est_jaccard"))
@@ -803,6 +823,143 @@ def incremental_dedup(
     return (
         fp.join(store, "fingerprint", "left")
         .select(F.col(id_col), "fingerprint", verdict.alias("verdict"))
+    )
+
+
+def incremental_near_dedup(
+    new_batch: DataFrame,
+    store_bands: DataFrame,
+    store_sigs: DataFrame,
+    threshold: float = 0.8,
+    num_perm: int = 32,
+    bands: int = 8,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    batch_sigs: DataFrame | None = None,
+) -> DataFrame:
+    """NEAR-dup admission of a new batch against a persistent LSH
+    store: the fuzzy counterpart of :func:`incremental_dedup`, for the
+    continuous-crawl case where re-crawled pages differ by a date
+    stamp or ad block and exact fingerprints never match.
+
+    ``store_bands`` is the accepted corpus's (band_idx, band_hash,
+    doc_id) bucket table; ``store_sigs`` its (doc_id, sig) MinHash
+    signatures — both produced by :func:`band_buckets` /
+    :func:`minhash_signatures` so batch and store agree on the hash
+    family by construction.  Verdicts:
+
+    * ``near_dup_of_corpus`` — a band collision with an accepted doc,
+      CONFIRMED by signature agreement >= threshold (matched_id = the
+      best corpus match by (est_jaccard desc, id), deterministic);
+    * ``dup_in_batch`` — among the corpus survivors, connected-
+      component resolution over the batch-internal LSH pairs keeps
+      the min-id doc per component (matched_id = the keeper; a pair
+      of near-dup NEW docs must admit exactly one);
+    * ``accept`` — everything else.
+
+    Scale shape: the batch side is micro-batch-sized; the store-bands
+    join is an equi-join on (band_idx, band_hash) — partition the
+    store by band key at scale and the store never shuffles, the
+    small batch streams through it.  Signature verification joins
+    only the CANDIDATE ids (semi-pruned), so store signatures are
+    touched for collisions only.  The CC loop runs over batch-
+    internal pairs (micro-batch-sized, executes eagerly at call
+    time).  Pass ``batch_sigs`` (precomputed + checkpointed) when the
+    caller also appends accepted signatures to the store, so the
+    signature pass runs once.
+    """
+    from pyspark.sql.window import Window
+
+    sig = (
+        batch_sigs
+        if batch_sigs is not None
+        else minhash_signatures(new_batch, text_col, id_col, num_perm, k)
+    ).localCheckpoint(eager=False)
+    bb = band_buckets(sig, num_perm=num_perm, bands=bands, id_col=id_col)
+
+    sb = store_bands.select(
+        "band_idx", "band_hash", F.col(id_col).alias("matched_id")
+    )
+    cand = (
+        bb.join(sb, ["band_idx", "band_hash"])
+        .select(F.col(id_col), "matched_id")
+        .distinct()
+    )
+    sa = sig.select(F.col(id_col), F.col("sig").alias("sig_a"))
+    ss = store_sigs.select(
+        F.col(id_col).alias("matched_id"), F.col("sig").alias("sig_b")
+    )
+    ver = (
+        cand.join(sa, id_col)
+        .join(ss, "matched_id")
+        .withColumn("est_jaccard", _sig_agreement(num_perm))
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+    best = F.row_number().over(
+        Window.partitionBy(id_col).orderBy(F.desc("est_jaccard"), "matched_id")
+    )
+    corpus_matches = (
+        ver.withColumn("__rn", best)
+        .filter(F.col("__rn") == 1)
+        .select(id_col, "matched_id", "est_jaccard")
+        .localCheckpoint(eager=False)
+    )
+
+    surv_sig = sig.join(corpus_matches.select(id_col), id_col, "left_anti")
+    surv_bb = band_buckets(surv_sig, num_perm=num_perm, bands=bands, id_col=id_col)
+    a, b = surv_bb.alias("a"), surv_bb.alias("b")
+    pair_cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    pa = surv_sig.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
+    pb = surv_sig.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
+    pairs = (
+        pair_cand.join(pa, "id_a").join(pb, "id_b")
+        .withColumn("est_jaccard", _sig_agreement(num_perm))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b")
+    )
+    comp = duplicate_clusters(pairs)
+    dup_batch = comp.filter(F.col("node") != F.col("cluster_id")).select(
+        F.col("node").alias(id_col), F.col("cluster_id").alias("matched_id")
+    )
+
+    all_ids = sig.select(id_col)
+    accepted = (
+        all_ids.join(corpus_matches.select(id_col), id_col, "left_anti")
+        .join(dup_batch.select(id_col), id_col, "left_anti")
+    )
+    return (
+        corpus_matches.select(
+            id_col,
+            F.lit("near_dup_of_corpus").alias("verdict"),
+            "matched_id",
+            "est_jaccard",
+        )
+        .unionByName(
+            dup_batch.select(
+                id_col,
+                F.lit("dup_in_batch").alias("verdict"),
+                "matched_id",
+                F.lit(None).cast("double").alias("est_jaccard"),
+            )
+        )
+        .unionByName(
+            accepted.select(
+                id_col,
+                F.lit("accept").alias("verdict"),
+                F.lit(None).cast("long").alias("matched_id"),
+                F.lit(None).cast("double").alias("est_jaccard"),
+            )
+        )
     )
 
 

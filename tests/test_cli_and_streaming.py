@@ -275,3 +275,65 @@ def test_admission_stream_dedups_across_drops(spark, tmp_path):
     assert got == {1, 2, 5}, got
     fps = [r.fingerprint for r in spark.read.parquet(store).collect()]
     assert len(set(fps)) == 3
+
+
+def test_near_dup_admission_stream_across_drops(spark, tmp_path):
+    """Streaming NEAR-dup admission: a later drop's lightly-edited
+    re-crawl of an accepted doc is rejected via the persistent LSH
+    band store (exact fingerprints would never match), batch-internal
+    near-dup pairs admit exactly one doc, and distinct docs flow
+    through — across separate query runs."""
+    import json
+
+    from greenbuttonengine_spark.streaming.admission import (
+        start_near_dup_admission_stream,
+    )
+
+    drop = tmp_path / "drop"; drop.mkdir()
+    accepted = str(tmp_path / "accepted")
+    band_store = str(tmp_path / "bands")
+    sig_store = str(tmp_path / "sigs")
+    cp = str(tmp_path / "cp")
+
+    base = ("the quick brown fox jumps over the lazy dog and then runs "
+            "far away into the deep green forest before the winter snow "
+            "arrives covering every branch and stone in silence")
+    other = ("completely different content about database engines and "
+             "distributed query processing with columnar storage formats "
+             "and vectorized execution pipelines for analytical workloads")
+
+    def doc(i, text):
+        return {"doc_id": i, "text": text, "lang": "en", "source": "s",
+                "n_chars": len(text)}
+
+    def shard(name, rows):
+        with open(drop / name, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    def run():
+        q = start_near_dup_admission_stream(
+            spark, str(drop), accepted, band_store, sig_store, cp,
+            threshold=0.6, available_now=True)
+        q.awaitTermination(180)
+        return {r.doc_id for r in spark.read.parquet(accepted).collect()}
+
+    # drop 1: doc 1 + its near-dup doc 2 (one word changed) -> keep 1;
+    # doc 3 distinct -> keep
+    shard("a.jsonl", [doc(1, base),
+                      doc(2, base.replace("winter", "summer")),
+                      doc(3, other)])
+    assert run() == {1, 3}
+
+    # drop 2 (new query run, same stores): doc 4 is a re-crawl of doc 1
+    # with another small edit -> near_dup_of_corpus, rejected even
+    # though its exact fingerprint differs; doc 5 fresh -> accepted
+    shard("b.jsonl", [doc(4, base.replace("silence", "stillness")),
+                      doc(5, "totally unrelated short text about gardening "
+                             "tomatoes and herbs in pots on a balcony")])
+    assert run() == {1, 3, 5}
+
+    # store state is linear in the ACCEPTED corpus: 3 docs x 8 bands
+    bands = spark.read.parquet(band_store)
+    assert bands.count() == 3 * 8
+    assert {r.doc_id for r in spark.read.parquet(sig_store).collect()} == {1, 3, 5}
