@@ -518,6 +518,35 @@ def agg_contribution_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_incremental_near",
+    None,  # xxhash64 MinHash signatures are engine-specific -> rows-only
+    tags=("dedup", "incremental", "approx"),
+    doc="NEAR-dup admission of a new batch against the already-"
+    "admitted corpus (docs with doc_id%5==4 arrive; the rest are the "
+    "accepted store, represented by its LSH band buckets + MinHash "
+    "signatures): band-collision candidates verified by signature "
+    "agreement >= 0.7, then connected-component keeper election among "
+    "the batch's own near-dup pairs — the batch form of the streaming "
+    "admission path (streaming/admission.py start_near_dup_admission_"
+    "stream), declared so the verdict surface is inventory-visible.  "
+    "Scale shape: store never shuffles when partitioned by band key; "
+    "signatures are touched for collisions only (semi-pruned); batch-"
+    "side work is micro-batch-sized.  Pytest pins verdict semantics "
+    "(edited re-crawl rejected, near-pair admits one, distinct flows).",
+)
+def dedup_incremental_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions import dedup
+
+    docs = load_table(spark, "documents", sf_dir)
+    batch = docs.filter(F.col("doc_id") % 5 == 4)
+    corpus = docs.filter(F.col("doc_id") % 5 != 4)
+    sigs = dedup.minhash_signatures(corpus)
+    return dedup.incremental_near_dedup(
+        batch, dedup.band_buckets(sigs), sigs, threshold=0.7
+    )
+
+
+@register(
     "ops_file_layout_report",
     None,  # rows-only: per-file lineage (input_file_name) has no DuckDB-view analog
     tags=("ops",),
