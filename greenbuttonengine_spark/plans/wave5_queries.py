@@ -87,7 +87,8 @@ def _word_trigram_shingles(docs: DataFrame, text_col: str = "text",
     doc="The counting step of BPE tokenizer training: frequency of "
     "every adjacent character pair within words, top-50 with a "
     "deterministic (n DESC, pair) total order — the head of this "
-    "table IS the next merge candidate.  One pair-count shuffle with "
+    "table IS the next merge candidate (Sennrich et al., ACL'16, \"Neural Machine Translation of Rare Words with Subword Units\").  "
+    "One pair-count shuffle with "
     "map-side combine, then TakeOrderedAndProject; the rank window "
     "runs over the 50-row top-k only (tiny-global-window), never the "
     "corpus.  Iterating merge rounds re-runs this count over the "
@@ -146,7 +147,8 @@ def bpe_pair_counts(docs: DataFrame, top_n: int = 50,
     WHERE CAST(n_shared AS DOUBLE) / CAST(sa.sz AS DOUBLE) >= 0.8
     """,
     tags=("dedup",),
-    doc="Asymmetric containment dedup: ordered pairs where >= 80% of "
+    doc="Asymmetric containment dedup (Broder, SEQUENCES'97, \"On the "
+    "resemblance and containment of documents\"): ordered pairs where >= 80% of "
     "doc A's informative shingles also occur in doc B — catches a doc "
     "swallowed by a larger aggregate (quote farms, concatenated "
     "shards), which symmetric Jaccard under-scores because the union "
@@ -378,7 +380,8 @@ def knn_classify(emb: DataFrame, k: int = 5) -> DataFrame:
     FROM top
     """,
     tags=("lm", "textstats", "tiny-bnlj", "tiny-global-window"),
-    doc="PMI collocation mining: adjacent unordered word pairs ranked "
+    doc="PMI collocation mining (Church & Hanks, CL 1990): adjacent "
+    "unordered word pairs ranked "
     "by association LIFT — pmi_ratio = P(w1,w2)/(P(w1)P(w2)) as the "
     "exact rational c12*N^2/(P*c1*c2), computed as one BIGINT product "
     "per side (exact below 2^53) and ONE correctly-rounded division, "
