@@ -837,6 +837,7 @@ def incremental_near_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     batch_sigs: DataFrame | None = None,
+    max_bucket: int = 10000,
 ) -> DataFrame:
     """NEAR-dup admission of a new batch against a persistent LSH
     store: the fuzzy counterpart of :func:`incremental_dedup`, for the
@@ -852,10 +853,12 @@ def incremental_near_dedup(
     * ``near_dup_of_corpus`` — a band collision with an accepted doc,
       CONFIRMED by signature agreement >= threshold (matched_id = the
       best corpus match by (est_jaccard desc, id), deterministic);
-    * ``dup_in_batch`` — among the corpus survivors, connected-
-      component resolution over the batch-internal LSH pairs keeps
-      the min-id doc per component (matched_id = the keeper; a pair
-      of near-dup NEW docs must admit exactly one);
+    * ``dup_in_batch`` — EXACT normalized copies of a smaller-id batch
+      doc collapse first (est_jaccard 1.0, matched_id = the exact
+      keeper); then, among the corpus survivors, connected-component
+      resolution over the batch-internal LSH pairs keeps the min-id
+      doc per component (matched_id = the keeper, est_jaccard NULL; a
+      pair of near-dup NEW docs must admit exactly one);
     * ``accept`` — everything else.
 
     Scale shape: the batch side is micro-batch-sized; the store-bands
@@ -868,15 +871,67 @@ def incremental_near_dedup(
     time).  Pass ``batch_sigs`` (precomputed + checkpointed) when the
     caller also appends accepted signatures to the store, so the
     signature pass runs once.
+
+    The EXACT pre-collapse is load-bearing, not cosmetic: identical
+    texts have identical signatures, so m copies of one doc put m ids
+    in every one of their band buckets — C(m, 2) LSH candidate pairs
+    per band for pairs that a one-shuffle fingerprint pass resolves
+    outright (measured 501s -> linear at a 100k-doc batch whose
+    replicated corpus carried identical short docs).  ``max_bucket``
+    then guards the residual case — distinct texts colliding into one
+    degenerate bucket — same cap semantics as
+    :func:`minhash_lsh_pairs`.
     """
     from pyspark.sql.window import Window
+
+    from .textstats import fingerprint_col
 
     sig = (
         batch_sigs
         if batch_sigs is not None
         else minhash_signatures(new_batch, text_col, id_col, num_perm, k)
     ).localCheckpoint(eager=False)
-    bb = band_buckets(sig, num_perm=num_perm, bands=bands, id_col=id_col)
+
+    fp = new_batch.select(
+        F.col(id_col), fingerprint_col(F.col(text_col)).alias("__fp")
+    )
+    fp = fp.withColumn(
+        "__rn", F.row_number().over(Window.partitionBy("__fp").orderBy(id_col))
+    )
+    exact_keepers = fp.filter(F.col("__rn") == 1)
+    exact_dups = (
+        fp.filter(F.col("__rn") > 1)
+        .join(
+            exact_keepers.select(
+                F.col("__fp"), F.col(id_col).alias("matched_id")
+            ),
+            "__fp",
+        )
+        .select(
+            F.col(id_col),
+            F.lit("dup_in_batch").alias("verdict"),
+            "matched_id",
+            F.lit(1.0).alias("est_jaccard"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    sig = sig.join(exact_keepers.select(id_col), id_col, "left_semi").localCheckpoint(
+        eager=False
+    )
+
+    def _cap_hot_buckets(buckets: DataFrame) -> DataFrame:
+        sizes = buckets.groupBy("band_idx", "band_hash").agg(
+            F.count("*").alias("bn")
+        )
+        return buckets.join(
+            sizes.filter(F.col("bn") <= max_bucket).select("band_idx", "band_hash"),
+            ["band_idx", "band_hash"],
+            "left_semi",
+        )
+
+    bb = _cap_hot_buckets(
+        band_buckets(sig, num_perm=num_perm, bands=bands, id_col=id_col)
+    )
 
     sb = store_bands.select(
         "band_idx", "band_hash", F.col(id_col).alias("matched_id")
@@ -907,7 +962,9 @@ def incremental_near_dedup(
     )
 
     surv_sig = sig.join(corpus_matches.select(id_col), id_col, "left_anti")
-    surv_bb = band_buckets(surv_sig, num_perm=num_perm, bands=bands, id_col=id_col)
+    surv_bb = _cap_hot_buckets(
+        band_buckets(surv_sig, num_perm=num_perm, bands=bands, id_col=id_col)
+    )
     a, b = surv_bb.alias("a"), surv_bb.alias("b")
     pair_cand = (
         a.join(
@@ -938,11 +995,14 @@ def incremental_near_dedup(
         .join(dup_batch.select(id_col), id_col, "left_anti")
     )
     return (
-        corpus_matches.select(
-            id_col,
-            F.lit("near_dup_of_corpus").alias("verdict"),
-            "matched_id",
-            "est_jaccard",
+        exact_dups
+        .unionByName(
+            corpus_matches.select(
+                id_col,
+                F.lit("near_dup_of_corpus").alias("verdict"),
+                "matched_id",
+                "est_jaccard",
+            )
         )
         .unionByName(
             dup_batch.select(
