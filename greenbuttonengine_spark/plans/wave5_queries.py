@@ -550,6 +550,28 @@ def dedup_incremental_near(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pipeline_learned_quality",
+    None,  # LBFGS coefficients are not cross-engine reproducible -> rows-only
+    tags=("textstats", "ml", "iterative"),
+    doc="Learned quality filtering (the fastText-classifier stand-in "
+    "of CCNet/GPT-3-style curation): weak labels from the Gopher rule "
+    "gate train a spark.ml logistic regression over scan-stage "
+    "features (length/token stats, alpha/punct ratios, bigram "
+    "repetition), then EVERY doc gets a calibrated quality "
+    "probability — the signal temperature sampling and threshold "
+    "sweeps consume.  Feature extraction and scoring are one "
+    "JVM-side projection each (broadcast coefficients, no Python); "
+    "the LBFGS fit runs at plan-construction time over the weakly-"
+    "labeled set, which at 100 TB is a corpus-tiny sample.  Pytest "
+    "pins held-out separation on planted good/spam corpora.",
+)
+def pipeline_learned_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.quality_model import weakly_supervised_quality
+
+    return weakly_supervised_quality(load_table(spark, "documents", sf_dir))
+
+
+@register(
     "ops_file_layout_report",
     None,  # rows-only: per-file lineage (input_file_name) has no DuckDB-view analog
     tags=("ops",),

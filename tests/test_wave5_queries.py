@@ -223,3 +223,27 @@ def test_pmi_collocations_planted(spark):
         ("cat the", 5, 6.0, 2),
         ("dog the", 5, 6.0, 3),
     ]
+
+
+def test_wave5_queries_tolerate_empty_and_degenerate_docs(spark):
+    """ANSI-mode hardening: empty corpus and degenerate docs (empty
+    string, 1-2 word docs with no trigram) must yield empty/clean
+    results, never DIVIDE_BY_ZERO / descending-sequence errors."""
+    from pyspark.sql import Row
+
+    from greenbuttonengine_spark.plans.wave5_queries import (
+        bpe_pair_counts, doc_containment, ngram_novelty, pmi_collocations)
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    for fn in (bpe_pair_counts, doc_containment, ngram_novelty,
+               pmi_collocations):
+        assert fn(empty).count() == 0, fn.__name__
+
+    degen = spark.createDataFrame(
+        [Row(doc_id=1, text=""), Row(doc_id=2, text="one"),
+         Row(doc_id=3, text="two words")]
+    )
+    assert bpe_pair_counts(degen).count() >= 1      # "one"->on,ne ...
+    assert doc_containment(degen).count() == 0      # no trigrams at all
+    assert ngram_novelty(degen).count() == 0
+    assert pmi_collocations(degen).count() == 0     # min_count 5 unmet
