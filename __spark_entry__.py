@@ -122,6 +122,7 @@ _DEFER_NEW = frozenset(
         "embedding_knn_classify",
         "agg_contribution_bounded",
         "lm_pmi_collocations",
+        "ops_zorder_key",
     }
 )
 

@@ -549,6 +549,69 @@ def dedup_incremental_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _zorder_oracle_sql(bits: int = 21) -> str:
+    """DuckDB mirror of extensions.layout.morton_code: identical
+    shift/mask/OR interleave, generated term-for-term."""
+    cap = (1 << bits) - 1
+
+    def spread(expr: str, stride: int, off: int) -> str:
+        return "(" + " | ".join(
+            f"((({expr} >> {j}) & 1) << {j * stride + off})" for j in range(bits)
+        ) + ")"
+
+    return f"""
+    WITH e AS (
+        SELECT event_id,
+               least(greatest(user_id, 0), {cap}) AS user_clamped,
+               least(greatest(CAST(round(value * 100) AS BIGINT), 0) // 100,
+                     {cap}) AS value_bucket
+        FROM events
+    )
+    SELECT event_id, user_clamped, value_bucket,
+           ({spread('user_clamped', 2, 0)}
+            | {spread('value_bucket', 2, 1)}) AS zorder_key
+    FROM e
+    """
+
+
+@register(
+    "ops_zorder_key",
+    _zorder_oracle_sql(),
+    tags=("ops", "layout"),
+    doc="Z-order (Morton) layout key over (user_id, value bucket) — "
+    "the multi-dimensional data-skipping key behind Delta OPTIMIZE "
+    "ZORDER: repartitionByRange + sortWithinPartitions on this key "
+    "gives every output file a compact bounding BOX in both columns, "
+    "so parquet min/max statistics prune filters on EITHER column, "
+    "not just the leading sort key.  Pure shift/mask/OR Catalyst "
+    "expressions (whole-stage codegen, no UDF), bit-identical to the "
+    "DuckDB oracle's generated interleave; outliers clamp to the "
+    "curve edge.  Scan-stage only — the one range shuffle happens at "
+    "WRITE time, not here.",
+)
+def ops_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.layout import morton_code
+
+    cap = (1 << 21) - 1
+    ev = load_table(spark, "events", sf_dir)
+    user_clamped = F.least(F.greatest(F.col("user_id"), F.lit(0)), F.lit(cap))
+    value_bucket = F.least(
+        F.expr("greatest(cast(round(value * 100) as bigint), 0) div 100"),
+        F.lit(cap),
+    )
+    return (
+        ev.select(
+            "event_id",
+            user_clamped.alias("user_clamped"),
+            value_bucket.alias("value_bucket"),
+        )
+        .withColumn(
+            "zorder_key",
+            morton_code([F.col("user_clamped"), F.col("value_bucket")], bits=21),
+        )
+    )
+
+
 @register(
     "pipeline_learned_quality",
     None,  # LBFGS coefficients are not cross-engine reproducible -> rows-only
