@@ -408,3 +408,56 @@ def test_watermark_drops_late_events(spark, tmp_path):
     delta = second - first
     assert all(h != 10 for h, _ in delta), dict(delta)
     assert delta[(12, 1)] == 1, dict(delta)
+
+
+def test_progress_recorder_captures_stream_metrics(spark, tmp_path):
+    """The listener-bus recorder must capture per-batch metrics
+    (rows in, duration, state size for the windowed aggregate) and
+    the health rollup must reconcile with what the stream ingested."""
+    import time
+
+    from pyspark.sql import Row
+
+    from greenbuttonengine_spark.streaming.monitor import (
+        attach_progress_recorder, stream_health_report)
+    from greenbuttonengine_spark.streaming.stateful import windowed_event_counts
+
+    import datetime
+    base = datetime.datetime(2026, 4, 1, 9, 0)
+    data = tmp_path / "mon_stream"
+    spark.createDataFrame(
+        [Row(event_id=i, ts=base + datetime.timedelta(minutes=i), user_id=1,
+             event_type="view", value=1.0, props="{}") for i in range(10)]
+    ).write.parquet(str(data))
+
+    rec = attach_progress_recorder(spark)
+    try:
+        schema = spark.read.parquet(str(data)).schema
+        stream = spark.readStream.schema(schema).parquet(str(data))
+        q = (windowed_event_counts(stream, window="60 minutes",
+                                   watermark="1 minute")
+             .writeStream.outputMode("append").format("memory")
+             .queryName("mon_counts")
+             .option("checkpointLocation", str(tmp_path / "mon_ckpt"))
+             .start())
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        # listener events arrive async on the bus thread
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            if sum(r["num_input_rows"] for r in rec.snapshot()) >= 10:
+                break
+            time.sleep(0.5)
+        rows = rec.snapshot()
+        assert sum(r["num_input_rows"] for r in rows) == 10, rows
+        assert any(r["state_rows_total"] > 0 for r in rows), rows
+        health = {r.query_id: r for r in
+                  stream_health_report(rec.to_df(spark)).collect()}
+        assert len(health) == 1
+        h = next(iter(health.values()))
+        assert h.total_rows == 10 and h.n_batches >= 1
+        assert h.peak_state_rows > 0 and h.max_batch_ms >= 0
+    finally:
+        spark.streams.removeListener(rec)
