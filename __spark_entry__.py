@@ -123,6 +123,7 @@ _DEFER_NEW = frozenset(
         "agg_contribution_bounded",
         "lm_pmi_collocations",
         "ops_zorder_key",
+        "dedup_repeated_substrings",
     }
 )
 

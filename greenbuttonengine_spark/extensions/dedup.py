@@ -1023,6 +1023,67 @@ def incremental_near_dedup(
     )
 
 
+def repeated_substring_spans(
+    docs: DataFrame,
+    k: int = 40,
+    min_windows: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ExactSubstr-style cross-document verbatim-repeat detection (Lee
+    et al., ACL'22, "Deduplicating Training Data Makes Language Models
+    Better"): per doc, the maximal character spans whose EVERY k-char
+    window also occurs in at least one OTHER document — the verbatim
+    repeats that inflate memorization, reported positionally so the
+    cut/keep policy can act on spans instead of whole docs.
+
+    The published technique builds a corpus suffix array; the Spark
+    re-expression anchors on k-char windows at every position (one
+    scan-stage posexplode), finds windows whose document frequency is
+    >= 2 DISTINCT docs (one window-keyed shuffle with map-side
+    combine), and merges consecutive flagged positions per doc with
+    the gaps-and-islands trick (window partitioned BY DOC, carrying
+    two longs per hit, never text).  A repeat of length L >= k yields
+    L - k + 1 consecutive flagged windows, so ``span_chars`` =
+    windows + k - 1 recovers the repeat length exactly;
+    ``min_windows`` is the noise floor (chance k-char collisions are
+    isolated, verbatim quotation is a run — the same reasoning as
+    decontam.contamination_spans).  Within-doc self-repeats do NOT
+    flag (distinct-doc frequency), keeping the output a CROSS-doc
+    dedup signal.  Windows join on the raw substring, not a hash, so
+    the DuckDB oracle is exact.
+    """
+    from pyspark.sql.window import Window
+
+    d = docs.filter(F.length(text_col) >= k)
+    win = F.expr(
+        f"transform(sequence(1, length({text_col}) - {k - 1}),"
+        f" i -> substring({text_col}, i, {k}))"
+    )
+    w = d.select(F.col(id_col), F.posexplode(win).alias("__p0", "__w")).select(
+        F.col(id_col), (F.col("__p0") + 1).alias("__pos"), F.col("__w")
+    )
+    cross = (
+        w.groupBy("__w")
+        .agg(F.countDistinct(id_col).alias("__nd"))
+        .filter(F.col("__nd") >= 2)
+        .select("__w")
+    )
+    hits = w.join(cross, "__w").select(id_col, "__pos")
+    rn = F.row_number().over(Window.partitionBy(id_col).orderBy("__pos"))
+    runs = hits.withColumn("__grp", F.col("__pos") - rn)
+    return (
+        runs.groupBy(id_col, "__grp")
+        .agg(
+            F.min("__pos").cast("long").alias("span_start"),
+            F.count("*").cast("long").alias("span_windows"),
+            (F.count("*") + (k - 1)).cast("long").alias("span_chars"),
+        )
+        .filter(F.col("span_windows") >= min_windows)
+        .select(id_col, "span_start", "span_windows", "span_chars")
+    )
+
+
 def semantic_dedup_pairs(
     emb: DataFrame,
     threshold: float = 0.9,

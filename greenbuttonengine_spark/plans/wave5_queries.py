@@ -613,6 +613,51 @@ def ops_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_repeated_substrings",
+    r"""
+    WITH d AS (
+        SELECT doc_id, text FROM documents WHERE length(text) >= 40
+    ), w AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS pos,
+               substring(text, CAST(i AS INTEGER), 40) AS w
+        FROM d, UNNEST(range(1, CAST(length(text) AS INTEGER) - 38)) AS t(i)
+    ), cross_w AS (
+        SELECT w FROM w GROUP BY w HAVING COUNT(DISTINCT doc_id) >= 2
+    ), hits AS (
+        SELECT w.doc_id, w.pos FROM w JOIN cross_w USING (w)
+    ), runs AS (
+        SELECT doc_id, pos,
+               pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
+                   AS grp
+        FROM hits
+    )
+    SELECT doc_id,
+           CAST(MIN(pos) AS BIGINT) AS span_start,
+           CAST(COUNT(*) AS BIGINT) AS span_windows,
+           CAST(COUNT(*) + 39 AS BIGINT) AS span_chars
+    FROM runs GROUP BY doc_id, grp
+    HAVING COUNT(*) >= 5
+    """,
+    tags=("dedup", "compliance"),
+    doc="ExactSubstr-style cross-doc verbatim-repeat spans (Lee et "
+    "al., ACL'22): maximal character spans whose every 40-char window "
+    "occurs in >= 2 distinct docs, merged per doc via gaps-and-"
+    "islands (window partitioned BY DOC), min 5 consecutive windows "
+    "as the chance-collision floor.  The memorization-risk report "
+    "that span-level cut policies consume.  One window-keyed shuffle "
+    "+ one per-doc window; joins on raw substrings so the oracle is "
+    "exact.  See extensions/dedup.py repeated_substring_spans for "
+    "the suffix-array correspondence.",
+)
+def dedup_repeated_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions import dedup
+
+    return dedup.repeated_substring_spans(
+        load_table(spark, "documents", sf_dir), k=40, min_windows=5
+    )
+
+
+@register(
     "pipeline_learned_quality",
     None,  # LBFGS coefficients are not cross-engine reproducible -> rows-only
     tags=("textstats", "ml", "iterative"),

@@ -247,3 +247,27 @@ def test_wave5_queries_tolerate_empty_and_degenerate_docs(spark):
     assert doc_containment(degen).count() == 0      # no trigrams at all
     assert ngram_novelty(degen).count() == 0
     assert pmi_collocations(degen).count() == 0     # min_count 5 unmet
+
+
+def test_repeated_substring_spans_planted(spark):
+    """Two docs share a 60-char verbatim passage at different offsets:
+    both must report exactly one span at the right position with
+    span_chars == 60.  A within-doc self-repeat must NOT flag (the
+    signal is cross-doc), nor must an unrelated doc."""
+    from pyspark.sql import Row
+
+    from greenbuttonengine_spark.extensions.dedup import repeated_substring_spans
+
+    shared = ("the quick brown fox jumps over the lazy dog and then "
+              "sits up")                      # exactly 60 chars
+    assert len(shared) == 60
+    inner = "".join(chr(ord("a") + (i * 7) % 26) for i in range(50))
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text="x" * 10 + shared + "y" * 20),   # span at 11
+        Row(doc_id=2, text="z" * 5 + shared + "w" * 30),    # span at 6
+        Row(doc_id=3, text=inner + inner),                   # self-repeat only
+        Row(doc_id=4, text="totally different content here " * 4),
+    ])
+    got = {(r.doc_id): (r.span_start, r.span_windows, r.span_chars)
+           for r in repeated_substring_spans(docs, k=40, min_windows=5).collect()}
+    assert got == {1: (11, 21, 60), 2: (6, 21, 60)}, got
