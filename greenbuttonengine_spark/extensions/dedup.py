@@ -1029,6 +1029,7 @@ def repeated_substring_spans(
     min_windows: int = 5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hashed: bool = False,
 ) -> DataFrame:
     """ExactSubstr-style cross-document verbatim-repeat detection (Lee
     et al., ACL'22, "Deduplicating Training Data Makes Language Models
@@ -1050,8 +1051,15 @@ def repeated_substring_spans(
     isolated, verbatim quotation is a run — the same reasoning as
     decontam.contamination_spans).  Within-doc self-repeats do NOT
     flag (distinct-doc frequency), keeping the output a CROSS-doc
-    dedup signal.  Windows join on the raw substring, not a hash, so
-    the DuckDB oracle is exact.
+    dedup signal.
+
+    ``hashed=False`` (default, the declared oracle query) joins on the
+    raw substring — DuckDB-exact.  ``hashed=True`` is the 100 TB path:
+    xxhash64 the window first, shrinking the window-keyed shuffle from
+    ~k bytes to 8 per row (measured 100x worst-case: 90s -> see
+    SCALING.md); a false flag needs two distinct windows colliding in
+    64 bits AND min_windows-1 consecutive neighbors doing the same —
+    vanishing.
     """
     from pyspark.sql.window import Window
 
@@ -1061,7 +1069,9 @@ def repeated_substring_spans(
         f" i -> substring({text_col}, i, {k}))"
     )
     w = d.select(F.col(id_col), F.posexplode(win).alias("__p0", "__w")).select(
-        F.col(id_col), (F.col("__p0") + 1).alias("__pos"), F.col("__w")
+        F.col(id_col),
+        (F.col("__p0") + 1).alias("__pos"),
+        (F.xxhash64("__w") if hashed else F.col("__w")).alias("__w"),
     )
     cross = (
         w.groupBy("__w")

@@ -271,3 +271,25 @@ def test_repeated_substring_spans_planted(spark):
     got = {(r.doc_id): (r.span_start, r.span_windows, r.span_chars)
            for r in repeated_substring_spans(docs, k=40, min_windows=5).collect()}
     assert got == {1: (11, 21, 60), 2: (6, 21, 60)}, got
+
+
+def test_repeated_substring_spans_hashed_path_identical(spark):
+    """The 100 TB hashed-window path must produce exactly the spans
+    the raw-substring (oracle) path does."""
+    from pyspark.sql import Row
+
+    from greenbuttonengine_spark.extensions.dedup import repeated_substring_spans
+
+    shared = ("the quick brown fox jumps over the lazy dog and then "
+              "sits up")
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text="x" * 10 + shared + "y" * 20),
+        Row(doc_id=2, text="z" * 5 + shared + "w" * 30),
+        Row(doc_id=3, text="totally different content here " * 4),
+    ])
+    raw = {tuple(r) for r in
+           repeated_substring_spans(docs, k=40, min_windows=5).collect()}
+    hashed = {tuple(r) for r in
+              repeated_substring_spans(docs, k=40, min_windows=5,
+                                       hashed=True).collect()}
+    assert raw == hashed and raw
