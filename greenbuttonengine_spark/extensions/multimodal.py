@@ -112,24 +112,141 @@ def decode_bmp(blob: bytes) -> np.ndarray:
     return rows[:, :, ::-1].copy()  # BGR -> RGB
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, payload: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(payload))
+        + tag
+        + payload
+        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(rgb: np.ndarray) -> bytes:
+    """Encode an (H, W, 3) uint8 RGB array as a truecolor 8-bit PNG —
+    stdlib zlib + numpy only, no codec library.  Scanlines use filter
+    type 0 (None); zlib's DEFLATE still compresses the synthetic /
+    natural-image byte stream well, and every conforming reader
+    accepts it."""
+    import struct
+    import zlib
+
+    h, w, _ = rgb.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = np.zeros((h, 1 + w * 3), dtype=np.uint8)
+    raw[:, 1:] = rgb.reshape(h, w * 3)  # filter byte 0 per scanline
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw.tobytes(), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(blob: bytes) -> np.ndarray:
+    """Decode an 8-bit non-interlaced PNG (grayscale / RGB / RGBA,
+    alpha dropped) to an (H, W, 3) uint8 RGB array — stdlib zlib +
+    numpy.  All five scanline filters are unfiltered (Sub via per-lane
+    cumsum mod 256; Average/Paeth sequentially per the spec).
+    Unsupported variants (16-bit, palette, interlaced) raise
+    ValueError so callers fall through to a real codec library."""
+    import struct
+    import zlib
+
+    if blob[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, ihdr, idat = 8, None, b""
+    while pos + 8 <= len(blob):
+        (length,) = struct.unpack(">I", blob[pos : pos + 4])
+        tag = blob[pos + 4 : pos + 8]
+        payload = blob[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", payload)
+        elif tag == b"IDAT":
+            idat += payload
+        elif tag == b"IEND":
+            break
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color, _comp, _filt, interlace = ihdr
+    channels = {0: 1, 2: 3, 6: 4}.get(color)
+    if depth != 8 or channels is None or interlace != 0:
+        raise ValueError(f"unsupported PNG variant (depth={depth}, "
+                         f"color={color}, interlace={interlace})")
+    bpp = channels
+    stride = w * channels
+    raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8)
+    if raw.size != h * (1 + stride):
+        raise ValueError("PNG payload size mismatch")
+    raw = raw.reshape(h, 1 + stride)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        ftype, line = int(raw[y, 0]), raw[y, 1:].copy()
+        if ftype == 0:
+            rec = line
+        elif ftype == 1:  # Sub: per-lane cumulative sum mod 256
+            rec = line.reshape(-1, bpp).cumsum(axis=0, dtype=np.int64) % 256
+            rec = rec.astype(np.uint8).reshape(stride)
+        elif ftype == 2:  # Up
+            rec = line + prev
+        elif ftype == 3:  # Average (sequential: depends on left neighbor)
+            rec = line
+            p = prev.astype(np.int64)
+            for i in range(stride):
+                left = int(rec[i - bpp]) if i >= bpp else 0
+                rec[i] = (int(line[i]) + ((left + int(p[i])) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            rec = line
+            p = prev.astype(np.int64)
+            for i in range(stride):
+                a = int(rec[i - bpp]) if i >= bpp else 0
+                b = int(p[i])
+                c = int(p[i - bpp]) if i >= bpp else 0
+                pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rec[i] = (int(line[i]) + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter {ftype}")
+        out[y] = rec
+        prev = out[y]
+    px = out.reshape(h, w, channels)
+    if channels == 1:
+        return np.repeat(px, 3, axis=2).copy()
+    return px[:, :, :3].copy()
+
+
 def decode_image(blob: bytes) -> np.ndarray:
     """Decode an image blob to an (H, W, 3) uint8 RGB array.
 
-    Uncompressed 24-bit BMP decodes natively (pure numpy, always
-    available); BMP variants the native path rejects (palette, RLE,
-    32-bit) fall THROUGH to Pillow when present — the dispatch keeps
-    one call site whatever the cluster image provides."""
+    Uncompressed 24-bit BMP and 8-bit non-interlaced PNG decode
+    natively (pure numpy + stdlib zlib, always available); variants
+    the native paths reject (palette BMP, 16-bit/interlaced PNG) fall
+    THROUGH to Pillow when present — the dispatch keeps one call site
+    whatever the cluster image provides."""
     if blob[:2] == b"BM":
         try:
             return decode_bmp(blob)
         except ValueError:
             if not _HAS_PIL:
                 raise  # corrupt or unsupported-variant BMP, no codec
+    if blob[:8] == _PNG_SIG:
+        try:
+            return decode_png(blob)
+        except ValueError:
+            if not _HAS_PIL:
+                raise  # unsupported PNG variant, no codec
     if not _HAS_PIL:
         raise NotImplementedError(
-            "Only BMP decodes without a codec library; install `pillow` "
-            "on the cluster image for JPEG/PNG/..., or use "
-            "extract_features(..., allow_fake=True) for the "
+            "Only BMP and 8-bit PNG decode without a codec library; "
+            "install `pillow` on the cluster image for JPEG/..., or "
+            "use extract_features(..., allow_fake=True) for the "
             "deterministic stand-in path."
         )
     import io
@@ -249,8 +366,9 @@ def resize_images(
 ) -> DataFrame:
     """Resize each image blob to (width, height) via mapInPandas.
 
-    Real path: BMP blobs decode natively (pure numpy, see decode_bmp),
-    nearest-neighbor resample per axis, re-encode BMP — genuinely
+    Real path: BMP and 8-bit PNG blobs decode natively (pure numpy +
+    stdlib zlib, see decode_bmp / decode_png), nearest-neighbor
+    resample per axis, re-encode in the same format — genuinely
     decoded pixels, no codec library needed.  Other formats need
     Pillow (absent here); with ``allow_fake=True`` they fall back to
     deterministic byte resampling — same Arrow batch shape, same
@@ -273,29 +391,37 @@ def resize_images(
                 # variants the numpy path rejects.  Decode failures
                 # fall THROUGH to the fake/PIL path instead of
                 # aborting the whole job inside mapInPandas.
+                rgb, kind, encoder = None, None, None
                 if blob[:2] == b"BM":
                     try:
                         rgb = decode_bmp(bytes(blob))
+                        kind, encoder = "image/bmp", encode_bmp
                     except ValueError:
                         rgb = None
-                    if rgb is not None:
-                        yi = (np.arange(height) * rgb.shape[0] // height).clip(
-                            0, rgb.shape[0] - 1
-                        )
-                        xi = (np.arange(width) * rgb.shape[1] // width).clip(
-                            0, rgb.shape[1] - 1
-                        )
-                        out_bmp = encode_bmp(rgb[yi][:, xi])
-                        blobs.append(out_bmp)
-                        metas.append(
-                            {
-                                "kind": "image/bmp",
-                                "width": width,
-                                "height": height,
-                                "n_bytes": len(out_bmp),
-                            }
-                        )
-                        continue
+                elif bytes(blob[:8]) == _PNG_SIG:
+                    try:
+                        rgb = decode_png(bytes(blob))
+                        kind, encoder = "image/png", encode_png
+                    except ValueError:
+                        rgb = None
+                if rgb is not None:
+                    yi = (np.arange(height) * rgb.shape[0] // height).clip(
+                        0, rgb.shape[0] - 1
+                    )
+                    xi = (np.arange(width) * rgb.shape[1] // width).clip(
+                        0, rgb.shape[1] - 1
+                    )
+                    out_blob = encoder(rgb[yi][:, xi])
+                    blobs.append(out_blob)
+                    metas.append(
+                        {
+                            "kind": kind,
+                            "width": width,
+                            "height": height,
+                            "n_bytes": len(out_blob),
+                        }
+                    )
+                    continue
                 if not allow_fake and not _HAS_PIL:
                     raise NotImplementedError(
                         "Non-BMP resize requires Pillow; install `pillow` "
