@@ -862,9 +862,11 @@ def incremental_near_dedup(
     * ``accept`` — everything else.
 
     Scale shape: the batch side is micro-batch-sized; the store-bands
-    join is an equi-join on (band_idx, band_hash) — partition the
-    store by band key at scale and the store never shuffles, the
-    small batch streams through it.  Signature verification joins
+    join is an equi-join on (band_idx, band_hash) — bucket the store
+    by exactly (band_idx, band_hash) at scale (the FULL join key:
+    bucketing a key subset makes the planner disable the bucketed
+    scan) and the store never shuffles; the small batch streams
+    through it (plan-asserted in test_bucketing.py).  Signature verification joins
     only the CANDIDATE ids (semi-pruned), so store signatures are
     touched for collisions only.  The CC loop runs over batch-
     internal pairs (micro-batch-sized, executes eagerly at call

@@ -123,8 +123,9 @@ def start_near_dup_admission_stream(
     State is TWO parquet tables keyed by the accepted corpus:
 
     * ``band_store_dir`` — (band_idx, band_hash, doc_id) LSH buckets;
-      at scale, partition by band key so the store never shuffles and
-      each micro-batch's probe co-locates.
+      at scale, bucket by exactly (band_idx, band_hash) — the full
+      join key — so the store never shuffles and each micro-batch's
+      probe co-locates (plan-asserted in test_bucketing.py).
     * ``sig_store_dir`` — (doc_id, sig) MinHash signatures, touched
       only for band-collision candidates (semi-pruned join).
 
