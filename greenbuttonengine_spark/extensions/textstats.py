@@ -539,3 +539,57 @@ def doc_bigram_surprisal(
             "mean_surprisal_bits"
         ),
     )
+
+
+def compression_ratio(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    level: int = 6,
+) -> DataFrame:
+    """zlib-compressibility per document: compressed_bytes /
+    raw_bytes — the entropy-proxy quality signal curation pipelines
+    use alongside rule gates (machine-generated/repetitive text
+    compresses far below natural prose; random noise barely
+    compresses).  Complements `repetition_stats`, which only sees
+    word-level bigram repeats: DEFLATE catches byte-level templating,
+    long-range copies within the doc, and character-level loops.
+
+    This is deliberately an Arrow-batched ``mapInPandas`` stage (the
+    engine's Python-stage discipline: batch-columnar, never per-row
+    Python UDF) because no SQL engine exposes DEFLATE as a scalar —
+    hence a rows-only declared query.  Scale: scan-stage, no shuffle;
+    cost is the compressor itself (~100 MB/s/core), so at 100 TB run
+    it ON the quality-sampling slice, not the raw crawl, or accept
+    ~1 core-hour per 360 GB.
+    """
+    import zlib
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    out_schema = (
+        f"{id_col} long, n_bytes long, n_compressed long, "
+        "compression_ratio double"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            raw = [t.encode("utf-8") if isinstance(t, str) else b""
+                   for t in pdf[text_col]]
+            nb = [len(b) for b in raw]
+            nc = [len(zlib.compress(b, level)) for b in raw]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_bytes": pd.Series(nb, dtype="int64"),
+                    "n_compressed": pd.Series(nc, dtype="int64"),
+                    # pandas NaN crosses Arrow as SQL NULL - the right
+                    # semantics for "no bytes to measure"
+                    "compression_ratio": [
+                        (c / b) if b else float("nan") for b, c in zip(nb, nc)
+                    ],
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(batches, out_schema)

@@ -680,6 +680,23 @@ def pipeline_learned_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_compression_ratio",
+    None,  # DEFLATE is not a SQL scalar in any oracle engine -> rows-only
+    tags=("textstats", "arrow"),
+    doc="zlib-compressibility quality signal per doc (compressed/raw "
+    "bytes): the entropy proxy that catches byte-level templating and "
+    "character loops that word-bigram repetition metrics miss.  "
+    "Arrow-batched mapInPandas (the engine's Python-stage "
+    "discipline), scan-stage, no shuffle; pytest pins repetitive << "
+    "natural << random ordering and the empty-doc NULL guard.",
+)
+def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.textstats import compression_ratio
+
+    return compression_ratio(load_table(spark, "documents", sf_dir))
+
+
+@register(
     "ops_file_layout_report",
     None,  # rows-only: per-file lineage (input_file_name) has no DuckDB-view analog
     tags=("ops",),

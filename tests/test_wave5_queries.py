@@ -293,3 +293,34 @@ def test_repeated_substring_spans_hashed_path_identical(spark):
               repeated_substring_spans(docs, k=40, min_windows=5,
                                        hashed=True).collect()}
     assert raw == hashed and raw
+
+
+def test_compression_ratio_orders_text_classes(spark):
+    """Repetitive text must compress far below natural prose, and
+    random bytes must barely compress; empty docs yield NULL (pandas
+    NaN crosses Arrow as null) without aborting the stage."""
+    import random
+    import string
+
+    from pyspark.sql import Row
+
+    from greenbuttonengine_spark.extensions.textstats import compression_ratio
+
+    rng = random.Random(4)
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text="spam ham " * 200),
+        Row(doc_id=2, text=("the quick brown fox jumps over the lazy dog "
+                            "while autumn rain settles on the quiet roofs "
+                            "of the sleeping town and distant hills ") * 10),
+        Row(doc_id=3, text="".join(rng.choice(string.printable)
+                                   for _ in range(1600))),
+        Row(doc_id=4, text=""),
+    ])
+    got = {r.doc_id: r for r in compression_ratio(docs).collect()}
+    assert got[1].compression_ratio < got[2].compression_ratio < got[3].compression_ratio
+    assert got[1].compression_ratio < 0.05
+    assert got[3].compression_ratio > 0.5
+    assert got[4].compression_ratio is None and got[4].n_bytes == 0
+    for r in got.values():
+        if r.n_bytes:
+            assert r.n_compressed > 0
