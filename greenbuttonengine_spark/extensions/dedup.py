@@ -18,6 +18,17 @@ Cluster resolution (pairs are not transitively closed):
                              propagation) -> (node, cluster_id)
   dedup_keepers              one representative (min id) per component
 
+Admission & span detection (round 5):
+
+  incremental_dedup          exact batch-vs-store admission verdicts
+  incremental_near_dedup     LSH batch-vs-band-store NEAR-dup admission
+                             (exact pre-collapse + bucket cap)
+  band_buckets               shared LSH banding (in-corpus joins AND
+                             the persistent band store use one hash
+                             family by construction)
+  repeated_substring_spans   ExactSubstr-style cross-doc verbatim
+                             repeat spans (Lee et al., ACL'22)
+
 All shingle/signature math is native Catalyst higher-order functions
 (transform/aggregate/zip_with + xxhash64) — no Python in the hot path.
 Skew note: a degenerate band bucket (many docs sharing a band hash)

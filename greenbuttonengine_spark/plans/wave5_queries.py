@@ -1,8 +1,5 @@
-"""Round-5 wave-5 additions: tokenizer-training pair counts, asymmetric
-containment dedup, corpus novelty scoring, and an operational
-file-layout report.
-
-These extend the LLM-training-data surface beyond similarity dedup:
+"""Round-5 wave-5/6 additions — the declared-query surface grown this
+round beyond similarity dedup:
 
 * ``lm_bpe_pair_counts`` — the counting step of BPE tokenizer training
   (most frequent adjacent symbol pair = next merge candidate).
@@ -12,6 +9,20 @@ These extend the LLM-training-data surface beyond similarity dedup:
 * ``corpus_ngram_novelty`` — per-doc fraction of shingles first seen
   in that doc (by doc_id order): the marginal-contribution signal used
   to prune low-novelty documents during curation.
+* ``embedding_knn_classify`` — leave-one-out kNN label-vote accuracy,
+  the embedding label-consistency probe.
+* ``agg_contribution_bounded`` — per-user contribution capping before
+  corpus statistics (robustness hygiene).
+* ``lm_pmi_collocations`` — exact-ratio PMI phrase mining (no fp logs).
+* ``ops_zorder_key`` — Morton keys for multi-dim data skipping.
+* ``dedup_repeated_substrings`` — ExactSubstr-style cross-doc verbatim
+  repeat spans (Lee et al., ACL'22).
+* ``dedup_incremental_near`` — batch near-dup admission vs a
+  persistent LSH band store (rows-only: xxhash64 signatures).
+* ``pipeline_learned_quality`` — spark.ml quality filter on Gopher
+  weak labels (rows-only: LBFGS coefficients).
+* ``text_compression_ratio`` — zlib entropy-proxy quality signal
+  (rows-only: no SQL DEFLATE scalar).
 * ``ops_file_layout_report`` — the small-files / key-range health
   check run before compaction on a 100 TB lake (rows-only: DuckDB has
   no analog of Spark's per-file lineage).
@@ -694,6 +705,76 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..extensions.textstats import compression_ratio
 
     return compression_ratio(load_table(spark, "documents", sf_dir))
+
+
+def hash_embed(text_col, dim: int = 16):
+    """Deterministic hash 'encoder': dim doubles in [0, 1) derived
+    from xxhash64(text, j) — pure Catalyst, the honest stand-in where
+    a real model-inference stage would slot in (identical text ->
+    identical vector, which is exactly what the retrieval plumbing
+    needs to be testable end-to-end without a model)."""
+    return F.array(
+        *[
+            (F.pmod(F.xxhash64(text_col, F.lit(j)), F.lit(100000)).cast("double")
+             / F.lit(100000.0))
+            for j in range(dim)
+        ]
+    )
+
+
+@register(
+    "pipeline_rag_index",
+    None,  # IVF cell assignment (MLlib k-means) is engine-specific -> rows-only
+    tags=("similarity", "pipeline", "iterative"),
+    doc="End-to-end retrieval-index build: chunk documents (size 200 "
+    "/ stride 150), encode each chunk (deterministic hash encoder — "
+    "the slot a model-inference stage fills in production), build an "
+    "IVF index (sampled k-means cells), run held-out chunk queries "
+    "through the n_probe cell scan, and join provenance back "
+    "(doc_id, chunk_id per hit) — the full RAG-corpus prep pipeline "
+    "as one declared composition.  Every stage is the already-"
+    "verified operator (chunk_documents / ivf_topk); at scale the "
+    "corpus is written partitioned by cell and a query touches "
+    "n_probe/n_centroids of the data.  Pytest pins verbatim-text "
+    "retrieval at rank 1 with exact provenance.",
+)
+def pipeline_rag_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return rag_index_and_query(docs)
+
+
+def rag_index_and_query(
+    docs: DataFrame,
+    n_queries: int = 8,
+    k: int = 5,
+    n_centroids: int = 8,
+    n_probe: int = 3,
+) -> DataFrame:
+    from ..extensions.similarity import ivf_topk
+    from ..extensions.textstats import chunk_documents
+
+    chunks = chunk_documents(docs).withColumn(
+        "vec_id", F.col("doc_id") * 1000 + F.col("chunk_id")
+    )
+    corpus = chunks.select("vec_id", hash_embed(F.col("chunk_text")).alias("embedding"))
+    # held-out probes: the first chunk of the n_queries lowest-id docs
+    queries = (
+        chunks.filter(F.col("chunk_id") == 0)
+        .orderBy("doc_id")
+        .limit(n_queries)
+        .select("vec_id", hash_embed(F.col("chunk_text")).alias("embedding"))
+    )
+    hits = ivf_topk(
+        corpus, queries, k=k, n_centroids=n_centroids, n_probe=n_probe
+    )
+    prov = chunks.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("doc_id").alias("hit_doc_id"),
+        F.col("chunk_id").alias("hit_chunk_id"),
+    )
+    return hits.join(prov, "neighbor_id").select(
+        "query_id", "rank", "neighbor_id", "hit_doc_id", "hit_chunk_id", "cosine"
+    )
 
 
 @register(

@@ -324,3 +324,32 @@ def test_compression_ratio_orders_text_classes(spark):
     for r in got.values():
         if r.n_bytes:
             assert r.n_compressed > 0
+
+
+def test_rag_index_retrieves_verbatim_duplicate(spark):
+    """End-to-end index composition: a query chunk must retrieve the
+    verbatim-identical chunk of ANOTHER doc at rank 1 with cosine 1.0
+    and exact provenance (self-matches are excluded by the scorer)."""
+    import random
+
+    from pyspark.sql import Row
+
+    from greenbuttonengine_spark.plans.wave5_queries import rag_index_and_query
+
+    rng = random.Random(13)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+             "theta", "kappa"]
+    base = " ".join(rng.choice(words) for _ in range(60))
+    docs = spark.createDataFrame(
+        [Row(doc_id=0, text=base), Row(doc_id=1, text=base)]  # verbatim pair
+        + [Row(doc_id=2 + i,
+               text=" ".join(rng.choice(words) for _ in range(60)))
+           for i in range(10)]
+    )
+    hits = rag_index_and_query(docs, n_queries=2, k=3,
+                               n_centroids=4, n_probe=4).collect()
+    top = {r.query_id: r for r in hits if r.rank == 1}
+    # query = doc 0 chunk 0 (vec 0) must hit doc 1 chunk 0 (vec 1000)
+    assert top[0].neighbor_id == 1000 and abs(top[0].cosine - 1.0) < 1e-9
+    assert (top[0].hit_doc_id, top[0].hit_chunk_id) == (1, 0)
+    assert top[1000].neighbor_id == 0 and abs(top[1000].cosine - 1.0) < 1e-9
