@@ -1,0 +1,196 @@
+"""Silver keyed-state table: streaming CDC upsert (the lakehouse
+MERGE analog) with copy-on-write at BUCKET granularity.
+
+``bronze.py`` gives exactly-once append; this maintains CURRENT STATE
+per key — the "latest row wins, deletes drop the key" table every CDC
+consumer ultimately wants.  The naive foreachBatch version rewrites
+the whole table per trigger; here the table is hash-bucketed on the
+key and a micro-batch rewrites ONLY the buckets its keys land in —
+the same copy-on-write trade Delta/Hudi/Iceberg make at file level:
+
+* layout: ``gen-<epoch>/__bucket=<b>/`` parquet per rewritten bucket;
+  a single JSON marker ``_current`` maps every bucket to the
+  generation that last rewrote it (atomic rename = atomic snapshot
+  swap; readers never see a half-applied batch);
+* apply cost: O(data in affected buckets), not O(table) — size
+  ``n_buckets`` so a typical micro-batch touches a small fraction;
+* idempotent: the marker records the last applied epoch; replaying a
+  crashed epoch overwrites its own generation dirs and republishes —
+  a replayed ALREADY-APPLIED epoch is a no-op (exactly-once state);
+* ordering: per key, the row with the highest ``seq_col`` wins; ties
+  go to the incoming batch (update beats stale state); ``op_col`` ==
+  'd' tombstones the key.
+
+At 100 TB: buckets are the unit of both rewrite and read
+parallelism; old generation dirs are removed lazily (crash-safe — the
+marker never references them again), and a periodic compaction can
+rewrite cold buckets to fewer files exactly like bronze compaction.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+_MARKER = "_current"
+
+
+def _marker_path(table_dir: str) -> str:
+    return os.path.join(table_dir, _MARKER)
+
+
+def _read_state(table_dir: str) -> dict:
+    try:
+        return json.loads(open(_marker_path(table_dir)).read())
+    except OSError:
+        return {"epoch": None, "buckets": {}}
+
+
+def _publish_state(table_dir: str, state: dict) -> None:
+    os.makedirs(table_dir, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=table_dir, prefix="._current.")
+    with os.fdopen(fd, "w") as fh:
+        fh.write(json.dumps(state))
+    os.rename(tmp, _marker_path(table_dir))
+
+
+def _bucket_col(key_cols: list[str], n_buckets: int):
+    return F.pmod(F.xxhash64(*key_cols), F.lit(n_buckets)).cast("int")
+
+
+def read_current(spark: SparkSession, table_dir: str, schema) -> DataFrame:
+    """The committed current state: union of every bucket's latest
+    generation (path-pruned — no directory scans outside the marker)."""
+    state = _read_state(table_dir)
+    paths = [
+        os.path.join(table_dir, gen, f"__bucket={b}")
+        for b, gen in state["buckets"].items()
+    ]
+    paths = [p for p in paths if os.path.isdir(p)]
+    if not paths:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(*paths)
+
+
+def apply_cdc_batch(
+    batch: DataFrame,
+    table_dir: str,
+    schema,
+    key_cols: list[str],
+    seq_col: str,
+    epoch_id: int,
+    n_buckets: int = 16,
+    op_col: str | None = None,
+) -> None:
+    """MERGE one micro-batch into the keyed table (see module doc).
+    ``schema`` is the DATA schema (without op_col)."""
+    from pyspark.sql.window import Window
+
+    state = _read_state(table_dir)
+    if state["epoch"] is not None and epoch_id <= state["epoch"]:
+        return  # replay of an applied epoch: exactly-once no-op
+    spark = batch.sparkSession
+
+    batch = batch.withColumn("__bucket", _bucket_col(key_cols, n_buckets))
+    affected = sorted(
+        r[0] for r in batch.select("__bucket").distinct().collect()
+    )
+    if affected:
+        # current rows of ONLY the affected buckets
+        cur_paths = [
+            os.path.join(table_dir, state["buckets"][str(b)], f"__bucket={b}")
+            for b in affected
+            if str(b) in state["buckets"]
+        ]
+        cur_paths = [p for p in cur_paths if os.path.isdir(p)]
+        if cur_paths:
+            current = spark.read.schema(schema).parquet(*cur_paths).withColumn(
+                "__bucket", _bucket_col(key_cols, n_buckets)
+            )
+        else:
+            current = (
+                spark.createDataFrame([], schema)
+                .withColumn("__bucket", F.lit(0))
+                .limit(0)
+            )
+        data_cols = [f.name for f in schema.fields]
+        b_norm = batch.withColumn(
+            "__op",
+            F.col(op_col) if op_col else F.lit("u"),
+        ).select(*data_cols, "__bucket", "__op", F.lit(1).alias("__prio"))
+        c_norm = current.select(
+            *data_cols, "__bucket", F.lit("u").alias("__op"),
+            F.lit(0).alias("__prio"),
+        )
+        rn = F.row_number().over(
+            Window.partitionBy(*key_cols).orderBy(
+                F.col(seq_col).desc(), F.col("__prio").desc()
+            )
+        )
+        merged = (
+            b_norm.unionByName(c_norm)
+            .withColumn("__rn", rn)
+            .filter(F.col("__rn") == 1)
+            .filter(F.col("__op") != "d")
+            .select(*data_cols, "__bucket")
+        )
+        gen = f"gen-{epoch_id}"
+        (
+            merged.write.mode("overwrite")
+            .partitionBy("__bucket")
+            .parquet(os.path.join(table_dir, gen))
+        )
+        new_buckets = dict(state["buckets"])
+        for b in affected:
+            new_buckets[str(b)] = gen
+    else:
+        new_buckets = state["buckets"]
+    _publish_state(table_dir, {"epoch": epoch_id, "buckets": new_buckets})
+    _cleanup_unreferenced(table_dir, new_buckets)
+
+
+def _cleanup_unreferenced(table_dir: str, buckets: dict) -> None:
+    """Lazily drop generation dirs no bucket references (crash-safe:
+    the marker was already atomically republished without them)."""
+    live = set(buckets.values())
+    for name in os.listdir(table_dir):
+        if name.startswith("gen-") and name not in live:
+            shutil.rmtree(os.path.join(table_dir, name), ignore_errors=True)
+
+
+def start_cdc_upsert_stream(
+    spark: SparkSession,
+    source: DataFrame,
+    table_dir: str,
+    checkpoint_dir: str,
+    schema,
+    key_cols: list[str],
+    seq_col: str,
+    n_buckets: int = 16,
+    op_col: str | None = None,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Wire ``apply_cdc_batch`` as the foreachBatch of a CDC stream.
+    foreachBatch epoch ids are monotonic per checkpoint, which is what
+    the marker's exactly-once guard keys on."""
+
+    def apply(batch: DataFrame, epoch_id: int) -> None:
+        if not batch.columns:
+            return
+        apply_cdc_batch(
+            batch, table_dir, schema, key_cols, seq_col, epoch_id,
+            n_buckets=n_buckets, op_col=op_col,
+        )
+
+    writer = source.writeStream.foreachBatch(apply).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
