@@ -124,6 +124,7 @@ _DEFER_NEW = frozenset(
         "lm_pmi_collocations",
         "ops_zorder_key",
         "dedup_repeated_substrings",
+        "stats_bootstrap_ci_events",
     }
 )
 

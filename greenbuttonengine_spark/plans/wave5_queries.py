@@ -777,6 +777,121 @@ def rag_index_and_query(
     )
 
 
+# Poisson(1) inverse-CDF thresholds scaled to the LCG's [0, 10000)
+# bucket space — INTEGER comparisons, so both engines draw identical
+# weights: P(<=k) for k=0..6 is .3679 .7358 .9197 .9810 .9963 .9994
+# .9999 (capped at 7).
+_POIS_T = (3679, 7358, 9197, 9810, 9963, 9994, 9999)
+_BOOT_B = 100  # replicates; ci positions = ceil(.025*B)=3, ceil(.975*B)=98
+
+
+def _poisson_case_sql(u: str) -> str:
+    branches = " ".join(
+        f"WHEN {u} < {t} THEN {k}" for k, t in enumerate(_POIS_T)
+    )
+    return f"CASE {branches} ELSE 7 END"
+
+
+@register(
+    "stats_bootstrap_ci_events",
+    rf"""
+    WITH x AS (
+        SELECT event_type, event_id,
+               CAST(round(value * 100) AS BIGINT) AS c, b
+        FROM events CROSS JOIN (SELECT unnest(range(0, {_BOOT_B})) AS b)
+    ), w AS (
+        SELECT event_type, c, b,
+               {_poisson_case_sql(
+                   "(((((event_id * " + str(_BOOT_B) + " + b)"
+                   " % 2147483648) * 1103515245 + 12345) >> 16) % 10000)"
+               )} AS wt
+        FROM x
+    ), rep AS (
+        SELECT event_type, b,
+               CAST(SUM(wt * c) AS DOUBLE) / CAST(SUM(wt) AS DOUBLE)
+                   AS rep_mean
+        FROM w GROUP BY event_type, b HAVING SUM(wt) > 0
+    ), ranked AS (
+        SELECT event_type, rep_mean,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY rep_mean, b) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS nb
+        FROM rep
+    ), ci AS (
+        SELECT event_type,
+               MAX(CASE WHEN rn = CAST(ceil(0.025 * nb) AS BIGINT)
+                        THEN rep_mean END) AS ci_lo_cents,
+               MAX(CASE WHEN rn = CAST(ceil(0.975 * nb) AS BIGINT)
+                        THEN rep_mean END) AS ci_hi_cents
+        FROM ranked GROUP BY event_type
+    ), pt AS (
+        SELECT event_type,
+               CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+                   / COUNT(*) AS mean_cents,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY event_type
+    )
+    SELECT pt.event_type, n, mean_cents, ci_lo_cents, ci_hi_cents
+    FROM pt JOIN ci ON ci.event_type = pt.event_type
+    """,
+    tags=("stats", "aggregate"),
+    doc="Distributed Poisson bootstrap: per event_type, a 95% CI for "
+    "the mean value from 100 deterministic resamples — each row's "
+    "weight in replicate b is Poisson(1) drawn by inverse-CDF over "
+    "the LCG hash of (event_id, b), all INTEGER arithmetic and "
+    "integer threshold compares, so both engines draw bit-identical "
+    "resamples (the classic online-bootstrap trick: Poisson counts "
+    "approximate multinomial resampling without materializing "
+    "samples).  CI bounds are exact order statistics of the "
+    "replicate means (rank 3 / 98 of 100), not interpolated "
+    "percentiles — engine-interpolation-proof.  Plan: one explode "
+    "(x100), one (type, b)-keyed aggregate with map-side combine, "
+    "one O(types*B) window — replicate fan-out never shuffles raw "
+    "rows twice.",
+)
+def stats_bootstrap_ci_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.sampling import hash_bucket
+
+    ev = load_table(spark, "events", sf_dir)
+    cents = F.round(F.col("value") * 100).cast("long")
+    x = ev.select(
+        "event_type", F.col("event_id"), cents.alias("c")
+    ).withColumn("b", F.explode(F.expr(f"sequence(0, {_BOOT_B - 1})")))
+    u = hash_bucket(F.col("event_id") * _BOOT_B + F.col("b"), 10000)
+    wt = F.lit(7)
+    for k in range(len(_POIS_T) - 1, -1, -1):
+        wt = F.when(u < _POIS_T[k], F.lit(k)).otherwise(wt)
+    rep = (
+        x.withColumn("wt", wt)
+        .groupBy("event_type", "b")
+        .agg(
+            F.sum(F.col("wt") * F.col("c")).alias("swc"),
+            F.sum("wt").alias("sw"),
+        )
+        .filter(F.col("sw") > 0)
+        .withColumn(
+            "rep_mean", F.col("swc").cast("double") / F.col("sw").cast("double")
+        )
+    )
+    wspec = W.partitionBy("event_type").orderBy("rep_mean", "b")
+    ranked = rep.withColumn("rn", F.row_number().over(wspec)).withColumn(
+        "nb", F.count("*").over(W.partitionBy("event_type"))
+    )
+    lo_rn = F.ceil(F.lit(0.025) * F.col("nb")).cast("long")
+    hi_rn = F.ceil(F.lit(0.975) * F.col("nb")).cast("long")
+    ci = ranked.groupBy("event_type").agg(
+        F.max(F.when(F.col("rn") == lo_rn, F.col("rep_mean"))).alias("ci_lo_cents"),
+        F.max(F.when(F.col("rn") == hi_rn, F.col("rep_mean"))).alias("ci_hi_cents"),
+    )
+    pt = ev.groupBy("event_type").agg(
+        (F.sum(cents).cast("double") / F.count("*")).alias("mean_cents"),
+        F.count("*").cast("long").alias("n"),
+    )
+    return pt.join(ci, "event_type").select(
+        "event_type", "n", "mean_cents", "ci_lo_cents", "ci_hi_cents"
+    )
+
+
 @register(
     "ops_file_layout_report",
     None,  # rows-only: per-file lineage (input_file_name) has no DuckDB-view analog

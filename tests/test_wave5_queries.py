@@ -353,3 +353,61 @@ def test_rag_index_retrieves_verbatim_duplicate(spark):
     assert top[0].neighbor_id == 1000 and abs(top[0].cosine - 1.0) < 1e-9
     assert (top[0].hit_doc_id, top[0].hit_chunk_id) == (1, 0)
     assert top[1000].neighbor_id == 0 and abs(top[1000].cosine - 1.0) < 1e-9
+
+
+def test_bootstrap_ci_statistical_sanity(spark):
+    """The CI must bracket the point estimate, and a 16x-smaller
+    stratum must get a wider interval (~1/sqrt(n) scaling, allowing
+    generous slack).  The Poisson weight draw matches the pure-Python
+    LCG/inverse-CDF reference exactly."""
+    import datetime
+    import os
+    import random
+    import tempfile
+
+    from pyspark.sql import Row
+
+    from greenbuttonengine_spark.plans.wave5_queries import (
+        _BOOT_B, _POIS_T, stats_bootstrap_ci_events)
+
+    rng = random.Random(21)
+    base = datetime.datetime(2026, 1, 1)
+
+    def ev(i, etype, val):
+        return Row(event_id=i, ts=base, user_id=1, event_type=etype,
+                   value=val, props="{}")
+
+    rows = ([ev(i, "big", rng.gauss(50.0, 10.0)) for i in range(3200)]
+            + [ev(10_000 + i, "small", rng.gauss(50.0, 10.0))
+               for i in range(200)])
+    d = tempfile.mkdtemp()
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(
+        os.path.join(d, "events.parquet"))
+    got = {r.event_type: r for r in
+           stats_bootstrap_ci_events(spark, d).collect()}
+    for r in got.values():
+        assert r.ci_lo_cents < r.mean_cents < r.ci_hi_cents, r
+    w_big = got["big"].ci_hi_cents - got["big"].ci_lo_cents
+    w_small = got["small"].ci_hi_cents - got["small"].ci_lo_cents
+    assert w_small > 2.0 * w_big, (w_small, w_big)  # sqrt(16)=4, slack 2
+
+    # weight draw == pure-Python reference
+    from pyspark.sql import functions as F
+
+    from greenbuttonengine_spark.extensions.sampling import hash_bucket
+
+    def py_weight(key):
+        u = (((key % 2147483648) * 1103515245 + 12345) >> 16) % 10000
+        for k, t in enumerate(_POIS_T):
+            if u < t:
+                return k
+        return 7
+
+    keys = [0, 1, 99, 12345, 2**40 + 7]
+    df = spark.createDataFrame([(k,) for k in keys], "key long")
+    u = hash_bucket(F.col("key"), 10000)
+    wt = F.lit(7)
+    for k in range(len(_POIS_T) - 1, -1, -1):
+        wt = F.when(u < _POIS_T[k], F.lit(k)).otherwise(wt)
+    got_w = {r.key: r.w for r in df.select("key", wt.alias("w")).collect()}
+    assert got_w == {k: py_weight(k) for k in keys}
