@@ -125,6 +125,7 @@ _DEFER_NEW = frozenset(
         "ops_zorder_key",
         "dedup_repeated_substrings",
         "stats_bootstrap_ci_events",
+        "pipeline_curation_v2",
     }
 )
 

@@ -893,6 +893,98 @@ def stats_bootstrap_ci_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pipeline_curation_v2",
+    r"""
+    WITH words AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+        FROM documents
+    ), sh AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(range(1, CAST(len(ws) AS INTEGER) - 1),
+                   i -> ws[CAST(i AS INTEGER)] || ' '
+                        || ws[CAST(i AS INTEGER) + 1] || ' '
+                        || ws[CAST(i AS INTEGER) + 2])) AS s
+        FROM words WHERE len(ws) >= 3
+    ), first AS (
+        SELECT s, MIN(doc_id) AS first_doc FROM sh GROUP BY s
+    ), novelty AS (
+        SELECT sh.doc_id,
+               CAST(SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+                    AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS novelty_frac
+        FROM sh JOIN first f USING (s) GROUP BY sh.doc_id
+    ), df AS (
+        SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 50
+    ), shf AS (
+        SELECT sh.doc_id, sh.s FROM sh JOIN df USING (s)
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS sz FROM shf GROUP BY doc_id
+    ), contained AS (
+        SELECT DISTINCT a.doc_id
+        FROM shf a JOIN shf b ON a.s = b.s AND a.doc_id <> b.doc_id
+        JOIN sizes sa ON sa.doc_id = a.doc_id
+        GROUP BY a.doc_id, b.doc_id, sa.sz
+        HAVING CAST(COUNT(*) AS DOUBLE) / CAST(sa.sz AS DOUBLE) >= 0.8
+    ), quality AS (
+        SELECT doc_id, lang, n_chars,
+               0.5 * (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                           AS DOUBLE) / CAST(length(text) AS DOUBLE))
+               + 0.3 * least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+               + 0.2 * (1.0 - CAST(length(regexp_replace(text, '[^.,;:!?]',
+                                                         '', 'g')) AS DOUBLE)
+                              / CAST(length(text) AS DOUBLE)) AS q
+        FROM documents WHERE length(text) > 0
+    ), kept AS (
+        SELECT q.doc_id, q.lang, q.n_chars
+        FROM quality q
+        JOIN novelty nv ON nv.doc_id = q.doc_id
+        WHERE q.q >= 0.5 AND nv.novelty_frac >= 0.3
+          AND q.doc_id NOT IN (SELECT doc_id FROM contained)
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER () AS share
+    FROM kept GROUP BY lang
+    """,
+    tags=("pipeline", "dedup", "textstats", "tiny-global-window"),
+    doc="Composed curation v2 over this round's signals: quality gate "
+    "(the text_quality_score formula) AND novelty floor (>= 30% of a "
+    "doc's trigrams first-seen in it) AND containment drop (docs >= "
+    "80% swallowed by another doc are removed), reported as the "
+    "per-language training-mix table (docs, chars, share).  Every "
+    "stage is an already-oracle-verified operator; this pins that "
+    "they COMPOSE identically across engines (the anti-join against "
+    "the containment pair set and the novelty join reuse one shingle "
+    "scan).  The share window runs over the O(langs) aggregate only.",
+)
+def pipeline_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.textstats import quality_score_cols
+
+    docs = load_table(spark, "documents", sf_dir)
+    novelty = ngram_novelty(docs).select("doc_id", "novelty_frac")
+    contained = (
+        doc_containment(docs).select(F.col("doc_a").alias("doc_id")).distinct()
+    )
+    q = quality_score_cols(F.col("text"))["quality_score"]
+    kept = (
+        docs.filter(F.length("text") > 0)
+        .withColumn("q", q)
+        .filter(F.col("q") >= 0.5)
+        .join(novelty.filter(F.col("novelty_frac") >= 0.3), "doc_id")
+        .join(contained, "doc_id", "left_anti")
+    )
+    agg = kept.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+    return agg.withColumn(
+        "share",
+        F.col("n_docs").cast("double")
+        / F.sum("n_docs").over(W.partitionBy()).cast("double"),
+    ).select("lang", "n_docs", "total_chars", "share")
+
+
+@register(
     "ops_file_layout_report",
     None,  # rows-only: per-file lineage (input_file_name) has no DuckDB-view analog
     tags=("ops",),

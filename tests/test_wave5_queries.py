@@ -411,3 +411,46 @@ def test_bootstrap_ci_statistical_sanity(spark):
         wt = F.when(u < _POIS_T[k], F.lit(k)).otherwise(wt)
     got_w = {r.key: r.w for r in df.select("key", wt.alias("w")).collect()}
     assert got_w == {k: py_weight(k) for k in keys}
+
+
+def test_curation_v2_each_gate_fires(spark, tmp_path):
+    """Planted corpus where each gate drops exactly its target: a
+    verbatim re-post falls to the novelty floor, a quoted-inside doc
+    falls to containment, punctuation junk falls to quality — the
+    survivors make the mix table."""
+    import os
+
+    from pyspark.sql import Row
+
+    from greenbuttonengine_spark.plans.wave5_queries import pipeline_curation_v2
+
+    good = ("analysis of the weekly report shows steady growth across "
+            "all regions with notable gains in the northern markets "
+            "and continued expansion of the service tier")
+    bigger = good + (" further commentary repeats the conclusions with "
+                     "extra context about seasonal variation in demand")
+
+    def doc(i, text, lang="en"):
+        return Row(doc_id=i, text=text, lang=lang, source="s",
+                   n_chars=len(text))
+
+    fresh = ("fresh unrelated prose about gardens rivers and the "
+             "quiet architecture of small mountain towns in autumn")
+    # mosaic of doc 1's and doc 5's halves: nearly every trigram was
+    # first seen in a LOWER-id doc (novelty ~ seam-only < 0.3), yet
+    # neither source contains >= 80% of it (containment ~ 0.5 each)
+    mosaic = " ".join(bigger.split()[:14] + fresh.split()[:9])
+    rows = [
+        doc(1, bigger),          # keeps (novel, not contained, quality ok)
+        doc(2, good),            # CONTAINED in doc 1 -> dropped
+        doc(4, "!!! ??? ;;; ,,, ... !!! ??? ;;; ,,, ..."),  # quality drop
+        doc(5, fresh, lang="fr"),  # keeps
+        doc(6, mosaic),          # novelty floor -> dropped
+    ]
+    d = str(tmp_path)
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(
+        os.path.join(d, "documents.parquet"))
+    got = {r.lang: r for r in pipeline_curation_v2(spark, d).collect()}
+    assert got["en"].n_docs == 1 and got["fr"].n_docs == 1, got
+    assert abs(got["en"].share - 0.5) < 1e-12
+    assert got["en"].total_chars == len(bigger)
