@@ -292,6 +292,19 @@ def band_buckets(
     )
 
 
+def _cap_buckets(buckets: DataFrame, max_bucket: int) -> DataFrame:
+    """Drop LSH buckets holding more than ``max_bucket`` members —
+    the hot-key guard shared by the in-corpus self-join and both
+    sides of the admission probe (one map-side-combined count, then a
+    left-semi filter; the hot rows are scanned once, never paired)."""
+    sizes = buckets.groupBy("band_idx", "band_hash").agg(F.count("*").alias("bn"))
+    return buckets.join(
+        sizes.filter(F.col("bn") <= max_bucket).select("band_idx", "band_hash"),
+        ["band_idx", "band_hash"],
+        "left_semi",
+    )
+
+
 def _sig_agreement(num_perm: int):
     """Estimated Jaccard = fraction of agreeing MinHash components
     (expects sig_a / sig_b array columns in scope)."""
@@ -335,13 +348,7 @@ def minhash_lsh_pairs(
     # executor loss fails the job instead of recomputing.
     sig = sig.localCheckpoint(eager=False)
     buckets = band_buckets(sig, num_perm=num_perm, bands=bands, id_col=id_col)
-    # cap degenerate buckets (hot-key guard)
-    bucket_sizes = buckets.groupBy("band_idx", "band_hash").agg(F.count("*").alias("bn"))
-    buckets = buckets.join(
-        bucket_sizes.filter(F.col("bn") <= max_bucket).select("band_idx", "band_hash"),
-        ["band_idx", "band_hash"],
-        "left_semi",
-    )
+    buckets = _cap_buckets(buckets, max_bucket)  # hot-key guard
     a, b = buckets.alias("a"), buckets.alias("b")
     cand = (
         a.join(
@@ -932,23 +939,28 @@ def incremental_near_dedup(
         eager=False
     )
 
-    def _cap_hot_buckets(buckets: DataFrame) -> DataFrame:
-        sizes = buckets.groupBy("band_idx", "band_hash").agg(
-            F.count("*").alias("bn")
-        )
-        return buckets.join(
-            sizes.filter(F.col("bn") <= max_bucket).select("band_idx", "band_hash"),
-            ["band_idx", "band_hash"],
-            "left_semi",
-        )
+    bb = _cap_buckets(
+        band_buckets(sig, num_perm=num_perm, bands=bands, id_col=id_col),
+        max_bucket,
+    ).localCheckpoint(eager=False)
 
-    bb = _cap_hot_buckets(
-        band_buckets(sig, num_perm=num_perm, bands=bands, id_col=id_col)
-    )
-
+    # STORE-side hot-bucket guard: restrict the store to the buckets
+    # this batch actually probes (semi-join on the band key — one pass
+    # over the collided rows, no pair materialization), then drop any
+    # probed bucket whose STORE population exceeds the cap.  Without
+    # this, a degenerate store bucket (> cap accepted docs sharing a
+    # band) fans every colliding batch doc out to all of them through
+    # the signature verify — the quadratic class the batch-side cap
+    # alone cannot prevent.  The count aggregate is map-side combined
+    # with O(probed buckets) output.
     sb = store_bands.select(
         "band_idx", "band_hash", F.col(id_col).alias("matched_id")
+    ).join(
+        bb.select("band_idx", "band_hash").distinct(),
+        ["band_idx", "band_hash"],
+        "left_semi",
     )
+    sb = _cap_buckets(sb, max_bucket)
     cand = (
         bb.join(sb, ["band_idx", "band_hash"])
         .select(F.col(id_col), "matched_id")
@@ -975,8 +987,9 @@ def incremental_near_dedup(
     )
 
     surv_sig = sig.join(corpus_matches.select(id_col), id_col, "left_anti")
-    surv_bb = _cap_hot_buckets(
-        band_buckets(surv_sig, num_perm=num_perm, bands=bands, id_col=id_col)
+    surv_bb = _cap_buckets(
+        band_buckets(surv_sig, num_perm=num_perm, bands=bands, id_col=id_col),
+        max_bucket,
     )
     a, b = surv_bb.alias("a"), surv_bb.alias("b")
     pair_cand = (

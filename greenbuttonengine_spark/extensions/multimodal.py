@@ -424,7 +424,7 @@ def resize_images(
                     continue
                 if not allow_fake and not _HAS_PIL:
                     raise NotImplementedError(
-                        "Non-BMP resize requires Pillow; install `pillow` "
+                        "Resize of non-BMP/non-8-bit-PNG formats requires Pillow; install `pillow` "
                         "on the cluster image, or pass allow_fake=True "
                         "for the deterministic stand-in path (BMP inputs "
                         "always take the real decode path)."

@@ -755,8 +755,10 @@ def rag_index_and_query(
     from ..extensions.similarity import ivf_topk
     from ..extensions.textstats import chunk_documents
 
+    # 2^20 chunks per doc (a ~150 MB doc at stride 150) before ids
+    # could collide; doc_id then has 2^43 headroom in the BIGINT
     chunks = chunk_documents(docs).withColumn(
-        "vec_id", F.col("doc_id") * 1000 + F.col("chunk_id")
+        "vec_id", F.col("doc_id") * F.lit(1 << 20) + F.col("chunk_id")
     )
     corpus = chunks.select("vec_id", hash_embed(F.col("chunk_text")).alias("embedding"))
     # held-out probes: the first chunk of the n_queries lowest-id docs

@@ -168,10 +168,19 @@ def start_near_dup_admission_stream(
             accepted_dir
         )
         acc_sigs = sigs.join(acc_ids, "doc_id", "left_semi")
+        # sig store BEFORE band store: bands are the probe key, so the
+        # store must never hold bands whose signatures are missing — a
+        # crash between the writes in THAT order would make replayed
+        # docs band-collide with themselves, find no signature to
+        # verify against, and be re-accepted with every store row
+        # duplicated forever.  Sigs-without-bands (a crash in this
+        # order) are harmless orphans: undiscoverable via any probe,
+        # and the replayed batch re-accepts once (corpus-first posture,
+        # downstream exact dedup removes it) then repairs both stores.
+        acc_sigs.write.mode("append").parquet(sig_store_dir)
         band_buckets(acc_sigs, num_perm=num_perm, bands=bands).write.mode(
             "append"
         ).parquet(band_store_dir)
-        acc_sigs.write.mode("append").parquet(sig_store_dir)
 
     writer = good.writeStream.foreachBatch(admit).option(
         "checkpointLocation", checkpoint_dir

@@ -18,8 +18,10 @@ the same copy-on-write trade Delta/Hudi/Iceberg make at file level:
   crashed epoch overwrites its own generation dirs and republishes —
   a replayed ALREADY-APPLIED epoch is a no-op (exactly-once state);
 * ordering: per key, the row with the highest ``seq_col`` wins; ties
-  go to the incoming batch (update beats stale state); ``op_col`` ==
-  'd' tombstones the key.
+  go to the incoming batch (update beats stale state), and a batch
+  carrying both an update and a delete at one seq resolves to the
+  DELETE (deterministic, conservative); ``op_col`` == 'd' tombstones
+  the key.
 
 At 100 TB: buckets are the unit of both rewrite and read
 parallelism; old generation dirs are removed lazily (crash-safe — the
@@ -128,9 +130,16 @@ def apply_cdc_batch(
             *data_cols, "__bucket", F.lit("u").alias("__op"),
             F.lit(0).alias("__prio"),
         )
+        # total order: highest seq wins; at equal seq the batch beats
+        # stored state (__prio); a batch carrying BOTH an update and a
+        # delete at the same seq resolves deterministically to the
+        # DELETE ('d' < 'u', ascending puts it first) — the
+        # conservative read of an ambiguous producer, and immune to
+        # partition-order / task-retry nondeterminism.
         rn = F.row_number().over(
             Window.partitionBy(*key_cols).orderBy(
-                F.col(seq_col).desc(), F.col("__prio").desc()
+                F.col(seq_col).desc(), F.col("__prio").desc(),
+                F.col("__op").asc(),
             )
         )
         merged = (
@@ -152,15 +161,31 @@ def apply_cdc_batch(
     else:
         new_buckets = state["buckets"]
     _publish_state(table_dir, {"epoch": epoch_id, "buckets": new_buckets})
-    _cleanup_unreferenced(table_dir, new_buckets)
+    _cleanup_unreferenced(table_dir, new_buckets, epoch_id)
 
 
-def _cleanup_unreferenced(table_dir: str, buckets: dict) -> None:
-    """Lazily drop generation dirs no bucket references (crash-safe:
-    the marker was already atomically republished without them)."""
+# How many epochs an unreferenced generation survives after being
+# superseded.  Retention > 0 keeps the snapshot promise for concurrent
+# readers: a reader that loaded the PREVIOUS marker can finish its
+# scan before the dirs it references are removed (bounded garbage in
+# exchange — the same retention trade Delta's VACUUM makes).
+_GEN_RETENTION_EPOCHS = 2
+
+
+def _cleanup_unreferenced(table_dir: str, buckets: dict, epoch_id: int) -> None:
+    """Drop generation dirs no bucket references, but only once they
+    are at least ``_GEN_RETENTION_EPOCHS`` behind the current epoch —
+    a reader holding an older marker snapshot gets a grace window
+    instead of a FileNotFound mid-scan."""
     live = set(buckets.values())
     for name in os.listdir(table_dir):
-        if name.startswith("gen-") and name not in live:
+        if not name.startswith("gen-") or name in live:
+            continue
+        try:
+            gen_epoch = int(name.split("-", 1)[1])
+        except ValueError:
+            continue
+        if gen_epoch <= epoch_id - _GEN_RETENTION_EPOCHS:
             shutil.rmtree(os.path.join(table_dir, name), ignore_errors=True)
 
 

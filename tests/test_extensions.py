@@ -973,3 +973,32 @@ def test_resize_images_png_real_decode(spark):
         yi = (np.arange(4) * img.shape[0] // 4).clip(0, img.shape[0] - 1)
         xi = (np.arange(5) * img.shape[1] // 5).clip(0, img.shape[1] - 1)
         assert np.array_equal(got, img[yi][:, xi])
+
+
+def test_near_dedup_store_side_bucket_cap(spark):
+    """A degenerate STORE bucket (more members than max_bucket) must
+    not fan a colliding batch doc out to every member: with the cap
+    engaged the probe skips that bucket entirely (the doc can still
+    match via its other bands — here it has none, so it is accepted)."""
+    from pyspark.sql import Row
+
+    from greenbuttonengine_spark.extensions.dedup import (
+        band_buckets, incremental_near_dedup, minhash_signatures)
+
+    text = ("the quick brown fox jumps over the lazy dog and then runs "
+            "far away into the deep green forest before the winter snow")
+    # store: 5 docs with IDENTICAL text -> identical signatures ->
+    # every one of their 8 band buckets has 5 members
+    corpus = spark.createDataFrame([Row(doc_id=i, text=text)
+                                    for i in range(5)])
+    store_sigs = minhash_signatures(corpus)
+    store_bands = band_buckets(store_sigs)
+    batch = spark.createDataFrame([Row(doc_id=100, text=text)])
+
+    uncapped = incremental_near_dedup(batch, store_bands, store_sigs,
+                                      threshold=0.6)
+    assert uncapped.collect()[0].verdict == "near_dup_of_corpus"
+
+    capped = incremental_near_dedup(batch, store_bands, store_sigs,
+                                    threshold=0.6, max_bucket=3)
+    assert capped.collect()[0].verdict == "accept"

@@ -114,3 +114,17 @@ def test_cdc_upsert_stream_end_to_end(spark, tmp_path):
         .coalesce(1).write.parquet(str(drop / "b"))
     run()
     assert _state(spark, d) == {1: (2, "pro"), 4: (1, "free")}
+
+
+def test_cdc_same_seq_update_delete_resolves_to_delete(spark, tmp_path):
+    """An ambiguous producer emitting an update AND a delete for one
+    key at the same seq must resolve deterministically to the delete
+    (never a partition-order coin flip)."""
+    from greenbuttonengine_spark.streaming.silver import apply_cdc_batch
+
+    d = str(tmp_path / "silver_tie")
+    b = spark.createDataFrame(_rows((1, 1, "free", "u"), (1, 1, "free", "d"),
+                                    (2, 1, "free", "u")))
+    apply_cdc_batch(b, d, SCHEMA, ["user_id"], "seq", epoch_id=0,
+                    n_buckets=4, op_col="op")
+    assert _state(spark, d) == {2: (1, "free")}

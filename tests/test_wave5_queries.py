@@ -349,10 +349,11 @@ def test_rag_index_retrieves_verbatim_duplicate(spark):
     hits = rag_index_and_query(docs, n_queries=2, k=3,
                                n_centroids=4, n_probe=4).collect()
     top = {r.query_id: r for r in hits if r.rank == 1}
-    # query = doc 0 chunk 0 (vec 0) must hit doc 1 chunk 0 (vec 1000)
-    assert top[0].neighbor_id == 1000 and abs(top[0].cosine - 1.0) < 1e-9
+    # query = doc 0 chunk 0 (vec 0) must hit doc 1 chunk 0 (vec 2^20)
+    v1 = 1 << 20
+    assert top[0].neighbor_id == v1 and abs(top[0].cosine - 1.0) < 1e-9
     assert (top[0].hit_doc_id, top[0].hit_chunk_id) == (1, 0)
-    assert top[1000].neighbor_id == 0 and abs(top[1000].cosine - 1.0) < 1e-9
+    assert top[v1].neighbor_id == 0 and abs(top[v1].cosine - 1.0) < 1e-9
 
 
 def test_bootstrap_ci_statistical_sanity(spark):
