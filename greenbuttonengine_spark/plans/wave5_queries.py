@@ -727,7 +727,7 @@ def hash_embed(text_col, dim: int = 16):
 @register(
     "pipeline_rag_index",
     None,  # IVF cell assignment (MLlib k-means) is engine-specific -> rows-only
-    tags=("similarity", "pipeline", "iterative"),
+    tags=("similarity", "pipeline", "iterative", "tiny-bnlj"),
     doc="End-to-end retrieval-index build: chunk documents (size 200 "
     "/ stride 150), encode each chunk (deterministic hash encoder — "
     "the slot a model-inference stage fills in production), build an "
