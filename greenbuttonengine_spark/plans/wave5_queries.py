@@ -994,6 +994,29 @@ def pipeline_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lm_bpe_train",
+    None,  # iterative merge loop (driver control flow) -> rows-only
+    tags=("lm", "iterative"),
+    doc="Full BPE tokenizer training (Sennrich et al., ACL'16): the "
+    "learned merge-rule sequence over the corpus — 20 rounds of "
+    "(most frequent weighted adjacent symbol pair -> merge corpus-"
+    "wide).  Trains on the DISTINCT-WORD vocabulary weighted by word "
+    "frequency, so a 100 TB corpus collapses to one word-count "
+    "aggregate before the loop; each round is one map-side-combined "
+    "pair aggregate + TakeOrdered top-1 + one vocab-sized regex "
+    "merge (lookarounds keep run merges greedy).  Pytest pins merge "
+    "sequence AND final segmentations against an independent Python "
+    "Sennrich implementation, plus run/metacharacter edge cases.  "
+    "See extensions/bpe.py; lm_bpe_pair_counts is one round of this "
+    "loop, oracle-checked.",
+)
+def lm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.bpe import bpe_merge_table
+
+    return bpe_merge_table(load_table(spark, "documents", sf_dir), n_merges=20)
+
+
+@register(
     "ops_file_layout_report",
     None,  # rows-only: per-file lineage (input_file_name) has no DuckDB-view analog
     tags=("ops",),

@@ -1,0 +1,103 @@
+"""BPE tokenizer training: the Spark merge loop must reproduce an
+independent pure-Python Sennrich implementation (same tie-break)
+exactly — merges AND final segmentations."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import Row
+
+
+def py_bpe(vocab_counts, n_merges, min_pair_count=2):
+    """Reference Sennrich BPE: vocab as {word: count}; ties break
+    (count desc, pair asc)."""
+    vocab = {tuple(w): c for w, c in vocab_counts.items()}
+    merges = []
+    for _ in range(n_merges):
+        pairs = Counter()
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += c
+        if not pairs:
+            break
+        (a, b), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if cnt < min_pair_count:
+            break
+        merges.append((a, b, cnt))
+        new_vocab = {}
+        for syms, c in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + c
+        vocab = new_vocab
+    return merges, vocab
+
+
+def test_bpe_train_matches_python_reference(spark):
+    import random
+
+    from greenbuttonengine_spark.extensions.bpe import bpe_train
+
+    rng = random.Random(17)
+    words = ["low", "lower", "newest", "widest", "newer", "widely",
+             "lowest", "news", "wide", "nest"]
+    corpus = [rng.choice(words) for _ in range(300)]
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=w) for i, w in enumerate(corpus)])
+
+    merges, vocab = bpe_train(docs, n_merges=12)
+    counts = Counter(corpus)
+    ref_merges, ref_vocab = py_bpe(counts, 12)
+    assert merges == ref_merges
+
+    got_seg = {r.word: tuple(r.syms.split()) for r in vocab.collect()}
+    ref_seg = {}
+    for syms, c in ref_vocab.items():
+        ref_seg["".join(syms)] = syms
+    assert got_seg == ref_seg
+
+
+def test_bpe_classic_example_and_merge_table(spark):
+    from greenbuttonengine_spark.extensions.bpe import bpe_merge_table
+
+    corpus = ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=w) for i, w in enumerate(corpus)])
+    rows = [(r.step, r.merged, r.weighted_count)
+            for r in bpe_merge_table(docs, n_merges=4).collect()]
+    # greedy order on this vocabulary: es(9), est(9), lo(7), low(7)
+    assert rows == [(1, "es", 9), (2, "est", 9), (3, "lo", 7), (4, "low", 7)]
+
+
+def test_bpe_overlapping_run_merges_greedily(spark):
+    """'a a a a' must merge left-to-right: (aa)(aa), then (aaaa) —
+    the literal-replace implementation matches greedy BPE on runs."""
+    from greenbuttonengine_spark.extensions.bpe import bpe_train
+
+    docs = spark.createDataFrame([Row(doc_id=i, text="aaaa")
+                                  for i in range(3)])
+    merges, vocab = bpe_train(docs, n_merges=3)
+    assert [(m[0], m[1]) for m in merges] == [("a", "a"), ("aa", "aa")]
+    assert vocab.collect()[0].syms.strip() == "aaaa"
+
+
+def test_bpe_metacharacter_symbols(spark):
+    """Symbols containing regex/replacement metacharacters ($, \\, .)
+    must merge correctly — the pattern is \\Q-quoted and the
+    replacement escaped."""
+    from pyspark.sql import Row
+
+    from greenbuttonengine_spark.extensions.bpe import bpe_train
+
+    docs = spark.createDataFrame([Row(doc_id=i, text="$5.")
+                                  for i in range(4)])
+    merges, vocab = bpe_train(docs, n_merges=2)
+    assert [(m[0], m[1]) for m in merges] == [("$", "5"), ("$5", ".")]
+    assert vocab.collect()[0].syms.strip() == "$5."
