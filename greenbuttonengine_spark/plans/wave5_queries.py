@@ -23,6 +23,14 @@ round beyond similarity dedup:
   weak labels (rows-only: LBFGS coefficients).
 * ``text_compression_ratio`` — zlib entropy-proxy quality signal
   (rows-only: no SQL DEFLATE scalar).
+* ``stats_bootstrap_ci_events`` — distributed Poisson bootstrap with
+  bit-identical cross-engine resamples (oracle-backed).
+* ``pipeline_curation_v2`` — composed quality+novelty+containment
+  curation, full-composition oracle.
+* ``pipeline_rag_index`` — chunk -> encode -> IVF -> provenance
+  (rows-only: MLlib k-means cells).
+* ``lm_bpe_train`` — full Sennrich BPE merge loop (rows-only:
+  iterative; see extensions/bpe.py).
 * ``ops_file_layout_report`` — the small-files / key-range health
   check run before compaction on a 100 TB lake (rows-only: DuckDB has
   no analog of Spark's per-file lineage).
