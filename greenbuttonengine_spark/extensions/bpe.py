@@ -11,10 +11,12 @@ before the loop starts), so each merge round is:
 
 1. one pair-count aggregate over the vocab (map-side combined,
    weighted by word count) + a TakeOrdered top-1 — the only action;
-2. one literal string replace over the vocab's padded symbol strings
-   (`` a b `` -> `` ab ``) — Java's left-to-right non-overlapping
-   replace reproduces greedy BPE merge order exactly (``a a a`` ->
-   ``(aa) a``).
+2. one lookaround-regex replace over the vocab's padded symbol
+   strings (``(?<= )a b(?= )`` -> ``ab``) — boundary spaces stay
+   unconsumed, so Java's left-to-right non-overlapping matching
+   reproduces greedy BPE on runs exactly (``a a a a`` ->
+   ``(aa) (aa)``; a literal replace would eat the shared separator
+   and skip every second pair).
 
 The driver loop is control flow only (n_merges rounds, one scalar
 collect each); vocab lineage is truncated per round with
@@ -121,4 +123,43 @@ def bpe_merge_table(docs: DataFrame, n_merges: int = 10,
     return spark.createDataFrame(
         rows, "step int, left string, right string, merged string, "
               "weighted_count long",
+    )
+
+
+def bpe_tokenize(
+    docs: DataFrame,
+    merges: list[tuple[str, str, int]] | list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a learned merge sequence: (id, tokens array<string>,
+    n_tokens) per document — the inference half of BPE.
+
+    The merge rules compile into a fixed chain of per-word
+    regexp_replace expressions inside one ``transform`` lambda (the
+    same lookaround/greedy semantics training used), so tokenization
+    is a single scan-stage projection: no shuffle, no Python, no
+    per-row interpretation — the rule program IS the Catalyst
+    expression tree, exactly how a trained tokenizer should ship to a
+    100 TB corpus.  Word boundaries are preserved (BPE merges never
+    cross words, matching training's per-word vocabulary).
+    """
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+
+    def merge_word(w):
+        s = F.concat(F.lit(" "), F.concat_ws(" ", F.split(w, "")), F.lit(" "))
+        for m in merges:
+            a, b = m[0], m[1]
+            pat = f"(?<= )\\Q{a} {b}\\E(?= )"
+            repl = (a + b).replace("\\", "\\\\").replace("$", "\\$")
+            s = F.regexp_replace(s, pat, repl)
+        return F.split(F.trim(s), " ")
+
+    toks = F.flatten(
+        F.transform(F.filter(words, lambda w: w != ""), merge_word)
+    )
+    return docs.select(
+        F.col(id_col),
+        toks.alias("tokens"),
+        F.size(toks).cast("long").alias("n_tokens"),
     )

@@ -1025,6 +1025,40 @@ def lm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lm_bpe_tokenize_stats",
+    None,  # depends on the iteratively learned merges -> rows-only
+    tags=("lm", "iterative"),
+    doc="The inference half of BPE over the corpus: train 20 merges "
+    "(extensions/bpe.py), compile them into a fixed chain of scan-"
+    "stage regex expressions, tokenize every document, and report "
+    "per-language token statistics (docs, tokens, chars/token — the "
+    "compression the learned vocabulary buys).  Tokenization is one "
+    "shuffle-free projection; pytest pins train/apply consistency "
+    "(applying the merges reproduces training's final segmentation "
+    "word for word).",
+)
+def lm_bpe_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.bpe import bpe_tokenize, bpe_train
+
+    docs = load_table(spark, "documents", sf_dir)
+    merges, _ = bpe_train(docs, n_merges=20)
+    toks = bpe_tokenize(docs, merges)
+    return (
+        docs.select("doc_id", "lang", "n_chars")
+        .join(toks, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            (
+                F.sum("n_chars").cast("double")
+                / F.sum("n_tokens").cast("double")
+            ).alias("chars_per_token"),
+        )
+    )
+
+
+@register(
     "ops_file_layout_report",
     None,  # rows-only: per-file lineage (input_file_name) has no DuckDB-view analog
     tags=("ops",),

@@ -101,3 +101,27 @@ def test_bpe_metacharacter_symbols(spark):
     merges, vocab = bpe_train(docs, n_merges=2)
     assert [(m[0], m[1]) for m in merges] == [("$", "5"), ("$5", ".")]
     assert vocab.collect()[0].syms.strip() == "$5."
+
+
+def test_bpe_tokenize_matches_trained_segmentation(spark):
+    """Applying the learned merges to the TRAINING corpus must
+    reproduce exactly the segmentation training ended with, word for
+    word — train/apply consistency (the tokenizer-shipping contract)."""
+    import random
+
+    from greenbuttonengine_spark.extensions.bpe import bpe_tokenize, bpe_train
+
+    rng = random.Random(23)
+    words = ["low", "lower", "newest", "widest", "newer", "wide"]
+    corpus = [" ".join(rng.choice(words) for _ in range(5))
+              for _ in range(40)]
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(corpus)])
+    merges, vocab = bpe_train(docs, n_merges=8)
+    seg = {r.word: r.syms.split() for r in vocab.collect()}
+
+    out = {r.doc_id: list(r.tokens)
+           for r in bpe_tokenize(docs, merges).collect()}
+    for i, text in enumerate(corpus):
+        expect = [t for w in text.split() for t in seg[w]]
+        assert out[i] == expect, (i, out[i], expect)

@@ -128,3 +128,33 @@ def test_cdc_same_seq_update_delete_resolves_to_delete(spark, tmp_path):
     apply_cdc_batch(b, d, SCHEMA, ["user_id"], "seq", epoch_id=0,
                     n_buckets=4, op_col="op")
     assert _state(spark, d) == {2: (1, "free")}
+
+
+def test_cdc_generation_retention_window(spark, tmp_path):
+    """A superseded generation must survive _GEN_RETENTION_EPOCHS so a
+    reader holding the previous marker snapshot can finish its scan;
+    it is removed once the window passes."""
+    import os
+
+    from greenbuttonengine_spark.streaming.silver import (
+        _GEN_RETENTION_EPOCHS, apply_cdc_batch)
+
+    d = str(tmp_path / "silver_ret")
+    apply_cdc_batch(
+        spark.createDataFrame(_rows((1, 1, "a", "u"))), d, SCHEMA,
+        ["user_id"], "seq", epoch_id=0, n_buckets=2, op_col="op")
+    assert os.path.isdir(os.path.join(d, "gen-0"))
+
+    # epoch 1 supersedes key 1's bucket; gen-0 must SURVIVE (retention)
+    apply_cdc_batch(
+        spark.createDataFrame(_rows((1, 2, "b", "u"))), d, SCHEMA,
+        ["user_id"], "seq", epoch_id=1, n_buckets=2, op_col="op")
+    assert os.path.isdir(os.path.join(d, "gen-0")), "retention violated"
+
+    # advance past the retention window: gen-0 may now be collected
+    for e in range(2, 2 + _GEN_RETENTION_EPOCHS):
+        apply_cdc_batch(
+            spark.createDataFrame(_rows((1, e + 1, f"p{e}", "u"))), d,
+            SCHEMA, ["user_id"], "seq", epoch_id=e, n_buckets=2, op_col="op")
+    assert not os.path.isdir(os.path.join(d, "gen-0"))
+    assert _state(spark, d)[1][1] == f"p{1 + _GEN_RETENTION_EPOCHS}"
