@@ -93,6 +93,27 @@ _DRIVER_CHECKED = frozenset(
         "text_postings_stats", "text_tfidf_topk", "search_bm25_topk",
         "search_hybrid_rrf", "arr1_array_functions", "arr2_posexplode",
         "text_word_count",
+        # r05 greens (q12_priority_shipping stays out: its r5 row was red —
+        # HUGEINT-vs-BIGINT dtype hash mismatch, oracle cast fixed in r6,
+        # must re-verify)
+        "anomaly_mad_events", "asof2_tolerance_join", "attribution_linear_clicks",
+        "cumulative_distinct_users", "decontam_contig_spans",
+        "er_fuzzy_part_names", "events_dow_hour_heatmap", "feature_bin_quantile",
+        "graph_knn_cosine", "j9_full_outer_reconcile", "lm_bigram_probs",
+        "ltv_decile_by_nation", "map1_map_from_json", "math1_functions",
+        "o10_except_all", "profile_events_columns", "q2_min_cost_supplier",
+        "q4_order_priority", "q6_forecast_revenue", "q7_volume_shipping",
+        "q8_market_share", "q9_product_profit", "q10_returned_items",
+        "q11_important_volume", "q13_customer_distribution", "q14_promo_effect",
+        "q15_top_supplier", "q16_parts_supplier_count",
+        "q17_small_quantity_revenue", "q18_large_volume_customer",
+        "q19_disjunctive_revenue", "q20_promo_suppliers", "q21_waiting_suppliers",
+        "q22_sales_opportunity", "rolling_7d_active_users",
+        "sample_token_budget_lang", "sample_weighted_chars",
+        "search_phrase_positions", "stats_corr_events",
+        "text_doc_bigram_surprisal", "text_gopher_flags", "text_line_dedup",
+        "text_rare_token_stats", "text_ttr_hapax", "text_unigram_surprisal",
+        "ts1_gap_fill_daily", "w5_moving_avg_time_range",
     }
 )
 
@@ -101,31 +122,10 @@ _DRIVER_CHECKED = frozenset(
 # re-check block (ADVICE r4: keep re-check slots even when new queries
 # compete for the budget).  They are local-gate-verified now and become
 # ordinary oracle-new entries next round, when the budget has room.
-_DEFER_NEW = frozenset(
+_DEFER_NEW: frozenset[str] = frozenset(
     {
-        "user_event_transitions",
-        "o11_latest_per_key",
-        "embedding_centroid_similarity",
-        "dq_events_expectations",
-        "scd2_user_type_intervals",
-        "trending_topk_events",
-        "corpus_zipf_topk",
-        "w6_nth_value_cume_dist",
-        "session_concurrency_daily",
-        "dedup_cross_source_matrix",
-        "drift_value_histogram",
-        "dt1_datetime_functions",
-        "embedding_outlier_topk",
-        "lm_bpe_pair_counts",
-        "dedup_doc_containment",
-        "corpus_ngram_novelty",
-        "embedding_knn_classify",
-        "agg_contribution_bounded",
-        "lm_pmi_collocations",
-        "ops_zorder_key",
-        "dedup_repeated_substrings",
-        "stats_bootstrap_ci_events",
-        "pipeline_curation_v2",
+        # r6 additions queue here until the r5-deferred block has driver
+        # rows; they are local-gate green and pytest-pinned meanwhile.
     }
 )
 
