@@ -1,31 +1,40 @@
-"""BPE tokenizer TRAINING (Sennrich et al., ACL'16) — the full merge
-loop, Spark-first.
+"""BPE tokenizer TRAINING (Sennrich et al., ACL'16), Spark-first and
+scale-shaped.
 
-``lm_bpe_pair_counts`` exposes one counting round; this module runs
-the whole training: repeatedly find the most frequent adjacent symbol
-pair and merge it corpus-wide.  The Sennrich trick makes this cheap
-at any corpus size: training operates on the DISTINCT-WORD vocabulary
-weighted by word frequency (vocab size grows ~sub-linearly with the
-corpus, and the 100 TB corpus collapses to one word-count aggregate
-before the loop starts), so each merge round is:
+``lm_bpe_pair_counts`` exposes one counting round; this module runs the
+whole training.  The Sennrich trick makes training cheap at any corpus
+size: it operates on the DISTINCT-WORD vocabulary weighted by word
+frequency, so the 100 TB corpus collapses to ONE word-count aggregate
+before the merge loop starts.  The vocab is bounded by distinct words
+(millions, not corpus-sized), which dictates the scale-correct split:
 
-1. one pair-count aggregate over the vocab (map-side combined,
-   weighted by word count) + a TakeOrdered top-1 — the only action;
-2. one lookaround-regex replace over the vocab's padded symbol
-   strings (``(?<= )a b(?= )`` -> ``ab``) — boundary spaces stay
-   unconsumed, so Java's left-to-right non-overlapping matching
-   reproduces greedy BPE on runs exactly (``a a a a`` ->
-   ``(aa) (aa)``; a literal replace would eat the shared separator
-   and skip every second pair).
+1. **Spark**: one ``groupBy(word).count()`` over the corpus — the only
+   corpus-sized work, map-side combined.
+2. **Driver**: ``collect()`` the vocab once (vocab-sized), then run the
+   merge loop locally with incremental pair-count maintenance and a
+   lazy max-heap — the standard ``learn_bpe.py`` optimization.  Each
+   merge touches only the words that contain the merged pair, so
+   n_merges=32k is minutes of driver CPU, not 32k sequential Spark
+   jobs (the r5 form paid one aggregate + one collect + one vocab-wide
+   regexp_replace PER merge — days of scheduler overhead at tokenizer
+   scale).
+3. **Spark**: ship the learned merges back through ``bpe_tokenize``,
+   which compiles the rule program into scan-stage Catalyst
+   expressions — tokenization of the 100 TB corpus never leaves the
+   JVM.
 
-The driver loop is control flow only (n_merges rounds, one scalar
-collect each); vocab lineage is truncated per round with
-localCheckpoint, the same iterative-operator posture as
-``dedup.duplicate_clusters``.  Ties break (count DESC, pair ASC) —
-deterministic across partitionings and engines.
+Ties break (count DESC, pair ASC) — deterministic across engines; the
+heap key ``(-count, pair)`` preserves that ordering exactly.
+
+``bpe_train_spark_loop`` keeps the r5 all-Spark merge loop as a
+cross-check (pytest pins merge-sequence equality between the two); it
+is the honest-but-serial form: 1 Spark job per merge.
 """
 
 from __future__ import annotations
+
+import heapq
+from collections import Counter
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -53,6 +62,28 @@ def _to_symbols(word_col):
     )
 
 
+def _quote_java(s: str) -> str:
+    r"""Java-regex literal quoting, mirroring ``Pattern.quote``: wrap in
+    \Q..\E and split any embedded literal '\E' so it cannot terminate
+    the quote early (a symbol learned from web text CAN contain '\E';
+    a single \Q..\E span would hand the remainder to the regex engine
+    as raw pattern)."""
+    return "\\Q" + s.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+
+
+def _pair_pattern(a: str, b: str) -> str:
+    # lookarounds keep the boundary spaces UNconsumed so back-to-back
+    # occurrences (' a a a a ') merge in one pass exactly like greedy
+    # BPE — a literal ' a b '->' ab ' replace would eat the shared
+    # separator and skip every second pair in a run.
+    return f"(?<= )({_quote_java(a)}) ({_quote_java(b)})(?= )"
+
+
+def _repl_escape(s: str) -> str:
+    # Java replacement strings treat \ and $ as group references
+    return s.replace("\\", "\\\\").replace("$", "\\$")
+
+
 def bpe_train(
     docs: DataFrame,
     n_merges: int = 10,
@@ -65,7 +96,120 @@ def bpe_train(
     learned order.  final_vocab: (word, n, syms) with the trained
     segmentation (syms = padded symbol string).  Stops early when no
     pair reaches ``min_pair_count``.
+
+    Scale shape: one corpus-sized Spark aggregate, one vocab-sized
+    collect, a driver-local incremental merge loop (lazy-heap), then
+    vocab-sized createDataFrame — 3 Spark jobs total regardless of
+    n_merges (the r5 form was 2 jobs PER merge; see module docstring).
     """
+    rows = word_vocab(docs, text_col).collect()
+    vocab_counts = [(tuple(r.word), int(r.n)) for r in rows]
+    merges, seg = _merge_loop_local_incremental(
+        vocab_counts, n_merges, min_pair_count
+    )
+    word_n = {r.word: int(r.n) for r in rows}
+    out_rows = [
+        (w, word_n[w], " " + " ".join(syms) + " ") for w, syms in seg.items()
+    ]
+    spark = docs.sparkSession
+    final = spark.createDataFrame(out_rows, "word string, n long, syms string")
+    return merges, final
+
+
+def _merge_loop_local_incremental(
+    vocab_counts: list[tuple[tuple[str, ...], int]],
+    n_merges: int,
+    min_pair_count: int,
+) -> tuple[list[tuple[str, str, int]], dict[str, tuple[str, ...]]]:
+    """Incremental Sennrich loop: lazy max-heap over pair counts +
+    pair->words postings; each merge rewrites only words containing
+    the pair and applies exact count deltas (learn_bpe.py's shape).
+
+    Invariant used by the lazy heap: a pair's count never silently
+    rises — every increase pushes a fresh heap entry, so the top-of-
+    heap check against the live Counter is sound.
+    """
+    words: list[list[str]] = [list(syms) for syms, _ in vocab_counts]
+    weights: list[int] = [w for _, w in vocab_counts]
+    pair_counts: Counter = Counter()
+    where: dict[tuple[str, str], set[int]] = {}
+    for idx, syms in enumerate(words):
+        w = weights[idx]
+        for i in range(len(syms) - 1):
+            p = (syms[i], syms[i + 1])
+            pair_counts[p] += w
+            where.setdefault(p, set()).add(idx)
+    heap = [(-c, p) for p, c in pair_counts.items()]
+    heapq.heapify(heap)
+
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        best = None
+        while heap:
+            negc, p = heap[0]
+            live = pair_counts.get(p, 0)
+            if live == -negc:
+                best = (p, live)
+                break
+            heapq.heappop(heap)
+            if live > 0:
+                heapq.heappush(heap, (-live, p))
+        if best is None or best[1] < min_pair_count:
+            break
+        (a, b), cnt = best
+        merges.append((a, b, int(cnt)))
+        ab = a + b
+        touched = where.pop((a, b), set())
+        changed_pairs: set[tuple[str, str]] = set()
+        for idx in touched:
+            syms = words[idx]
+            w = weights[idx]
+            # remove ALL old pair counts for this word, rewrite, re-add:
+            # exact and simple; cost is O(len(word)), still only over
+            # touched words
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pair_counts[p] -= w
+                changed_pairs.add(p)
+                s = where.get(p)
+                if s is not None:
+                    s.discard(idx)
+            out: list[str] = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(ab)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[idx] = out
+            for i in range(len(out) - 1):
+                p = (out[i], out[i + 1])
+                pair_counts[p] += w
+                changed_pairs.add(p)
+                where.setdefault(p, set()).add(idx)
+        for p in changed_pairs:
+            c = pair_counts.get(p, 0)
+            if c <= 0:
+                pair_counts.pop(p, None)
+                where.pop(p, None)
+            else:
+                heapq.heappush(heap, (-c, p))
+        pair_counts.pop((a, b), None)
+        where.pop((a, b), None)
+    return merges, {"".join(s): tuple(s) for s in words}
+
+
+def bpe_train_spark_loop(
+    docs: DataFrame,
+    n_merges: int = 10,
+    text_col: str = "text",
+    min_pair_count: int = 2,
+) -> tuple[list[tuple[str, str, int]], DataFrame]:
+    """r5's all-Spark merge loop, kept as a cross-check for the local
+    loop (1 aggregate + 1 collect + 1 vocab regexp_replace per merge —
+    do not use past toy merge counts; see module docstring)."""
     vocab = (
         word_vocab(docs, text_col)
         .withColumn("syms", _to_symbols(F.col("word")))
@@ -90,21 +234,13 @@ def bpe_train(
             .groupBy("p.a", "p.b")
             .agg(F.sum("n").cast("long").alias("cnt"))
         )
-        top = (
-            pairs.orderBy(F.desc("cnt"), "a", "b").limit(1).collect()
-        )
+        top = pairs.orderBy(F.desc("cnt"), "a", "b").limit(1).collect()
         if not top or top[0].cnt < min_pair_count:
             break
         a, b, cnt = top[0].a, top[0].b, int(top[0].cnt)
         merges.append((a, b, cnt))
-        # lookarounds keep the boundary spaces UNconsumed so back-to-
-        # back occurrences (' a a a a ') merge in one pass exactly like
-        # greedy BPE — a literal ' a b '->' ab ' replace would eat the
-        # shared separator and skip every second pair in a run.
-        # \Q..\E quotes symbols that contain regex metacharacters.
-        pat = f"(?<= )\\Q{a} {b}\\E(?= )"
-        # Java replacement strings treat \ and $ as group references
-        repl = (a + b).replace("\\", "\\\\").replace("$", "\\$")
+        pat = _pair_pattern(a, b)
+        repl = _repl_escape(a + b)
         vocab = vocab.withColumn(
             "syms", F.regexp_replace(F.col("syms"), pat, repl)
         ).localCheckpoint(eager=False)
@@ -150,9 +286,7 @@ def bpe_tokenize(
         s = F.concat(F.lit(" "), F.concat_ws(" ", F.split(w, "")), F.lit(" "))
         for m in merges:
             a, b = m[0], m[1]
-            pat = f"(?<= )\\Q{a} {b}\\E(?= )"
-            repl = (a + b).replace("\\", "\\\\").replace("$", "\\$")
-            s = F.regexp_replace(s, pat, repl)
+            s = F.regexp_replace(s, _pair_pattern(a, b), _repl_escape(a + b))
         return F.split(F.trim(s), " ")
 
     toks = F.flatten(

@@ -125,3 +125,61 @@ def test_bpe_tokenize_matches_trained_segmentation(spark):
     for i, text in enumerate(corpus):
         expect = [t for w in text.split() for t in seg[w]]
         assert out[i] == expect, (i, out[i], expect)
+
+
+def test_bpe_local_loop_matches_spark_loop(spark):
+    """The scale-shaped driver-local merge loop (bpe_train) and the
+    all-Spark r5 loop (bpe_train_spark_loop) must learn identical
+    merge sequences and segmentations — the cross-check that lets the
+    local loop own the training path."""
+    import random
+
+    from greenbuttonengine_spark.extensions.bpe import (
+        bpe_train,
+        bpe_train_spark_loop,
+    )
+
+    rng = random.Random(41)
+    words = ["low", "lower", "newest", "widest", "est", "blow",
+             "widely", "news", "lowly", "wider"]
+    corpus = [" ".join(rng.choice(words) for _ in range(4))
+              for _ in range(120)]
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(corpus)])
+
+    merges_local, vocab_local = bpe_train(docs, n_merges=10)
+    merges_spark, vocab_spark = bpe_train_spark_loop(docs, n_merges=10)
+    assert merges_local == merges_spark
+    seg_local = {r.word: r.syms.split() for r in vocab_local.collect()}
+    seg_spark = {r.word: r.syms.split() for r in vocab_spark.collect()}
+    assert seg_local == seg_spark
+
+
+def test_bpe_many_merges_incremental_vs_reference(spark):
+    """300 merges over a synthetic 60-word weighted vocab: the
+    incremental lazy-heap loop must track the O(vocab)-per-merge
+    reference exactly (this is where stale-heap or delta-accounting
+    bugs would surface)."""
+    import random
+
+    from greenbuttonengine_spark.extensions.bpe import (
+        _merge_loop_local_incremental,
+    )
+
+    rng = random.Random(7)
+    alpha = "abcdef"
+    vocab_counts = []
+    seen = set()
+    while len(vocab_counts) < 60:
+        w = "".join(rng.choice(alpha) for _ in range(rng.randint(3, 12)))
+        if w in seen:
+            continue
+        seen.add(w)
+        vocab_counts.append((tuple(w), rng.randint(1, 50)))
+
+    merges, seg = _merge_loop_local_incremental(vocab_counts, 300, 1)
+    ref_merges, ref_vocab = py_bpe(
+        {"".join(s): c for s, c in vocab_counts}, 300, 1)
+    assert merges == ref_merges
+    ref_seg = {"".join(s): s for s in ref_vocab}
+    assert seg == ref_seg
