@@ -1099,10 +1099,14 @@ def repeated_substring_spans(
         (F.col("__p0") + 1).alias("__pos"),
         (F.xxhash64("__w") if hashed else F.col("__w")).alias("__w"),
     )
+    # ">= 2 distinct docs" as min!=max: a single-pass aggregate that
+    # map-side combines to one row per window BEFORE the shuffle —
+    # countDistinct would plan a two-phase distinct expand shuffling
+    # every (window, doc) pair
     cross = (
         w.groupBy("__w")
-        .agg(F.countDistinct(id_col).alias("__nd"))
-        .filter(F.col("__nd") >= 2)
+        .agg(F.min(id_col).alias("__lo"), F.max(id_col).alias("__hi"))
+        .filter(F.col("__lo") != F.col("__hi"))
         .select("__w")
     )
     hits = w.join(cross, "__w").select(id_col, "__pos")

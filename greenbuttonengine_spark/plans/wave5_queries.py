@@ -666,15 +666,21 @@ def ops_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     "islands (window partitioned BY DOC), min 5 consecutive windows "
     "as the chance-collision floor.  The memorization-risk report "
     "that span-level cut policies consume.  One window-keyed shuffle "
-    "+ one per-doc window; joins on raw substrings so the oracle is "
-    "exact.  See extensions/dedup.py repeated_substring_spans for "
-    "the suffix-array correspondence.",
+    "+ one per-doc window.  The declared query runs the hashed=True "
+    "scale path (xxhash64 each window BEFORE the shuffle: 8 bytes/row "
+    "instead of ~40 — the r5 raw form inflated the shuffle ~40x at "
+    "100 TB); the raw-substring form survives as this DuckDB oracle, "
+    "and pytest pins raw==hashed on planted spans (a divergence needs "
+    "a 64-bit window collision with min_windows-1 colliding "
+    "neighbors — vanishing).  See extensions/dedup.py "
+    "repeated_substring_spans for the suffix-array correspondence.",
 )
 def dedup_repeated_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..extensions import dedup
 
     return dedup.repeated_substring_spans(
-        load_table(spark, "documents", sf_dir), k=40, min_windows=5
+        load_table(spark, "documents", sf_dir), k=40, min_windows=5,
+        hashed=True,
     )
 
 
