@@ -9,9 +9,14 @@
                 (+ optional multi-probe neighbors).  The 100 TB path:
                 candidate set per query is ~corpus/2^planes.
 
-Hyperplanes are deterministic pseudo-random (xxhash64 of
-(plane, dimension) -> uniform in [-1, 1]) so results are reproducible
-with no stored model.  All math native (zip_with/aggregate fold in
+Hyperplanes are deterministic pseudo-random: an LCG over
+(plane, dimension) -> uniform in [-1, 1], computed ONCE on the driver
+and embedded as literal weight arrays (scan-stage constants — the r5
+form re-evaluated xxhash64 per row per (plane, dim): 256 hashes/row
+at planes=4 x dim=64).  Results are reproducible with no stored
+model, and because the weights are plain decimal literals the whole
+bucketing is DuckDB-expressible, which is what lets ann_lsh_topk
+carry a full SQL oracle.  All math native (zip_with/aggregate fold in
 double).
 """
 
@@ -66,24 +71,32 @@ def _score_and_rank(candidates: DataFrame, k: int) -> DataFrame:
     )
 
 
-def _bucket_signature(v, planes: int, dim: int):
-    """Sign pattern of the vector against `planes` deterministic
-    hyperplanes, packed into a long.
+_LCG_A, _LCG_C, _LCG_M = 1103515245, 12345, 1 << 31
 
-    plane_w[p][d] = xxhash64(p, d) scaled to [-1, 1] — reproducible
-    everywhere, no stored model."""
-    def plane_weights(p: int):
-        # single-arg lambda: an arity-2 lambda would receive the array
-        # INDEX as its second argument, shadowing p and collapsing all
-        # planes to identical weights
-        return F.transform(
-            F.sequence(F.lit(0), F.lit(dim - 1)),
-            lambda d: (F.xxhash64(F.lit(p), d).cast("double") / F.lit(float(1 << 63))),
-        )
 
+def _lcg_unit(i: int) -> float:
+    """Deterministic uniform in [0, 1): one LCG step keyed by i.
+    Plain integer arithmetic -> the same constant in any engine."""
+    return ((_LCG_A * (i + 1) + _LCG_C) % _LCG_M) / float(_LCG_M)
+
+
+def plane_weights(planes: int, dim: int) -> list[list[float]]:
+    """Hyperplane weight matrix, w[p][d] = LCG(p*dim+d) scaled to
+    [-1, 1].  Driver-computed constants; ``repr(float)`` round-trips
+    exactly, so embedding these literals in SQL reproduces the Spark
+    doubles bit-for-bit."""
+    return [
+        [2.0 * _lcg_unit(p * dim + d) - 1.0 for d in range(dim)]
+        for p in range(planes)
+    ]
+
+
+def _bucket_signature(v, weights: list[list[float]]):
+    """Sign pattern of the vector against the literal hyperplanes,
+    packed into a long."""
     sig = F.lit(0).cast("long")
-    for p in range(planes):
-        proj = _dot(v, plane_weights(p))
+    for p, w in enumerate(weights):
+        proj = _dot(v, F.array(*[F.lit(x) for x in w]))
         sig = sig + F.when(proj > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
     return sig
 
@@ -147,6 +160,95 @@ def ivf_topk(
     return _score_and_rank(assigned.join(F.broadcast(probes), "cell"), k)
 
 
+def seeded_centroids(
+    corpus: DataFrame,
+    n_centroids: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[tuple[int, list[float], float]]:
+    """Deterministic coarse-quantizer seeds WITHOUT a trained model:
+    the ``n_centroids`` corpus vectors with the smallest
+    ``(LCG(vec_id), vec_id)`` key — a seeded uniform sample, the
+    random-seed IVF variant (cells are Voronoi regions of sampled
+    points; balance is worse than k-means but the quantizer is pure
+    integer arithmetic, so ANY engine reproduces it exactly — this is
+    what makes ann_ivf_topk oracle-checkable end to end).
+
+    Selection is TakeOrderedAndProject (no global window); returns
+    [(cell, vector, norm)] with cell = rank in the sample.  Norms are
+    computed with the same left-to-right fold DuckDB's
+    list_dot_product uses, so the embedded literals match bitwise.
+    """
+    import math
+
+    key = ((F.col("sid") % F.lit(_LCG_M)) * F.lit(_LCG_A) + F.lit(_LCG_C)) % F.lit(_LCG_M)
+    rows = (
+        corpus.select(F.col(id_col).alias("sid"), _as_double(vec_col).alias("sv"))
+        .withColumn("__k", key)
+        .orderBy("__k", "sid")
+        .limit(n_centroids)
+        .collect()
+    )
+    rows = sorted(rows, key=lambda r: (r["__k"], r["sid"]))
+    out = []
+    for cell, r in enumerate(rows):
+        v = [float(x) for x in r.sv]
+        acc = 0.0
+        for x in v:
+            acc += x * x
+        out.append((cell, v, math.sqrt(acc)))
+    return out
+
+
+def ivf_topk_seeded(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF approximate top-k with the seeded-sample coarse quantizer
+    (``seeded_centroids``): assignment and probing rank by
+    cosine-to-seed, computed against LITERAL seed arrays — a pure
+    scan-stage argmax (sorted struct array), no window, no shuffle
+    for assignment; the only shuffle is the cell equi-join, with the
+    (tiny) probe side broadcast.
+
+    vs ``ivf_topk`` (MLlib k-means): cells are less balanced, but the
+    whole query is deterministic integer+double arithmetic both
+    engines reproduce bit-for-bit, so it carries a full DuckDB oracle
+    instead of a rows-only row.  Same recall contract (pytest bounds
+    both against brute force)."""
+    seeds = seeded_centroids(corpus, n_centroids, vec_col, id_col)
+
+    def cell_scores(v):
+        # struct(score, -cell): sort_array desc => score desc, cell asc
+        entries = [
+            F.struct(
+                (_dot(v, F.array(*[F.lit(x) for x in sv])) / F.lit(nrm)).alias("s"),
+                F.lit(-cell).alias("nc"),
+            )
+            for cell, sv, nrm in seeds
+        ]
+        return F.sort_array(F.array(*entries), asc=False)
+
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv"))
+    c = c.withColumn("cell", -F.element_at(cell_scores(F.col("cv")), 1)["nc"])
+    q = queries.select(F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv"))
+    q = q.select(
+        "query_id",
+        "qv",
+        F.explode(
+            F.transform(
+                F.slice(cell_scores(F.col("qv")), 1, n_probe), lambda s: -s["nc"]
+            )
+        ).alias("cell"),
+    )
+    return _score_and_rank(c.join(F.broadcast(q), "cell"), k)
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -166,10 +268,11 @@ def lsh_topk(
     on the wrong side of ONE hyperplane is still found.  Candidates
     grow from 1 to (1+planes) buckets of 2^planes — still a small
     corpus fraction at scale."""
+    weights = plane_weights(planes, dim)
     c = corpus.select(F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv"))
-    c = c.withColumn("bucket", _bucket_signature(F.col("cv"), planes, dim))
+    c = c.withColumn("bucket", _bucket_signature(F.col("cv"), weights))
     q = queries.select(F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv"))
-    q = q.withColumn("bucket", _bucket_signature(F.col("qv"), planes, dim))
+    q = q.withColumn("bucket", _bucket_signature(F.col("qv"), weights))
     if multiprobe:
         probe_buckets = F.array(
             F.col("bucket"),

@@ -199,26 +199,128 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(emb, emb.filter(F.col("vec_id") < 16), k=10)
 
 
+def _ivf_seeded_oracle_sql(n_centroids: int = 16, n_probe: int = 4,
+                           k: int = 10) -> str:
+    """DuckDB mirror of similarity.ivf_topk_seeded: the seeded-sample
+    coarse quantizer is integer LCG arithmetic + ordered double folds,
+    both of which DuckDB reproduces bit-for-bit (list_dot_product is
+    the same left-to-right fold as the Spark aggregate)."""
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    seeds AS (
+        SELECT ROW_NUMBER() OVER (
+                   ORDER BY ((vec_id % 2147483648) * 1103515245 + 12345)
+                            % 2147483648, vec_id) - 1 AS cell, v
+        FROM e
+        QUALIFY cell < {n_centroids}
+    ),
+    assign AS (
+        SELECT e.vec_id AS neighbor_id, e.v AS cv, s.cell
+        FROM e CROSS JOIN seeds s
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY e.vec_id
+            ORDER BY list_dot_product(e.v, s.v)
+                         / sqrt(list_dot_product(s.v, s.v)) DESC, s.cell) = 1
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 16),
+    probes AS (
+        SELECT q.query_id, q.qv, s.cell
+        FROM q CROSS JOIN seeds s
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY q.query_id
+            ORDER BY list_dot_product(q.qv, s.v)
+                         / sqrt(list_dot_product(s.v, s.v)) DESC, s.cell)
+            <= {n_probe}
+    ),
+    scored AS (
+        SELECT p.query_id, a.neighbor_id,
+               list_dot_product(p.qv, a.cv)
+                   / (sqrt(list_dot_product(p.qv, p.qv))
+                      * sqrt(list_dot_product(a.cv, a.cv))) AS cosine
+        FROM probes p JOIN assign a USING (cell)
+        WHERE a.neighbor_id != p.query_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+        SELECT scored.*, CAST(ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id)
+            AS BIGINT) AS rank
+        FROM scored
+    ) t WHERE rank <= {k}
+    """
+
+
 @register(
     "ann_ivf_topk",
-    None,
-    tags=("similarity", "approx", "tiny-bnlj"),
-    doc="IVF approximate top-k: deterministic k-means coarse quantizer "
-    "(16 cells), queries probe their 4 nearest cells — a query scans "
-    "~25% of the corpus instead of all of it. pytest bounds recall vs "
-    "the brute-force oracle.",
+    _ivf_seeded_oracle_sql(),
+    tags=("similarity", "approx"),
+    doc="IVF approximate top-k, seeded-sample coarse quantizer (16 "
+    "cells, 4 probes): a query scans ~25% of the corpus instead of "
+    "all of it.  Assignment/probing is a scan-stage argmax against "
+    "LITERAL seed vectors (no window, no shuffle); the only shuffle "
+    "is the cell equi-join with the probe side broadcast.  The "
+    "integer-LCG seed selection makes the whole query DuckDB-"
+    "reproducible, so this carries a full oracle (r6 — it was rows-"
+    "only when the quantizer was MLlib k-means; that trained variant "
+    "remains as similarity.ivf_topk with pytest recall bounds).",
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
-    return similarity.ivf_topk(emb, emb.filter(F.col("vec_id") < 16), k=10)
+    return similarity.ivf_topk_seeded(
+        emb, emb.filter(F.col("vec_id") < 16), k=10
+    )
+
+
+def _lsh_oracle_sql(planes: int = 4, dim: int = 64, k: int = 10) -> str:
+    """DuckDB mirror of similarity.lsh_topk: the hyperplane weights
+    are driver-computed LCG constants embedded as decimal literals
+    (repr round-trips doubles exactly), so signatures match Spark's
+    bit-for-bit."""
+    ws = similarity.plane_weights(planes, dim)
+    sig_terms = " + ".join(
+        f"CASE WHEN list_dot_product(v, [{', '.join(repr(x) for x in w)}]) > 0 "
+        f"THEN {1 << p} ELSE 0 END"
+        for p, w in enumerate(ws)
+    )
+    probe_list = ", ".join(
+        ["bucket"] + [f"xor(bucket, {1 << p})" for p in range(planes)]
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    sigs AS (
+        SELECT vec_id, v, {sig_terms} AS bucket FROM e
+    ),
+    probes AS (
+        SELECT query_id, qv, UNNEST([{probe_list}]) AS bucket
+        FROM (SELECT vec_id AS query_id, v AS qv, bucket
+              FROM sigs WHERE vec_id < 16)
+    ),
+    scored AS (
+        SELECT p.query_id, s.vec_id AS neighbor_id,
+               list_dot_product(p.qv, s.v)
+                   / (sqrt(list_dot_product(p.qv, p.qv))
+                      * sqrt(list_dot_product(s.v, s.v))) AS cosine
+        FROM probes p JOIN sigs s USING (bucket)
+        WHERE s.vec_id != p.query_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+        SELECT scored.*, CAST(ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id)
+            AS BIGINT) AS rank
+        FROM scored
+    ) t WHERE rank <= {k}
+    """
 
 
 @register(
     "ann_lsh_topk",
-    None,
+    _lsh_oracle_sql(),
     tags=("similarity", "approx"),
     doc="Hyperplane-LSH bucketed top-k — the 100 TB path (bucket join "
-    "replaces the cross product). Deterministic xxhash64 hyperplanes.",
+    "replaces the cross product), with Hamming-1 multi-probe.  "
+    "Hyperplanes are driver-computed LCG literals (scan-stage "
+    "constants; r5 re-evaluated xxhash64 per row per (plane, dim)), "
+    "which also makes the query DuckDB-reproducible: full oracle "
+    "since r6.",
 )
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)

@@ -788,6 +788,32 @@ def test_anomaly_zscore_zero_variance_stratum(spark, tmp_path):
     assert any(r.event_type == "noisy" for r in out)
 
 
+def test_ivf_seeded_recall_and_cell_cover(spark, emb):
+    """The seeded-sample quantizer (oracle-checkable ann_ivf_topk
+    form) must keep the same recall contract as the k-means form, and
+    every corpus vector must land in exactly one of the 16 cells."""
+    from greenbuttonengine_spark.extensions import similarity
+
+    queries = emb.filter(F.col("vec_id") < 16)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk(emb, queries, k=10).collect()
+    }
+    seeded = similarity.ivf_topk_seeded(
+        emb, queries, k=10, n_centroids=16, n_probe=4
+    ).collect()
+    got = {(r.query_id, r.neighbor_id) for r in seeded}
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.3, f"seeded IVF recall {recall}"
+    # per-query output is a valid ranked list
+    by_q = {}
+    for r in seeded:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rows in by_q.items():
+        ranks = sorted(r.rank for r in rows)
+        assert ranks == list(range(1, len(rows) + 1)), q
+
+
 def test_lsh_planted_skew_band(spark, docs):
     """The declared LSH hot-key posture must actually engage on a
     degenerate corpus: 180 identical docs collapse into one bucket per
