@@ -26,7 +26,10 @@ from pyspark.sql import functions as F
 def not_null(col: str) -> tuple[str, Column, str]:
     return (
         f"not_null({col})",
-        F.sum(F.col(col).isNull().cast("long")),
+        # coalesce: on an EMPTY table sum aggregates to NULL, which
+        # would report observed=NULL / passed=NULL — and a NULL
+        # 'passed' slips through boolean failure filters silently
+        F.coalesce(F.sum(F.col(col).isNull().cast("long")), F.lit(0)),
         "eq0",
     )
 
@@ -42,11 +45,11 @@ def unique(col: str) -> tuple[str, Column, str]:
 def in_range(col: str, lo, hi) -> tuple[str, Column, str]:
     return (
         f"in_range({col})",
-        F.sum(
+        F.coalesce(F.sum(
             (~F.col(col).between(F.lit(lo), F.lit(hi)) | F.col(col).isNull()).cast(
                 "long"
             )
-        ),
+        ), F.lit(0)),
         "eq0",
     )
 
@@ -54,7 +57,10 @@ def in_range(col: str, lo, hi) -> tuple[str, Column, str]:
 def in_set(col: str, values: tuple) -> tuple[str, Column, str]:
     return (
         f"in_set({col})",
-        F.sum((~F.col(col).isin(*values) | F.col(col).isNull()).cast("long")),
+        F.coalesce(
+            F.sum((~F.col(col).isin(*values) | F.col(col).isNull()).cast("long")),
+            F.lit(0),
+        ),
         "eq0",
     )
 

@@ -156,7 +156,12 @@ def pca_fit(
     import pandas as pd
 
     if dim is None:
-        dim = len(emb.select(vec_col).first()[0])
+        probe = emb.select(vec_col).first()
+        if probe is None or probe[0] is None:
+            # empty input (or a NULL lead vector) would otherwise die
+            # on len(None) before the n==0 ValueError below
+            raise ValueError("pca_fit: empty input")
+        dim = len(probe[0])
     src = emb.select(F.col(vec_col).cast("array<double>").alias("__v"))
 
     def partial(it):

@@ -976,9 +976,12 @@ def stats_bootstrap_ci_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scan).  The share window runs over the O(langs) aggregate only.",
 )
 def pipeline_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return curation_v2_table(load_table(spark, "documents", sf_dir))
+
+
+def curation_v2_table(docs: DataFrame) -> DataFrame:
     from ..extensions.textstats import quality_score_cols
 
-    docs = load_table(spark, "documents", sf_dir)
     # one shingle scan feeds BOTH gates (the oracle SQL shares the
     # same CTE); localCheckpoint materializes it once — 22.2s -> 12.4s
     # warm at 50k docs (SCALING.md)

@@ -66,9 +66,31 @@ def _bucket_col(key_cols: list[str], n_buckets: int):
     return F.pmod(F.xxhash64(*key_cols), F.lit(n_buckets)).cast("int")
 
 
+def _store_schema(schema):
+    """On-disk bucket schema: data columns + tombstone metadata.
+    Tombstones ARE stored (``__deleted`` plus the epoch that wrote
+    them): a later micro-batch carrying an out-of-order update with a
+    LOWER seq than the delete must lose to the tombstone instead of
+    resurrecting the key — dropping 'd' winners entirely (the r5
+    behavior) broke the cross-batch "highest seq wins" contract."""
+    from pyspark.sql.types import (
+        BooleanType, LongType, StructField, StructType,
+    )
+
+    return StructType(
+        list(schema.fields)
+        + [
+            StructField("__deleted", BooleanType(), True),
+            StructField("__del_epoch", LongType(), True),
+        ]
+    )
+
+
 def read_current(spark: SparkSession, table_dir: str, schema) -> DataFrame:
     """The committed current state: union of every bucket's latest
-    generation (path-pruned — no directory scans outside the marker)."""
+    generation (path-pruned — no directory scans outside the marker).
+    Tombstoned keys are filtered here; the public contract is
+    unchanged (data columns only, deleted keys absent)."""
     state = _read_state(table_dir)
     paths = [
         os.path.join(table_dir, gen, f"__bucket={b}")
@@ -77,7 +99,12 @@ def read_current(spark: SparkSession, table_dir: str, schema) -> DataFrame:
     paths = [p for p in paths if os.path.isdir(p)]
     if not paths:
         return spark.createDataFrame([], schema)
-    return spark.read.schema(schema).parquet(*paths)
+    data_cols = [f.name for f in schema.fields]
+    return (
+        spark.read.schema(_store_schema(schema)).parquet(*paths)
+        .filter(~F.coalesce(F.col("__deleted"), F.lit(False)))
+        .select(*data_cols)
+    )
 
 
 def apply_cdc_batch(
@@ -89,9 +116,18 @@ def apply_cdc_batch(
     epoch_id: int,
     n_buckets: int = 16,
     op_col: str | None = None,
+    tombstone_retention_epochs: int | None = None,
 ) -> None:
     """MERGE one micro-batch into the keyed table (see module doc).
-    ``schema`` is the DATA schema (without op_col)."""
+    ``schema`` is the DATA schema (without op_col).
+
+    Deletes persist as tombstones (``__deleted``/``__del_epoch`` in
+    the bucket files) so an out-of-order update arriving in a LATER
+    micro-batch with a lower seq than the delete still loses.  With
+    ``tombstone_retention_epochs`` set, a stored tombstone stops
+    shielding once it is that many epochs old (bounded state, same
+    trade as Delta's tombstone retention); the default ``None`` keeps
+    tombstones forever (one skinny row per deleted key)."""
     from pyspark.sql.window import Window
 
     state = _read_state(table_dir)
@@ -111,25 +147,40 @@ def apply_cdc_batch(
             if str(b) in state["buckets"]
         ]
         cur_paths = [p for p in cur_paths if os.path.isdir(p)]
+        store_schema = _store_schema(schema)
         if cur_paths:
-            current = spark.read.schema(schema).parquet(*cur_paths).withColumn(
+            current = spark.read.schema(store_schema).parquet(*cur_paths).withColumn(
                 "__bucket", _bucket_col(key_cols, n_buckets)
             )
         else:
             current = (
-                spark.createDataFrame([], schema)
+                spark.createDataFrame([], store_schema)
                 .withColumn("__bucket", F.lit(0))
                 .limit(0)
             )
         data_cols = [f.name for f in schema.fields]
-        b_norm = batch.withColumn(
-            "__op",
-            F.col(op_col) if op_col else F.lit("u"),
-        ).select(*data_cols, "__bucket", "__op", F.lit(1).alias("__prio"))
-        c_norm = current.select(
-            *data_cols, "__bucket", F.lit("u").alias("__op"),
-            F.lit(0).alias("__prio"),
+        op = F.col(op_col) if op_col else F.lit("u")
+        b_norm = batch.withColumn("__op", op).select(
+            *data_cols, "__bucket", "__op", F.lit(1).alias("__prio"),
+            F.when(F.col("__op") == "d", F.lit(epoch_id))
+            .otherwise(F.lit(None)).cast("long").alias("__del_epoch"),
         )
+        stored_deleted = F.coalesce(F.col("__deleted"), F.lit(False))
+        c_norm = current.select(
+            *data_cols, "__bucket",
+            F.when(stored_deleted, F.lit("d")).otherwise(F.lit("u")).alias("__op"),
+            F.lit(0).alias("__prio"), F.col("__del_epoch"),
+        )
+        if tombstone_retention_epochs is not None:
+            # an expired tombstone stops shielding its key: drop it
+            # BEFORE the merge window so state stays bounded
+            c_norm = c_norm.filter(
+                ~(
+                    (F.col("__op") == "d")
+                    & (F.col("__del_epoch")
+                       <= F.lit(epoch_id - tombstone_retention_epochs))
+                )
+            )
         # total order: highest seq wins; at equal seq the batch beats
         # stored state (__prio); a batch carrying BOTH an update and a
         # delete at the same seq resolves deterministically to the
@@ -146,8 +197,11 @@ def apply_cdc_batch(
             b_norm.unionByName(c_norm)
             .withColumn("__rn", rn)
             .filter(F.col("__rn") == 1)
-            .filter(F.col("__op") != "d")
-            .select(*data_cols, "__bucket")
+            .select(
+                *data_cols, "__bucket",
+                (F.col("__op") == "d").alias("__deleted"),
+                "__del_epoch",
+            )
         )
         gen = f"gen-{epoch_id}"
         (
@@ -200,6 +254,7 @@ def start_cdc_upsert_stream(
     n_buckets: int = 16,
     op_col: str | None = None,
     available_now: bool = False,
+    tombstone_retention_epochs: int | None = None,
 ) -> StreamingQuery:
     """Wire ``apply_cdc_batch`` as the foreachBatch of a CDC stream.
     foreachBatch epoch ids are monotonic per checkpoint, which is what
@@ -211,6 +266,7 @@ def start_cdc_upsert_stream(
         apply_cdc_batch(
             batch, table_dir, schema, key_cols, seq_col, epoch_id,
             n_buckets=n_buckets, op_col=op_col,
+            tombstone_retention_epochs=tombstone_retention_epochs,
         )
 
     writer = source.writeStream.foreachBatch(apply).option(

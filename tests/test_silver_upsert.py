@@ -158,3 +158,55 @@ def test_cdc_generation_retention_window(spark, tmp_path):
             SCHEMA, ["user_id"], "seq", epoch_id=e, n_buckets=2, op_col="op")
     assert not os.path.isdir(os.path.join(d, "gen-0"))
     assert _state(spark, d)[1][1] == f"p{1 + _GEN_RETENTION_EPOCHS}"
+
+
+def test_tombstone_blocks_out_of_order_resurrection(spark, tmp_path):
+    """A delete at seq 5 must keep shielding the key when a LATER
+    micro-batch delivers an out-of-order update with a lower seq —
+    the r5 form dropped 'd' winners entirely and resurrected the key."""
+    from greenbuttonengine_spark.streaming.silver import apply_cdc_batch
+
+    d = str(tmp_path / "silver_ts")
+    apply_cdc_batch(
+        spark.createDataFrame(_rows((1, 1, "free", "u"), (2, 1, "pro", "u"))),
+        d, SCHEMA, ["user_id"], "seq", epoch_id=0, n_buckets=4, op_col="op")
+    apply_cdc_batch(
+        spark.createDataFrame(_rows((1, 5, "free", "d"))),
+        d, SCHEMA, ["user_id"], "seq", epoch_id=1, n_buckets=4, op_col="op")
+    assert 1 not in _state(spark, d)
+
+    # late, lower-seq update in a LATER batch: loses to the tombstone
+    apply_cdc_batch(
+        spark.createDataFrame(_rows((1, 3, "late", "u"))),
+        d, SCHEMA, ["user_id"], "seq", epoch_id=2, n_buckets=4, op_col="op")
+    assert 1 not in _state(spark, d), "tombstone must win over lower seq"
+    assert _state(spark, d)[2] == (1, "pro")
+
+    # a HIGHER-seq update legitimately recreates the key
+    apply_cdc_batch(
+        spark.createDataFrame(_rows((1, 6, "back", "u"))),
+        d, SCHEMA, ["user_id"], "seq", epoch_id=3, n_buckets=4, op_col="op")
+    assert _state(spark, d)[1] == (6, "back")
+
+
+def test_tombstone_retention_expiry(spark, tmp_path):
+    """With tombstone_retention_epochs set, an expired tombstone stops
+    shielding: the late update applies once the window passes."""
+    from greenbuttonengine_spark.streaming.silver import apply_cdc_batch
+
+    d = str(tmp_path / "silver_ret")
+    kw = dict(n_buckets=4, op_col="op", tombstone_retention_epochs=2)
+    apply_cdc_batch(
+        spark.createDataFrame(_rows((1, 5, "x", "d"), (2, 1, "pro", "u"))),
+        d, SCHEMA, ["user_id"], "seq", epoch_id=0, **kw)
+    # epoch 1: still inside the window -> shielded
+    apply_cdc_batch(
+        spark.createDataFrame(_rows((1, 3, "late", "u"))),
+        d, SCHEMA, ["user_id"], "seq", epoch_id=1, **kw)
+    assert 1 not in _state(spark, d)
+    # epoch 2: tombstone (del_epoch 0 <= 2-2) expired -> the same late
+    # update now lands
+    apply_cdc_batch(
+        spark.createDataFrame(_rows((1, 3, "late2", "u"))),
+        d, SCHEMA, ["user_id"], "seq", epoch_id=2, **kw)
+    assert _state(spark, d)[1] == (3, "late2")
