@@ -37,6 +37,7 @@ def _registry():
     from greenbuttonengine_spark.plans import tpch_queries  # noqa: F401
     from greenbuttonengine_spark.plans import extra_queries  # noqa: F401
     from greenbuttonengine_spark.plans import wave5_queries  # noqa: F401
+    from greenbuttonengine_spark.plans import wave7_queries  # noqa: F401
 
     return registry
 
@@ -124,8 +125,15 @@ _DRIVER_CHECKED = frozenset(
 # ordinary oracle-new entries next round, when the budget has room.
 _DEFER_NEW: frozenset[str] = frozenset(
     {
-        # r6 additions queue here until the r5-deferred block has driver
-        # rows; they are local-gate green and pytest-pinned meanwhile.
+        # r6 additions (wave 7) queue behind the r5-deferred block and
+        # the rotated re-checks; local-gate green + pytest meanwhile.
+        "ann_hamming_topk",
+        "eval_ann_recall",
+        "embedding_matryoshka_eval",
+        "text_ccnet_buckets",
+        "corpus_mix_rebalance",
+        "pack_padding_waste",
+        "pit_interval_join",
     }
 )
 

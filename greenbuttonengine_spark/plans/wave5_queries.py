@@ -782,8 +782,16 @@ def rag_index_and_query(
         .limit(n_queries)
         .select("vec_id", hash_embed(F.col("chunk_text")).alias("embedding"))
     )
+    # cap the k-means fit at ~50k chunks: the coarse quantizer needs a
+    # representative sample, not the corpus — fitting on every chunk
+    # made the pipeline superlinear (2.9s -> 40.3s at 10x docs, r6
+    # measurement; the fit is an iterative full-corpus ML job while
+    # every other stage is one pass).  Seeded sample -> deterministic.
+    n_chunks = corpus.count()
+    frac = None if n_chunks <= 50_000 else 50_000 / n_chunks
     hits = ivf_topk(
-        corpus, queries, k=k, n_centroids=n_centroids, n_probe=n_probe
+        corpus, queries, k=k, n_centroids=n_centroids, n_probe=n_probe,
+        fit_sample_fraction=frac,
     )
     prov = chunks.select(
         F.col("vec_id").alias("neighbor_id"),

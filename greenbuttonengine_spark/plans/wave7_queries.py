@@ -1,0 +1,595 @@
+"""Round-6 extension wave: binary-embedding retrieval, ANN evaluation,
+matryoshka truncation analysis, CCNet-style perplexity buckets,
+training-mix rebalancing, padding-waste accounting, and the temporal
+point-in-time interval join.
+
+Design notes shared by the batch (the cross-engine exactness idioms
+from plans/registry.py):
+
+* Integer arithmetic wherever a value feeds the driver's value hash:
+  hamming distances are ints, surprisal is bit-length ints, padding
+  waste is int deltas; doubles appear only as exact ratios of ints or
+  as ordered-fold cosines already validated bitwise against DuckDB.
+* Aggregates of doubles avoid SUM/AVG over unordered groups (partial
+  aggregation order is nondeterministic); buckets report MIN/MAX of
+  per-doc doubles instead, which are order-free.
+* Top-k is TakeOrderedAndProject or a window over an O(k)/O(groups)
+  aggregate; corpus-sized global windows stay banned.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+from .registry import register
+
+
+# ---------------------------------------------------------------------------
+# Binary-embedding hamming ANN
+# ---------------------------------------------------------------------------
+
+
+def _sign_bits_spark(vec, lo: int, hi: int):
+    """Pack sign bits of dims [lo, hi) into a long: bit (i-lo) set when
+    v[i] > 0.  Two 32-bit halves keep every packed value far from the
+    long sign bit, so neither engine can overflow."""
+    acc = F.lit(0).cast("long")
+    for i in range(lo, hi):
+        acc = acc + F.when(
+            F.element_at(vec, i + 1) > 0, F.lit(1 << (i - lo)).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return acc
+
+
+def _sign_bits_sql(col: str, lo: int, hi: int) -> str:
+    terms = " + ".join(
+        f"CASE WHEN {col}[{i + 1}] > 0 THEN {1 << (i - lo)} ELSE 0 END"
+        for i in range(lo, hi)
+    )
+    return f"CAST({terms} AS BIGINT)"
+
+
+def _hamming_oracle_sql(dim: int = 64, k: int = 10) -> str:
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    sig AS (
+        SELECT vec_id, {_sign_bits_sql('v', 0, dim // 2)} AS blo,
+               {_sign_bits_sql('v', dim // 2, dim)} AS bhi
+        FROM e
+    ),
+    q AS (SELECT vec_id AS query_id, blo AS qlo, bhi AS qhi
+          FROM sig WHERE vec_id < 16),
+    s AS (
+        SELECT q.query_id, sig.vec_id AS neighbor_id,
+               CAST(bit_count(xor(sig.blo, q.qlo))
+                    + bit_count(xor(sig.bhi, q.qhi)) AS BIGINT) AS hamming
+        FROM q JOIN sig ON sig.vec_id != q.query_id
+    )
+    SELECT query_id, neighbor_id, hamming, rank FROM (
+        SELECT s.*, CAST(ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY hamming, neighbor_id)
+            AS BIGINT) AS rank
+        FROM s
+    ) t WHERE rank <= {k}
+    """
+
+
+@register(
+    "ann_hamming_topk",
+    _hamming_oracle_sql(),
+    tags=("similarity", "all-pairs"),
+    doc="Binary-embedding retrieval: each vector's 64 sign bits pack "
+    "into two longs at scan time (a 32x shrink of the vector column "
+    "— the classic binary-quantization trade), and distance is "
+    "bit_count(xor) per half — pure ALU, whole-stage codegen, no "
+    "floats anywhere, so ranking is integer-deterministic.  Queries "
+    "broadcast; the corpus scans once and never shuffles (top-k per "
+    "query over the broadcast join).  At 100 TB this is the standard "
+    "first-stage retriever in front of an exact-cosine rerank of the "
+    "shortlist (compose with ann_bruteforce_topk on the candidates).",
+)
+def ann_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    dim, k = 64, 10
+    vec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    sig = emb.select(
+        F.col("vec_id"),
+        _sign_bits_spark(vec, 0, dim // 2).alias("blo"),
+        _sign_bits_spark(vec, dim // 2, dim).alias("bhi"),
+    )
+    q = sig.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("blo").alias("qlo"),
+        F.col("bhi").alias("qhi"),
+    )
+    s = (
+        sig.withColumnRenamed("vec_id", "neighbor_id")
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                F.bit_count(F.col("blo").bitwiseXOR(F.col("qlo")))
+                + F.bit_count(F.col("bhi").bitwiseXOR(F.col("qhi")))
+            ).cast("long").alias("hamming"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy("hamming", "neighbor_id")
+    return s.withColumn("rank", F.row_number().over(w).cast("long")).filter(
+        F.col("rank") <= k
+    )
+
+
+# ---------------------------------------------------------------------------
+# ANN recall evaluation (retriever quality as a first-class query)
+# ---------------------------------------------------------------------------
+
+
+def _eval_recall_oracle_sql(k: int = 10) -> str:
+    from ..extensions.similarity import plane_weights
+
+    ws = plane_weights(4, 64)
+    sig_terms = " + ".join(
+        f"CASE WHEN list_dot_product(v, [{', '.join(repr(x) for x in w)}]) > 0 "
+        f"THEN {1 << p} ELSE 0 END"
+        for p, w in enumerate(ws)
+    )
+    probe_list = ", ".join(["bucket"] + [f"xor(bucket, {1 << p})" for p in range(4)])
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 16),
+    brute AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.query_id, e.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+                       list_dot_product(qv, e.v)
+                           / (sqrt(list_dot_product(qv, qv))
+                              * sqrt(list_dot_product(e.v, e.v))) DESC,
+                       e.vec_id) AS rank
+            FROM q JOIN e ON e.vec_id != q.query_id
+        ) t WHERE rank <= {k}
+    ),
+    sigs AS (SELECT vec_id, v, {sig_terms} AS bucket FROM e),
+    probes AS (
+        SELECT query_id, qv, UNNEST([{probe_list}]) AS bucket
+        FROM (SELECT vec_id AS query_id, v AS qv, bucket
+              FROM sigs WHERE vec_id < 16)
+    ),
+    lsh AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT p.query_id, s.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY p.query_id ORDER BY
+                       list_dot_product(p.qv, s.v)
+                           / (sqrt(list_dot_product(p.qv, p.qv))
+                              * sqrt(list_dot_product(s.v, s.v))) DESC,
+                       s.vec_id) AS rank
+            FROM probes p JOIN sigs s USING (bucket)
+            WHERE s.vec_id != p.query_id
+        ) t WHERE rank <= {k}
+    )
+    SELECT b.query_id,
+           CAST(SUM(CASE WHEN l.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS DOUBLE) / {k}.0 AS recall_at_k
+    FROM brute b
+    LEFT JOIN lsh l ON l.query_id = b.query_id
+                   AND l.neighbor_id = b.neighbor_id
+    GROUP BY b.query_id
+    """
+
+
+@register(
+    "eval_ann_recall",
+    _eval_recall_oracle_sql(),
+    tags=("similarity", "eval", "all-pairs"),
+    doc="Retriever evaluation as a query: recall@10 of the LSH "
+    "retriever against the exact brute-force top-10, per query — the "
+    "metric every ANN deployment monitors, computed by composing two "
+    "already-oracle-verified operators (ann_lsh_topk x "
+    "ann_bruteforce_topk) with a left join + conditional count.  "
+    "Integer hit counts / literal k keep the ratio cross-engine "
+    "exact.  At scale the brute side runs on a held-out query sample "
+    "(16 here), so the evaluation costs one corpus scan regardless "
+    "of corpus size.",
+)
+def eval_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.similarity import cosine_topk, lsh_topk
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < 16)
+    k = 10
+    brute = cosine_topk(emb, queries, k=k).select("query_id", "neighbor_id")
+    lsh = lsh_topk(emb, queries, k=k, planes=4).select(
+        "query_id", "neighbor_id", F.lit(1).alias("__hit")
+    )
+    return (
+        brute.join(lsh, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            (
+                F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast("double")
+                / F.lit(float(k))
+            ).alias("recall_at_k")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka truncation evaluation
+# ---------------------------------------------------------------------------
+
+_MRL_DIMS = (8, 16, 32, 64)
+
+
+def _matryoshka_oracle_sql(k: int = 10) -> str:
+    def ranked(dexpr: str, d: int) -> str:
+        return f"""
+        SELECT {d} AS dim, q.query_id, e.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+                   list_dot_product(qv[1:{d}], e.v[1:{d}])
+                       / (sqrt(list_dot_product(qv[1:{d}], qv[1:{d}]))
+                          * sqrt(list_dot_product(e.v[1:{d}], e.v[1:{d}]))) DESC,
+                   e.vec_id) AS rank
+        FROM q JOIN e ON e.vec_id != q.query_id
+        """
+
+    unions = " UNION ALL ".join(
+        f"SELECT * FROM ({ranked('v', d)}) r{d} WHERE rank <= {k}"
+        for d in _MRL_DIMS
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 16),
+    all_ranked AS ({unions}),
+    ref AS (
+        SELECT query_id, neighbor_id FROM all_ranked WHERE dim = 64
+    )
+    SELECT dims.dim, r.query_id,
+           CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS DOUBLE) / {k}.0 AS recall_vs_full
+    FROM ref r
+    CROSS JOIN (SELECT DISTINCT dim FROM all_ranked) dims
+    LEFT JOIN all_ranked a ON a.dim = dims.dim
+                          AND a.query_id = r.query_id
+                          AND a.neighbor_id = r.neighbor_id
+    GROUP BY dims.dim, r.query_id
+    """
+
+
+@register(
+    "embedding_matryoshka_eval",
+    _matryoshka_oracle_sql(),
+    tags=("similarity", "eval", "all-pairs"),
+    doc="Matryoshka truncation evaluation (Kusupati et al., NeurIPS'22 "
+    "representation-truncation trade): for each prefix length d in "
+    "(8, 16, 32, 64), the exact cosine top-10 on the FIRST d "
+    "dimensions is compared to the full-dimension top-10, reporting "
+    "recall-vs-full per (d, query) — the table that decides how many "
+    "dimensions the 100 TB index actually needs to store.  Prefix "
+    "slice is scan-stage; each d is one broadcast-query corpus scan "
+    "(4 scans total), and the final join/count is over O(q*k) rows.  "
+    "The d=64 rows are the self-reference (recall 1.0) — a built-in "
+    "sanity row.",
+)
+def embedding_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.similarity import cosine_topk
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < 16)
+    k = 10
+    per_dim = []
+    for d in _MRL_DIMS:
+        sliced = emb.select(
+            "vec_id", F.slice(F.col("embedding"), 1, d).alias("embedding")
+        )
+        sq = queries.select(
+            "vec_id", F.slice(F.col("embedding"), 1, d).alias("embedding")
+        )
+        per_dim.append(
+            cosine_topk(sliced, sq, k=k)
+            .select("query_id", "neighbor_id")
+            .withColumn("dim", F.lit(d).cast("long"))
+        )
+    all_ranked = per_dim[0]
+    for p in per_dim[1:]:
+        all_ranked = all_ranked.unionByName(p)
+    ref = all_ranked.filter(F.col("dim") == 64).select(
+        "query_id", F.col("neighbor_id").alias("ref_neighbor")
+    )
+    hits = all_ranked.withColumn("__hit", F.lit(1))
+    dims = [(int(d),) for d in _MRL_DIMS]
+    dims_df = emb.sparkSession.createDataFrame(dims, "dim long")
+    return (
+        ref.crossJoin(F.broadcast(dims_df))
+        .join(
+            hits,
+            (hits["dim"] == dims_df["dim"])
+            & (hits["query_id"] == ref["query_id"])
+            & (hits["neighbor_id"] == ref["ref_neighbor"]),
+            "left",
+        )
+        .groupBy(dims_df["dim"].alias("dim"), ref["query_id"].alias("query_id"))
+        .agg(
+            (
+                F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast("double")
+                / F.lit(float(k))
+            ).alias("recall_vs_full")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# CCNet perplexity buckets
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_ccnet_buckets",
+    r"""
+    WITH w AS (
+        SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+        FROM documents
+    ), cf AS (
+        SELECT w, COUNT(*) AS cf FROM w GROUP BY w
+    ), n AS (
+        SELECT COUNT(*) AS n_corpus FROM w
+    ), doc AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM((length(bin(n_corpus)) - 1) - (length(bin(cf)) - 1))
+                    AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_bits
+        FROM w JOIN cf USING (w) CROSS JOIN n
+        GROUP BY doc_id
+    ), bucketed AS (
+        SELECT d.lang, doc.n_tokens, doc.mean_bits,
+               NTILE(3) OVER (PARTITION BY d.lang
+                              ORDER BY doc.mean_bits, doc.doc_id) AS b
+        FROM doc JOIN documents d USING (doc_id)
+    )
+    SELECT lang,
+           CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+               AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           MIN(mean_bits) AS min_mean_bits,
+           MAX(mean_bits) AS max_mean_bits
+    FROM bucketed GROUP BY lang, bucket
+    """,
+    tags=("textstats", "lm", "tiny-bnlj"),
+    doc="CCNet's head/middle/tail partition (Wenzek et al., LREC'20): "
+    "docs tercile per language by unigram-LM surprisal (the KenLM-"
+    "perplexity stand-in, integer bit-length surprisal — fp log is "
+    "not cross-engine-stable), reporting each bucket's doc/token "
+    "mass and surprisal range — the table CCNet curation keeps "
+    "'head' from.  NTILE runs partitioned BY LANGUAGE with an "
+    "explicit (mean_bits, doc_id) total order; bucket aggregates "
+    "report MIN/MAX (order-free) rather than fp sums.",
+)
+def text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.textstats import unigram_surprisal
+
+    docs = load_table(spark, "documents", sf_dir)
+    per_doc = unigram_surprisal(docs).select(
+        "doc_id", "n_tokens", F.col("mean_surprisal_bits").alias("mean_bits")
+    )
+    joined = per_doc.join(docs.select("doc_id", "lang"), "doc_id")
+    wb = W.partitionBy("lang").orderBy("mean_bits", "doc_id")
+    b = F.ntile(3).over(wb)
+    return (
+        joined.withColumn("b", b)
+        .groupBy(
+            "lang",
+            F.when(F.col("b") == 1, "head")
+            .when(F.col("b") == 2, "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.min("mean_bits").alias("min_mean_bits"),
+            F.max("mean_bits").alias("max_mean_bits"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-mix rebalancing
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_mix_rebalance",
+    r"""
+    WITH per_lang AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS lang_chars
+        FROM documents GROUP BY lang
+    ), tot AS (
+        SELECT CAST(SUM(lang_chars) AS BIGINT) AS total_chars,
+               CAST(COUNT(*) AS BIGINT) AS n_langs
+        FROM per_lang
+    )
+    SELECT lang, n_docs, lang_chars,
+           LEAST(1.0, (CAST(total_chars AS DOUBLE) / CAST(n_langs AS DOUBLE))
+                          / CAST(lang_chars AS DOUBLE)) AS sample_rate,
+           LEAST(1.0, (CAST(total_chars AS DOUBLE) / CAST(n_langs AS DOUBLE))
+                          / CAST(lang_chars AS DOUBLE))
+               * CAST(lang_chars AS DOUBLE) AS expected_chars
+    FROM per_lang CROSS JOIN tot
+    """,
+    tags=("sampling", "pipeline", "tiny-bnlj"),
+    doc="Down-sampling rates toward a uniform per-language character "
+    "budget (the static step of DoReMi/data-mixture balancing): "
+    "over-represented languages get rate target/actual, capped at 1 "
+    "(no up-sampling) — feed the rates to sample_stratified_lang to "
+    "materialize the rebalanced corpus.  One aggregate + a one-row "
+    "broadcast of the totals; rates are exact ratios of exact "
+    "integer masses, so the report is cross-engine stable.",
+)
+def corpus_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    per_lang = docs.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("lang_chars"),
+    )
+    tot = per_lang.agg(
+        F.sum("lang_chars").cast("long").alias("total_chars"),
+        F.count("*").cast("long").alias("n_langs"),
+    )
+    target = F.col("total_chars").cast("double") / F.col("n_langs").cast("double")
+    rate = F.least(F.lit(1.0), target / F.col("lang_chars").cast("double"))
+    return (
+        per_lang.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "n_docs",
+            "lang_chars",
+            rate.alias("sample_rate"),
+            (rate * F.col("lang_chars").cast("double")).alias("expected_chars"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Padding-waste accounting (trainer batching prep)
+# ---------------------------------------------------------------------------
+
+_POW2_MAX = 20
+
+
+def _pow2_cap_sql(n: str) -> str:
+    branches = " ".join(
+        f"WHEN {n} <= {1 << p} THEN {1 << p}" for p in range(_POW2_MAX + 1)
+    )
+    return f"CASE {branches} ELSE {1 << _POW2_MAX} END"
+
+
+def _pow2_cap_spark(n):
+    expr = F.lit(1 << _POW2_MAX).cast("long")
+    for p in range(_POW2_MAX, -1, -1):
+        expr = F.when(n <= (1 << p), F.lit(1 << p).cast("long")).otherwise(expr)
+    return expr
+
+
+@register(
+    "pack_padding_waste",
+    rf"""
+    WITH d AS (
+        SELECT doc_id,
+               CAST(len(string_split_regex(lower(trim(text)), '\s+'))
+                    AS BIGINT) AS n_tokens
+        FROM documents WHERE length(trim(text)) > 0
+    ), b AS (
+        SELECT n_tokens,
+               CAST({_pow2_cap_sql('n_tokens')} AS BIGINT) AS bucket_cap
+        FROM d
+    )
+    SELECT bucket_cap,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(bucket_cap - n_tokens) AS BIGINT) AS total_padding,
+           CAST(SUM(bucket_cap - n_tokens) AS DOUBLE)
+               / CAST(SUM(bucket_cap) AS DOUBLE) AS waste_frac
+    FROM b GROUP BY bucket_cap
+    """,
+    tags=("packing", "pipeline"),
+    doc="Length-bucketed padding-waste accounting: docs bin to the "
+    "next power-of-two token length (the CASE chain is integer-exact "
+    "— fp log2 is not cross-engine-stable at boundaries) and each "
+    "bucket reports how many pad tokens naive fixed-length batching "
+    "burns — the report that justifies sequence packing "
+    "(pack_sequences_docs) and says which length buckets to "
+    "provision.  Scan-stage binning + one map-side-combined "
+    "aggregate; ratios are exact int/int.",
+)
+def pack_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    n_tokens = F.size(F.split(F.lower(F.trim("text")), r"\s+")).cast("long")
+    d = docs.filter(F.length(F.trim("text")) > 0).select(
+        n_tokens.alias("n_tokens")
+    )
+    b = d.select(
+        "n_tokens", _pow2_cap_spark(F.col("n_tokens")).alias("bucket_cap")
+    )
+    return b.groupBy("bucket_cap").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum(F.col("bucket_cap") - F.col("n_tokens")).cast("long").alias(
+            "total_padding"
+        ),
+        (
+            F.sum(F.col("bucket_cap") - F.col("n_tokens")).cast("double")
+            / F.sum("bucket_cap").cast("double")
+        ).alias("waste_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Temporal point-in-time interval join
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pit_interval_join",
+    r"""
+    WITH iv AS (
+        SELECT user_id, event_id AS interval_id, value AS tier_value,
+               ts AS valid_from,
+               lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS valid_to
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT e.event_id, e.user_id, e.ts, iv.interval_id, iv.tier_value,
+           iv.valid_from
+    FROM events e
+    JOIN iv ON iv.user_id = e.user_id
+           AND e.ts >= iv.valid_from
+           AND (iv.valid_to IS NULL OR e.ts < iv.valid_to)
+    WHERE e.event_type = 'click'
+    """,
+    tags=("events", "join", "temporal"),
+    doc="Point-in-time (AS OF validity) interval join: each click "
+    "event attaches the purchase-derived interval ACTIVE at its "
+    "timestamp — the temporal join every feature store runs to "
+    "prevent label leakage.  Intervals partition time per user by "
+    "construction (lead() closes each at the next purchase), so "
+    "every event matches at most one interval and the join is "
+    "lossless-deterministic.  Shape: equi-join on user_id with a "
+    "range residual — co-partitioned by user, per-user intervals "
+    "are few, so the residual filter is cheap; contrast with "
+    "asof_last_click_before_purchase, which is the event-to-nearest-"
+    "EVENT as-of; this is event-to-VALIDITY-WINDOW.",
+)
+def pit_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    wv = W.partitionBy("user_id").orderBy("valid_from", "interval_id")
+    iv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("interval_id"),
+            F.col("value").alias("tier_value"),
+            F.col("ts").alias("valid_from"),
+        )
+        .withColumn("valid_to", F.lead("valid_from").over(wv))
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    return clicks.join(
+        iv,
+        (clicks["user_id"] == iv["user_id"])
+        & (clicks["ts"] >= iv["valid_from"])
+        & (iv["valid_to"].isNull() | (clicks["ts"] < iv["valid_to"])),
+    ).select(
+        clicks["event_id"],
+        clicks["user_id"],
+        clicks["ts"],
+        "interval_id",
+        "tier_value",
+        "valid_from",
+    )
