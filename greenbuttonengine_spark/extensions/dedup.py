@@ -1182,6 +1182,47 @@ def semantic_dedup_pairs(
     )
 
 
+def semantic_dedup_pairs_seeded(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    n_clusters: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """``semantic_dedup_pairs`` with the seeded-sample coarse
+    quantizer instead of MLlib k-means (same construction as
+    ``similarity.ivf_topk_seeded``): cells are the Voronoi regions of
+    the n_clusters corpus vectors with the smallest (LCG(vec_id),
+    vec_id) key, assignment is a scan-stage argmax against literal
+    seed vectors.  Cell balance is worse than trained k-means, but
+    the whole query is integer LCG arithmetic + ordered double folds
+    that DuckDB reproduces bit-for-bit — this is the oracle-checkable
+    declared form of dedup_semantic (r6); the trained variant stays
+    as the production API with pytest recall bounds."""
+    from .similarity import seeded_cell_scores, seeded_centroids
+
+    seeds = seeded_centroids(emb, n_clusters, vec_col, id_col)
+    cell_scores = seeded_cell_scores(seeds)
+    base = _with_norm(emb, vec_col, id_col).withColumn(
+        "__cell", -F.element_at(cell_scores(F.col("v")), 1)["nc"]
+    )
+    a, b = base.alias("a"), base.alias("b")
+    cosine = _dot("a.v", "b.v") / (F.col("a.__norm") * F.col("b.__norm"))
+    return (
+        a.join(
+            b,
+            (F.col("a.__cell") == F.col("b.__cell"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            cosine.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def blocked_fuzzy_pairs(
     df: DataFrame,
     name_col: str,

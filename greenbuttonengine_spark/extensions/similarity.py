@@ -200,6 +200,25 @@ def seeded_centroids(
     return out
 
 
+def seeded_cell_scores(seeds):
+    """Expression builder over ``seeded_centroids`` output: given a
+    vector column, returns the seeds ranked by cosine-to-seed as a
+    sorted struct array — struct(score, -cell), sort_array desc =>
+    score desc then cell asc, the same total order the DuckDB mirrors
+    use.  Pure scan-stage literals: assignment needs no shuffle."""
+    def cell_scores(v):
+        entries = [
+            F.struct(
+                (_dot(v, F.array(*[F.lit(x) for x in sv])) / F.lit(nrm)).alias("s"),
+                F.lit(-cell).alias("nc"),
+            )
+            for cell, sv, nrm in seeds
+        ]
+        return F.sort_array(F.array(*entries), asc=False)
+
+    return cell_scores
+
+
 def ivf_topk_seeded(
     corpus: DataFrame,
     queries: DataFrame,
@@ -222,17 +241,7 @@ def ivf_topk_seeded(
     instead of a rows-only row.  Same recall contract (pytest bounds
     both against brute force)."""
     seeds = seeded_centroids(corpus, n_centroids, vec_col, id_col)
-
-    def cell_scores(v):
-        # struct(score, -cell): sort_array desc => score desc, cell asc
-        entries = [
-            F.struct(
-                (_dot(v, F.array(*[F.lit(x) for x in sv])) / F.lit(nrm)).alias("s"),
-                F.lit(-cell).alias("nc"),
-            )
-            for cell, sv, nrm in seeds
-        ]
-        return F.sort_array(F.array(*entries), asc=False)
+    cell_scores = seeded_cell_scores(seeds)
 
     c = corpus.select(F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv"))
     c = c.withColumn("cell", -F.element_at(cell_scores(F.col("cv")), 1)["nc"])

@@ -1275,22 +1275,58 @@ def pipeline_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _semantic_seeded_oracle_sql(n_clusters: int = 16,
+                                threshold: float = 0.3) -> str:
+    """DuckDB mirror of dedup.semantic_dedup_pairs_seeded (same seeded
+    quantizer construction as ann_ivf_topk's oracle)."""
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    seeds AS (
+        SELECT ROW_NUMBER() OVER (
+                   ORDER BY ((vec_id % 2147483648) * 1103515245 + 12345)
+                            % 2147483648, vec_id) - 1 AS cell, v
+        FROM e
+        QUALIFY cell < {n_clusters}
+    ),
+    assign AS (
+        SELECT e.vec_id, e.v, s.cell
+        FROM e CROSS JOIN seeds s
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY e.vec_id
+            ORDER BY list_dot_product(e.v, s.v)
+                         / sqrt(list_dot_product(s.v, s.v)) DESC, s.cell) = 1
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v))
+                  * sqrt(list_dot_product(b.v, b.v))) AS cosine
+    FROM assign a JOIN assign b
+      ON a.cell = b.cell AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v)
+              / (sqrt(list_dot_product(a.v, a.v))
+                 * sqrt(list_dot_product(b.v, b.v))) >= {threshold}
+    """
+
+
 @register(
     "dedup_semantic",
-    None,  # KMeans cells are engine-specific -> rows-only; pytest
-    # asserts recall against the exact all-pairs cosine oracle
+    _semantic_seeded_oracle_sql(),
     tags=("dedup", "semantic"),
-    doc="SemDeDup-style semantic near-dup pairs: k-means cells, exact "
+    doc="SemDeDup-style semantic near-dup pairs: coarse cells, exact "
     "cosine within cells only - the comparison is an equi-join on the "
     "cell id (one shuffle, sum C(cell,2) work), never a cross join. "
-    "Emitted pairs carry their true cosine, so precision is exact; "
-    "recall vs the all-pairs oracle is pytest-asserted.",
+    "Emitted pairs carry their true cosine, so precision is exact. "
+    "The declared query uses the seeded-sample quantizer "
+    "(integer-LCG seed selection, scan-stage argmax against literal "
+    "seed vectors — DuckDB-reproducible, full oracle since r6); the "
+    "MLlib k-means variant remains as dedup.semantic_dedup_pairs "
+    "with pytest recall bounds against the all-pairs oracle.",
 )
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     # threshold 0.3 = the synthetic corpus' same-label similarity band
     # (it has no planted near-identical vectors); pytest covers the
     # high-threshold regime with planted copies
-    return dedup.semantic_dedup_pairs(
+    return dedup.semantic_dedup_pairs_seeded(
         load_table(spark, "embeddings", sf_dir), threshold=0.3
     )
 

@@ -598,6 +598,38 @@ def test_semantic_dedup_recall_and_precision(spark, emb):
     assert sem_s <= exact and len(sem_s & exact) / len(exact) >= 0.8
 
 
+def test_semantic_dedup_seeded_recall_and_precision(spark, emb):
+    """The seeded-quantizer variant (oracle-checkable declared form of
+    dedup_semantic) must keep SemDeDup's contract on the same planted
+    corpus: no false pairs, recall >= 0.8 of the exact all-pairs set."""
+    from greenbuttonengine_spark.extensions import dedup
+
+    rows = emb.limit(30).collect()
+    planted = spark.createDataFrame(
+        [
+            (100_000 + r.vec_id,
+             [v + 0.01 * ((i * 7 + r.vec_id) % 3 - 1) for i, v in enumerate(r.embedding)],
+             r.label)
+            for r in rows
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    corpus = emb.unionByName(planted)
+    thr = 0.95
+    exact = {
+        (r.id_a, r.id_b)
+        for r in dedup.embedding_cosine_pairs(corpus, threshold=thr).collect()
+    }
+    seeded = {
+        (r.id_a, r.id_b)
+        for r in dedup.semantic_dedup_pairs_seeded(
+            corpus, threshold=thr, n_clusters=16
+        ).collect()
+    }
+    assert seeded <= exact, "within-cell verify must be exact"
+    assert len(seeded & exact) / len(exact) >= 0.8
+
+
 def test_contamination_shuffle_join_variant_identical(spark):
     """broadcast_eval=False (corpus-vs-corpus posture) must produce
     byte-identical results to the broadcast probe, and its plan must
