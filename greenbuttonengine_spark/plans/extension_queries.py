@@ -199,6 +199,20 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(emb, emb.filter(F.col("vec_id") < 16), k=10)
 
 
+def _seeded_cells_cte(n_centroids: int) -> str:
+    """Shared DuckDB CTE fragment for the seeded-sample coarse
+    quantizer (mirrors similarity.seeded_centroids): used by BOTH
+    ann_ivf_topk's and dedup_semantic's oracles so the two cannot
+    drift on the LCG key or tie-break."""
+    return f"""seeds AS (
+        SELECT ROW_NUMBER() OVER (
+                   ORDER BY ((vec_id % 2147483648) * 1103515245 + 12345)
+                            % 2147483648, vec_id) - 1 AS cell, v
+        FROM e
+        QUALIFY cell < {n_centroids}
+    )"""
+
+
 def _ivf_seeded_oracle_sql(n_centroids: int = 16, n_probe: int = 4,
                            k: int = 10) -> str:
     """DuckDB mirror of similarity.ivf_topk_seeded: the seeded-sample
@@ -207,13 +221,7 @@ def _ivf_seeded_oracle_sql(n_centroids: int = 16, n_probe: int = 4,
     the same left-to-right fold as the Spark aggregate)."""
     return f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    seeds AS (
-        SELECT ROW_NUMBER() OVER (
-                   ORDER BY ((vec_id % 2147483648) * 1103515245 + 12345)
-                            % 2147483648, vec_id) - 1 AS cell, v
-        FROM e
-        QUALIFY cell < {n_centroids}
-    ),
+    {_seeded_cells_cte(n_centroids)},
     assign AS (
         SELECT e.vec_id AS neighbor_id, e.v AS cv, s.cell
         FROM e CROSS JOIN seeds s
@@ -270,11 +278,11 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lsh_oracle_sql(planes: int = 4, dim: int = 64, k: int = 10) -> str:
-    """DuckDB mirror of similarity.lsh_topk: the hyperplane weights
-    are driver-computed LCG constants embedded as decimal literals
-    (repr round-trips doubles exactly), so signatures match Spark's
-    bit-for-bit."""
+def _lsh_sigs_probes_ctes(planes: int = 4, dim: int = 64) -> str:
+    """Shared DuckDB CTE fragment for the LSH retriever (signature
+    CASE-sum over literal hyperplane weights + Hamming-1 multiprobe):
+    used by BOTH ann_lsh_topk's and eval_ann_recall's oracles so the
+    evaluated retriever can never drift from the declared one."""
     ws = similarity.plane_weights(planes, dim)
     sig_terms = " + ".join(
         f"CASE WHEN list_dot_product(v, [{', '.join(repr(x) for x in w)}]) > 0 "
@@ -284,16 +292,24 @@ def _lsh_oracle_sql(planes: int = 4, dim: int = 64, k: int = 10) -> str:
     probe_list = ", ".join(
         ["bucket"] + [f"xor(bucket, {1 << p})" for p in range(planes)]
     )
-    return f"""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    sigs AS (
+    return f"""sigs AS (
         SELECT vec_id, v, {sig_terms} AS bucket FROM e
     ),
     probes AS (
         SELECT query_id, qv, UNNEST([{probe_list}]) AS bucket
         FROM (SELECT vec_id AS query_id, v AS qv, bucket
               FROM sigs WHERE vec_id < 16)
-    ),
+    )"""
+
+
+def _lsh_oracle_sql(planes: int = 4, dim: int = 64, k: int = 10) -> str:
+    """DuckDB mirror of similarity.lsh_topk: the hyperplane weights
+    are driver-computed LCG constants embedded as decimal literals
+    (repr round-trips doubles exactly), so signatures match Spark's
+    bit-for-bit."""
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    {_lsh_sigs_probes_ctes(planes, dim)},
     scored AS (
         SELECT p.query_id, s.vec_id AS neighbor_id,
                list_dot_product(p.qv, s.v)
@@ -1281,13 +1297,7 @@ def _semantic_seeded_oracle_sql(n_clusters: int = 16,
     quantizer construction as ann_ivf_topk's oracle)."""
     return f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    seeds AS (
-        SELECT ROW_NUMBER() OVER (
-                   ORDER BY ((vec_id % 2147483648) * 1103515245 + 12345)
-                            % 2147483648, vec_id) - 1 AS cell, v
-        FROM e
-        QUALIFY cell < {n_clusters}
-    ),
+    {_seeded_cells_cte(n_clusters)},
     assign AS (
         SELECT e.vec_id, e.v, s.cell
         FROM e CROSS JOIN seeds s

@@ -153,15 +153,11 @@ def ann_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _eval_recall_oracle_sql(k: int = 10) -> str:
-    from ..extensions.similarity import plane_weights
+    # the LSH sigs/probes CTEs come from the SAME builder as
+    # ann_lsh_topk's oracle (extension_queries._lsh_sigs_probes_ctes),
+    # so the evaluated retriever cannot drift from the declared one
+    from .extension_queries import _lsh_sigs_probes_ctes
 
-    ws = plane_weights(4, 64)
-    sig_terms = " + ".join(
-        f"CASE WHEN list_dot_product(v, [{', '.join(repr(x) for x in w)}]) > 0 "
-        f"THEN {1 << p} ELSE 0 END"
-        for p, w in enumerate(ws)
-    )
-    probe_list = ", ".join(["bucket"] + [f"xor(bucket, {1 << p})" for p in range(4)])
     return f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 16),
@@ -176,12 +172,7 @@ def _eval_recall_oracle_sql(k: int = 10) -> str:
             FROM q JOIN e ON e.vec_id != q.query_id
         ) t WHERE rank <= {k}
     ),
-    sigs AS (SELECT vec_id, v, {sig_terms} AS bucket FROM e),
-    probes AS (
-        SELECT query_id, qv, UNNEST([{probe_list}]) AS bucket
-        FROM (SELECT vec_id AS query_id, v AS qv, bucket
-              FROM sigs WHERE vec_id < 16)
-    ),
+    {_lsh_sigs_probes_ctes(4, 64)},
     lsh AS (
         SELECT query_id, neighbor_id FROM (
             SELECT p.query_id, s.vec_id AS neighbor_id,
@@ -248,7 +239,7 @@ _MRL_DIMS = (8, 16, 32, 64)
 
 
 def _matryoshka_oracle_sql(k: int = 10) -> str:
-    def ranked(dexpr: str, d: int) -> str:
+    def ranked(d: int) -> str:
         return f"""
         SELECT {d} AS dim, q.query_id, e.vec_id AS neighbor_id,
                ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
@@ -260,7 +251,7 @@ def _matryoshka_oracle_sql(k: int = 10) -> str:
         """
 
     unions = " UNION ALL ".join(
-        f"SELECT * FROM ({ranked('v', d)}) r{d} WHERE rank <= {k}"
+        f"SELECT * FROM ({ranked(d)}) r{d} WHERE rank <= {k}"
         for d in _MRL_DIMS
     )
     return f"""

@@ -159,7 +159,12 @@ def apply_cdc_batch(
                 .limit(0)
             )
         data_cols = [f.name for f in schema.fields]
-        op = F.col(op_col) if op_col else F.lit("u")
+        # NULL / missing op defaults to UPDATE explicitly (CDC feeds
+        # commonly omit the op on plain upserts).  Without the
+        # coalesce, a NULL-op winner stored __deleted = (NULL == 'd')
+        # = NULL — an undefined state the r5 form happened to drop and
+        # the r6 tombstone path would have read back as live.
+        op = F.coalesce(F.col(op_col), F.lit("u")) if op_col else F.lit("u")
         b_norm = batch.withColumn("__op", op).select(
             *data_cols, "__bucket", "__op", F.lit(1).alias("__prio"),
             F.when(F.col("__op") == "d", F.lit(epoch_id))

@@ -7,7 +7,10 @@ while Spark's BIGINT renders ``1175``.  r4 lost ``math1_functions`` and
 r5 lost ``q12_priority_shipping`` to exactly this.  This test sweeps
 the WHOLE oracle inventory: DuckDB executes each oracle at sf0.001
 (cheap) and its pandas dtype classes are checked against the Spark
-query's analyzed schema (lazy — no Spark job runs).
+query's analyzed schema.  Schema analysis is lazy for most queries;
+the seeded-quantizer and BPE-backed queries DO run driver collect()
+jobs at plan-construction time (seed selection / merge training), so
+the sweep costs a couple of minutes, not seconds.
 
 Asymmetry rule for integers: a DuckDB float64 against a Spark integer
 column is allowed only when the oracle result actually contains NULLs

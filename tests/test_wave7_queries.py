@@ -126,39 +126,24 @@ def test_ccnet_buckets_partition_docs(spark, sf_dir):
             assert buckets["middle"].max_mean_bits <= buckets["tail"].min_mean_bits + 1e-9
 
 
-def test_corpus_mix_rebalance_caps_and_budget(spark):
+def test_corpus_mix_rebalance_caps_and_budget(spark, tmp_path):
     """Over-represented languages are rate-limited to the uniform
-    budget; under-represented ones keep rate 1.0."""
+    budget; under-represented ones keep rate 1.0 — exercised through
+    the registered query itself."""
     from greenbuttonengine_spark.plans.wave7_queries import corpus_mix_rebalance
 
     docs = spark.createDataFrame(
         [Row(doc_id=i, text="x", lang=("big" if i < 90 else "small"),
              source="s", n_chars=100) for i in range(100)]
     )
-    docs.createOrReplaceTempView("__mix_docs")
-    # call through the function body logic by mimicking sf_dir loading:
-    # simplest is to run the same expressions directly
-    from greenbuttonengine_spark.plans import wave7_queries as wq
-
-    per_lang = docs.groupBy("lang").agg(
-        F.count("*").cast("long").alias("n_docs"),
-        F.sum("n_chars").cast("long").alias("lang_chars"),
-    )
-    tot = per_lang.agg(
-        F.sum("lang_chars").cast("long").alias("total_chars"),
-        F.count("*").cast("long").alias("n_langs"),
-    )
-    target = F.col("total_chars").cast("double") / F.col("n_langs").cast("double")
-    rate = F.least(F.lit(1.0), target / F.col("lang_chars").cast("double"))
-    out = {
-        r.lang: r.rate
-        for r in per_lang.crossJoin(F.broadcast(tot))
-        .select("lang", rate.alias("rate"))
-        .collect()
-    }
+    d = str(tmp_path)
+    docs.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    rows = {r.lang: r for r in corpus_mix_rebalance(spark, d).collect()}
     # total 10000 chars, 2 langs -> 5000 budget; big has 9000 -> 5/9
-    assert out["small"] == 1.0
-    assert abs(out["big"] - 5000.0 / 9000.0) < 1e-12
+    assert rows["small"].sample_rate == 1.0
+    assert abs(rows["big"].sample_rate - 5000.0 / 9000.0) < 1e-12
+    assert abs(rows["big"].expected_chars - 5000.0) < 1e-9
+    assert rows["small"].expected_chars == 1000.0
 
 
 def test_pack_padding_waste_buckets_exact(spark):
