@@ -1,0 +1,163 @@
+"""Incremental materialized aggregate view: a streaming groupBy
+aggregate maintained as a queryable keyed table — the lakehouse
+"incremental view maintenance" path (Materialize/Delta Live Tables
+shape) built on the silver bucket store.
+
+``silver.py`` maintains LATEST-ROW-WINS state; an aggregate view needs
+ADDITIVE merges instead: each micro-batch contributes a batch-local
+partial aggregate (count/sum per key — map-side combined inside the
+batch), and the store merge ADDS it to the persisted per-key totals.
+Additivity is what makes the maintenance incremental: apply cost is
+O(batch keys + data in affected buckets), never O(history), and the
+maintained table equals the full batch recompute at every commit
+(pytest pins exactly that, across stream restarts).
+
+Shared with silver: hash-bucketed copy-on-write layout (a micro-batch
+rewrites only the buckets its keys land in), the atomic ``_current``
+marker (readers never see a half-applied batch), the epoch guard
+(replaying a crashed-or-duplicate epoch is a no-op — exactly-once
+state from foreachBatch's monotonic epoch ids), and lazy
+generation-dir cleanup with a reader grace window.
+
+Only SUM/COUNT-class aggregates merge additively; AVG ships as
+(sum, count) pairs finalized at read time, MIN/MAX merge with
+least/greatest (also supported via ``merge="minmax"`` columns).
+Non-decomposable aggregates (exact distinct, medians) need the full
+input and are out of scope — the same restriction every IVM engine
+documents.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from .silver import (
+    _bucket_col,
+    _cleanup_unreferenced,
+    _publish_state,
+    _read_state,
+)
+
+
+def read_view(spark: SparkSession, table_dir: str, schema) -> DataFrame:
+    """The committed view state: union of every bucket's latest
+    generation (path-pruned via the marker)."""
+    state = _read_state(table_dir)
+    paths = [
+        os.path.join(table_dir, gen, f"__bucket={b}")
+        for b, gen in state["buckets"].items()
+    ]
+    paths = [p for p in paths if os.path.isdir(p)]
+    if not paths:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(*paths)
+
+
+def apply_agg_delta_batch(
+    delta: DataFrame,
+    table_dir: str,
+    schema,
+    key_cols: list[str],
+    epoch_id: int,
+    n_buckets: int = 16,
+    minmax_cols: dict[str, str] | None = None,
+) -> None:
+    """Merge one micro-batch's partial aggregate into the view.
+
+    ``delta``: one row per key with the batch-local aggregate values
+    (every non-key column in ``schema``).  Non-key columns merge by
+    SUM, except names in ``minmax_cols`` which merge by ``"min"`` or
+    ``"max"``.  ``schema`` is the full view schema (keys + values).
+    """
+    state = _read_state(table_dir)
+    if state["epoch"] is not None and epoch_id <= state["epoch"]:
+        return  # replay of an applied epoch: exactly-once no-op
+    spark = delta.sparkSession
+    minmax_cols = minmax_cols or {}
+
+    delta = delta.withColumn("__bucket", _bucket_col(key_cols, n_buckets))
+    affected = sorted(r[0] for r in delta.select("__bucket").distinct().collect())
+    if affected:
+        cur_paths = [
+            os.path.join(table_dir, state["buckets"][str(b)], f"__bucket={b}")
+            for b in affected
+            if str(b) in state["buckets"]
+        ]
+        cur_paths = [p for p in cur_paths if os.path.isdir(p)]
+        if cur_paths:
+            current = spark.read.schema(schema).parquet(*cur_paths).withColumn(
+                "__bucket", _bucket_col(key_cols, n_buckets)
+            )
+        else:
+            current = (
+                spark.createDataFrame([], schema)
+                .withColumn("__bucket", F.lit(0))
+                .limit(0)
+            )
+        val_cols = [f.name for f in schema.fields if f.name not in key_cols]
+
+        def merge_expr(c: str):
+            if minmax_cols.get(c) == "min":
+                return F.min(c).alias(c)
+            if minmax_cols.get(c) == "max":
+                return F.max(c).alias(c)
+            return F.sum(c).alias(c)
+
+        merged = (
+            delta.select(*key_cols, *val_cols, "__bucket")
+            .unionByName(current.select(*key_cols, *val_cols, "__bucket"))
+            .groupBy(*key_cols, "__bucket")
+            .agg(*[merge_expr(c) for c in val_cols])
+            .select(*[f.name for f in schema.fields], "__bucket")
+        )
+        gen = f"gen-{epoch_id}"
+        (
+            merged.write.mode("overwrite")
+            .partitionBy("__bucket")
+            .parquet(os.path.join(table_dir, gen))
+        )
+        new_buckets = dict(state["buckets"])
+        for b in affected:
+            new_buckets[str(b)] = gen
+    else:
+        new_buckets = state["buckets"]
+    _publish_state(table_dir, {"epoch": epoch_id, "buckets": new_buckets})
+    _cleanup_unreferenced(table_dir, new_buckets, epoch_id)
+
+
+def start_matview_stream(
+    spark: SparkSession,
+    source: DataFrame,
+    table_dir: str,
+    checkpoint_dir: str,
+    schema,
+    key_cols: list[str],
+    agg_exprs,
+    n_buckets: int = 16,
+    minmax_cols: dict[str, str] | None = None,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Wire the incremental view: each micro-batch computes its
+    batch-local partial aggregate (``groupBy(key_cols).agg(*agg_exprs)``
+    — one map-side-combined shuffle over the BATCH, not the history)
+    and merges it into the persistent totals."""
+
+    def apply(batch: DataFrame, epoch_id: int) -> None:
+        if not batch.columns:
+            return
+        delta = batch.groupBy(*key_cols).agg(*agg_exprs)
+        apply_agg_delta_batch(
+            delta, table_dir, schema, key_cols, epoch_id,
+            n_buckets=n_buckets, minmax_cols=minmax_cols,
+        )
+
+    writer = source.writeStream.foreachBatch(apply).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,139 @@
+"""Incremental materialized aggregate view (streaming/matview.py):
+the maintained table must equal the full batch recompute after every
+commit, across stream restarts; replayed epochs are no-ops."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+VIEW_SCHEMA = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("n_events", T.LongType()),
+    T.StructField("total_value", T.LongType()),
+    T.StructField("max_value", T.LongType()),
+])
+
+def _aggs():
+    # built lazily: Column construction needs an active SparkContext,
+    # which does not exist at pytest collection time
+    return [
+        F.count("*").cast("long").alias("n_events"),
+        F.sum("value").cast("long").alias("total_value"),
+        F.max("value").cast("long").alias("max_value"),
+    ]
+
+SRC_SCHEMA = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("value", T.LongType()),
+])
+
+
+def _rows(*tuples):
+    return [Row(user_id=u, value=v) for u, v in tuples]
+
+
+def _view(spark, d):
+    from greenbuttonengine_spark.streaming.matview import read_view
+
+    return {
+        r.user_id: (r.n_events, r.total_value, r.max_value)
+        for r in read_view(spark, d, VIEW_SCHEMA).collect()
+    }
+
+
+def _recompute(df):
+    return {
+        r.user_id: (r.n_events, r.total_value, r.max_value)
+        for r in df.groupBy("user_id").agg(*_aggs()).collect()
+    }
+
+
+def test_matview_equals_batch_recompute_across_restarts(spark, tmp_path):
+    """File-driven stream, two batches separated by restart on the
+    same checkpoint (the deterministic batch-separation recipe):
+    after each run the maintained view == groupBy over ALL input."""
+    from greenbuttonengine_spark.streaming.matview import start_matview_stream
+
+    d = str(tmp_path / "view")
+    cp = str(tmp_path / "cp")
+    drop = tmp_path / "drop"
+    drop.mkdir()
+
+    def run():
+        stream = (spark.readStream.schema(SRC_SCHEMA)
+                  .option("recursiveFileLookup", "true")
+                  .parquet(str(drop)))
+        q = start_matview_stream(
+            spark, stream, d, cp, VIEW_SCHEMA, ["user_id"], _aggs(),
+            n_buckets=4, minmax_cols={"max_value": "max"},
+            available_now=True)
+        q.awaitTermination(120)
+
+    b1 = _rows((1, 10), (1, 5), (2, 7))
+    spark.createDataFrame(b1).coalesce(1).write.parquet(str(drop / "a"))
+    run()
+    all_input = spark.createDataFrame(b1)
+    assert _view(spark, d) == _recompute(all_input)
+    assert _view(spark, d)[1] == (2, 15, 10)
+
+    b2 = _rows((1, 20), (3, 1), (2, 2))
+    spark.createDataFrame(b2).coalesce(1).write.parquet(str(drop / "b"))
+    run()
+    all_input = spark.createDataFrame(b1 + b2)
+    assert _view(spark, d) == _recompute(all_input)
+    assert _view(spark, d)[1] == (3, 35, 20)
+    assert _view(spark, d)[2] == (2, 9, 7)
+
+
+def test_matview_replay_is_noop_and_buckets_are_partial(spark, tmp_path):
+    """Replaying an applied epoch must not double-count (exactly-once
+    via the epoch guard), and a one-key delta rewrites only that key's
+    bucket generation."""
+    from greenbuttonengine_spark.streaming.matview import (
+        apply_agg_delta_batch,
+        read_view,
+    )
+    from greenbuttonengine_spark.streaming.silver import _read_state
+
+    d = str(tmp_path / "view2")
+
+    def delta(rows):
+        return spark.createDataFrame(rows, VIEW_SCHEMA)
+
+    d0 = delta([(u, 1, 10, 10) for u in range(40)])
+    apply_agg_delta_batch(d0, d, VIEW_SCHEMA, ["user_id"], epoch_id=0,
+                          n_buckets=8, minmax_cols={"max_value": "max"})
+    before = dict(_read_state(d)["buckets"])
+
+    d1 = delta([(7, 2, 5, 5)])
+    apply_agg_delta_batch(d1, d, VIEW_SCHEMA, ["user_id"], epoch_id=1,
+                          n_buckets=8, minmax_cols={"max_value": "max"})
+    got = _view(spark, d)
+    assert got[7] == (3, 15, 10)
+    assert got[8] == (1, 10, 10)
+    after = _read_state(d)["buckets"]
+    moved = {b for b in after if after[b] != before.get(b)}
+    assert len(moved) == 1, "one-key delta must rewrite exactly one bucket"
+
+    # replay epoch 1: totals unchanged
+    apply_agg_delta_batch(d1, d, VIEW_SCHEMA, ["user_id"], epoch_id=1,
+                          n_buckets=8, minmax_cols={"max_value": "max"})
+    assert _view(spark, d)[7] == (3, 15, 10)
+
+
+def test_matview_minmax_merge_is_not_additive(spark, tmp_path):
+    """max columns merge with greatest-of, not sum: a second batch
+    with a smaller max leaves the stored max unchanged."""
+    from greenbuttonengine_spark.streaming.matview import apply_agg_delta_batch
+
+    d = str(tmp_path / "view3")
+    mk = lambda rows: spark.createDataFrame(rows, VIEW_SCHEMA)
+    apply_agg_delta_batch(mk([(1, 1, 100, 100)]), d, VIEW_SCHEMA,
+                          ["user_id"], epoch_id=0, n_buckets=4,
+                          minmax_cols={"max_value": "max"})
+    apply_agg_delta_batch(mk([(1, 1, 3, 3)]), d, VIEW_SCHEMA,
+                          ["user_id"], epoch_id=1, n_buckets=4,
+                          minmax_cols={"max_value": "max"})
+    assert _view(spark, d)[1] == (2, 103, 100)
