@@ -134,6 +134,7 @@ _DEFER_NEW: frozenset[str] = frozenset(
         "corpus_mix_rebalance",
         "pack_padding_waste",
         "pit_interval_join",
+        "ts2_mean_shift_detect",
     }
 )
 

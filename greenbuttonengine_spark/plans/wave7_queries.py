@@ -607,3 +607,120 @@ def pit_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tier_value",
         "valid_from",
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequential change-point detection (mean-shift)
+# ---------------------------------------------------------------------------
+
+_MS_W = 50          # window size each side
+_MS_THRESH_C = 150  # mean-shift threshold in cents
+
+
+@register(
+    "ts2_mean_shift_detect",
+    rf"""
+    WITH x AS (
+        SELECT event_type, event_id, ts,
+               CAST(round(value * 100) AS BIGINT) AS c
+        FROM events
+    ), w AS (
+        SELECT event_type, event_id, ts,
+               SUM(c) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                            ROWS BETWEEN {_MS_W} PRECEDING AND 1 PRECEDING)
+                   AS sum_before,
+               COUNT(*) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                              ROWS BETWEEN {_MS_W} PRECEDING AND 1 PRECEDING)
+                   AS n_before,
+               SUM(c) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                            ROWS BETWEEN CURRENT ROW
+                                     AND {_MS_W - 1} FOLLOWING) AS sum_after,
+               COUNT(*) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                              ROWS BETWEEN CURRENT ROW
+                                       AND {_MS_W - 1} FOLLOWING) AS n_after
+        FROM x
+    )
+    , full_w AS (
+        SELECT event_type, event_id, ts, sum_before, sum_after,
+               abs(sum_after - sum_before) AS shift
+        FROM w WHERE n_before = {_MS_W} AND n_after = {_MS_W}
+    ), nms AS (
+        SELECT *, MAX(shift) OVER (
+            PARTITION BY event_type ORDER BY ts, event_id
+            ROWS BETWEEN {_MS_W} PRECEDING AND {_MS_W} FOLLOWING
+        ) AS local_max
+        FROM full_w
+    )
+    SELECT event_type, event_id, ts,
+           CAST(sum_before AS DOUBLE) / {_MS_W}.0 / 100.0 AS mean_before,
+           CAST(sum_after AS DOUBLE) / {_MS_W}.0 / 100.0 AS mean_after,
+           CAST(shift AS DOUBLE) / {_MS_W}.0 / 100.0 AS shift_size
+    FROM nms
+    WHERE shift >= {_MS_W * _MS_THRESH_C} AND shift = local_max
+    """,
+    tags=("events", "anomaly", "timeseries"),
+    doc="Sliding-window mean-shift change-point detection (the "
+    "two-sample drift monitor production pipelines run on metric "
+    "streams): per event_type series in (ts, event_id) order, flag "
+    "positions where the mean of the NEXT 50 values departs from the "
+    "mean of the PREVIOUS 50 by >= 1.50 — both windows full, so "
+    "series edges never false-positive.  The flag compares integer "
+    "cent SUMS (|sum_after - sum_before| >= W*thresh), never fp "
+    "means, so the decision is cross-engine exact; the reported "
+    "means are exact int/int ratios.  Non-maximum suppression "
+    "localizes each change (only the +-W-local PEAK of the shift "
+    "statistic reports), so a drifting series yields sparse change "
+    "points, not a flag per row.  Three frame-bounded window passes "
+    "over one keyed sort — per-series windows, no global sort, "
+    "and at 100 TB each series partition streams through its frames "
+    "in one pass (contrast anomaly_mad_events, which is point-wise "
+    "robust-outlier detection; this detects LEVEL shifts).",
+)
+def ts2_mean_shift_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    c = F.round(F.col("value") * 100).cast("long")
+    base = ev.select("event_type", "event_id", "ts", c.alias("c"))
+    order = [F.col("ts"), F.col("event_id")]
+    before = (
+        W.partitionBy("event_type").orderBy(*order).rowsBetween(-_MS_W, -1)
+    )
+    after = (
+        W.partitionBy("event_type").orderBy(*order).rowsBetween(0, _MS_W - 1)
+    )
+    w = base.select(
+        "event_type",
+        "event_id",
+        "ts",
+        F.sum("c").over(before).alias("sum_before"),
+        F.count("*").over(before).alias("n_before"),
+        F.sum("c").over(after).alias("sum_after"),
+        F.count("*").over(after).alias("n_after"),
+    )
+    full_w = w.filter(
+        (F.col("n_before") == _MS_W) & (F.col("n_after") == _MS_W)
+    ).withColumn("shift", F.abs(F.col("sum_after") - F.col("sum_before")))
+    # non-maximum suppression: the synthetic series drift continuously,
+    # so a bare threshold flags most positions; a CHANGE POINT is where
+    # the shift statistic peaks within +-W rows (ties all kept —
+    # deterministic)
+    nms = (
+        W.partitionBy("event_type").orderBy(*order).rowsBetween(-_MS_W, _MS_W)
+    )
+    return (
+        full_w.withColumn("local_max", F.max("shift").over(nms))
+        .filter(
+            (F.col("shift") >= F.lit(_MS_W * _MS_THRESH_C))
+            & (F.col("shift") == F.col("local_max"))
+        )
+        .select(
+            "event_type",
+            "event_id",
+            "ts",
+            (F.col("sum_before").cast("double") / F.lit(float(_MS_W)) / F.lit(100.0))
+            .alias("mean_before"),
+            (F.col("sum_after").cast("double") / F.lit(float(_MS_W)) / F.lit(100.0))
+            .alias("mean_after"),
+            (F.col("shift").cast("double") / F.lit(float(_MS_W)) / F.lit(100.0))
+            .alias("shift_size"),
+        )
+    )

@@ -195,3 +195,45 @@ def test_pit_interval_join_planted(spark):
             for r in wave7_queries.pit_interval_join(spark, d).collect()
         }
     assert got == {4: 1, 5: 1, 6: 2, 7: 2}
+
+
+def test_mean_shift_detect_planted_step(spark, tmp_path):
+    """A planted level step is localized to (near) the step position;
+    a flat series yields no change points."""
+    from greenbuttonengine_spark.plans.wave7_queries import (
+        _MS_W,
+        ts2_mean_shift_detect,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # stepped series: 200 points at 1.0 then 200 points at 8.0
+    for i in range(400):
+        rows.append(Row(event_id=eid, ts=t0 + dt.timedelta(minutes=i),
+                        user_id=1, event_type="stepped",
+                        value=(1.0 if i < 200 else 8.0), props="{}"))
+        eid += 1
+    # flat series: constant value -> zero shift everywhere
+    for i in range(400):
+        rows.append(Row(event_id=eid, ts=t0 + dt.timedelta(minutes=i),
+                        user_id=2, event_type="flat", value=3.0, props="{}"))
+        eid += 1
+    df = spark.createDataFrame(rows)
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+        got = ts2_mean_shift_detect(spark, d).collect()
+    by_type = {}
+    for r in got:
+        by_type.setdefault(r.event_type, []).append(r)
+    assert "flat" not in by_type
+    stepped = by_type["stepped"]
+    # the peak shift is exactly at the step (index 200: before-window
+    # all 1.0, after-window all 8.0 -> shift 7.0)
+    assert any(abs(r.shift_size - 7.0) < 1e-9 for r in stepped)
+    # every reported point is within W of the true step position
+    for r in stepped:
+        assert abs(r.event_id - 200) <= _MS_W, r
