@@ -380,7 +380,14 @@ def embedding_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mass and surprisal range — the table CCNet curation keeps "
     "'head' from.  NTILE runs partitioned BY LANGUAGE with an "
     "explicit (mean_bits, doc_id) total order; bucket aggregates "
-    "report MIN/MAX (order-free) rather than fp sums.",
+    "report MIN/MAX (order-free) rather than fp sums.  Scale note: "
+    "a per-lang NTILE is ONE reduce task per language — fine to "
+    "~millions of docs/lang (56.8s at 500k docs total, SCALING.md); "
+    "at 100 TB swap the tercile for precomputed per-lang surprisal "
+    "THRESHOLDS (CCNet's actual method: bucket by comparison "
+    "against a trained cutoff — scan-stage, no sort), keeping this "
+    "exact-NTILE form as the calibration query that derives those "
+    "cutoffs on a sample.",
 )
 def text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..extensions.textstats import unigram_surprisal
