@@ -135,6 +135,7 @@ _DEFER_NEW: frozenset[str] = frozenset(
         "pack_padding_waste",
         "pit_interval_join",
         "ts2_mean_shift_detect",
+        "mv_user_event_totals",
     }
 )
 

@@ -731,3 +731,46 @@ def ts2_mean_shift_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("shift_size"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Materialized-view batch parity
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mv_user_event_totals",
+    r"""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents,
+           CAST(MAX(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS max_cents
+    FROM events GROUP BY user_id
+    """,
+    tags=("events", "agg", "streaming-parity"),
+    doc="Per-user event totals (count / integer-cent sum / max) — the "
+    "batch/backfill form of the incremental materialized view "
+    "streaming/matview.py maintains: the SAME aggregate expressions "
+    "run inside its foreachBatch partial aggregate, and pytest pins "
+    "stream==batch on a file-driven stream over this table, so the "
+    "maintained view and this declared query cannot diverge.  One "
+    "map-side-combined shuffle; integer cents keep it cross-engine "
+    "exact.",
+)
+def mv_user_event_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return ev.groupBy("user_id").agg(*mv_user_event_aggs())
+
+
+def mv_user_event_aggs():
+    """The view's aggregate expressions — shared between the declared
+    batch query and the streaming matview's foreachBatch, so parity is
+    structural, not coincidental."""
+    cents = F.round(F.col("value") * 100).cast("long")
+    return [
+        F.count("*").cast("long").alias("n_events"),
+        F.sum(cents).cast("long").alias("total_cents"),
+        F.max(cents).cast("long").alias("max_cents"),
+    ]

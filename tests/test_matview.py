@@ -137,3 +137,63 @@ def test_matview_minmax_merge_is_not_additive(spark, tmp_path):
                           ["user_id"], epoch_id=1, n_buckets=4,
                           minmax_cols={"max_value": "max"})
     assert _view(spark, d)[1] == (2, 103, 100)
+
+
+def test_matview_stream_matches_declared_batch_query(spark, tmp_path):
+    """Stream/batch parity on REAL data: the matview maintained from a
+    file-driven stream over the sf0.001 events table must equal the
+    declared mv_user_event_totals batch query — same aggregate
+    expressions by construction (mv_user_event_aggs)."""
+    from greenbuttonengine_spark.plans.wave7_queries import (
+        mv_user_event_aggs,
+        mv_user_event_totals,
+    )
+    from greenbuttonengine_spark.sources import load_table
+    from greenbuttonengine_spark.streaming.matview import (
+        read_view,
+        start_matview_stream,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    ev = load_table(spark, "events", sf_dir)
+    src_schema = ev.schema
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    d = str(tmp_path / "view")
+    cp = str(tmp_path / "cp")
+    # split the table into two file batches, separated by restart
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(
+        str(drop / "a"))
+
+    view_schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_cents", T.LongType()),
+        T.StructField("max_cents", T.LongType()),
+    ])
+
+    def run():
+        stream = (spark.readStream.schema(src_schema)
+                  .option("recursiveFileLookup", "true")
+                  .parquet(str(drop)))
+        q = start_matview_stream(
+            spark, stream, d, cp, view_schema, ["user_id"],
+            mv_user_event_aggs(), n_buckets=8,
+            minmax_cols={"max_cents": "max"}, available_now=True)
+        q.awaitTermination(180)
+
+    run()
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(
+        str(drop / "b"))
+    run()
+
+    got = {
+        r.user_id: (r.n_events, r.total_cents, r.max_cents)
+        for r in read_view(spark, d, view_schema).collect()
+    }
+    want = {
+        r.user_id: (r.n_events, r.total_cents, r.max_cents)
+        for r in mv_user_event_totals(spark, sf_dir).collect()
+    }
+    assert got == want
