@@ -237,3 +237,51 @@ def test_mean_shift_detect_planted_step(spark, tmp_path):
     # every reported point is within W of the true step position
     for r in stepped:
         assert abs(r.event_id - 200) <= _MS_W, r
+
+
+def test_hamming_histogram_threshold_equals_naive_rank(spark):
+    """Property test: the histogram-threshold top-k (shipped plan) must
+    equal the naive full-rank on randomized corpora — ties at the
+    cutoff distance and duplicate vectors are the hazard cases, so
+    they are planted densely (few distinct values => many ties)."""
+    import random
+
+    from pyspark.sql import Window
+    from greenbuttonengine_spark.plans.wave7_queries import ann_hamming_topk
+
+    rng = random.Random(1234)
+    import tempfile
+
+    for trial in range(3):
+        # tiny alphabet of sign patterns -> massive hamming ties
+        patterns = [
+            [rng.choice([-1.0, 1.0]) for _ in range(64)] for _ in range(6)
+        ]
+        rows = [
+            Row(vec_id=i, embedding=patterns[rng.randrange(len(patterns))],
+                label=0)
+            for i in range(120)
+        ]
+        df = spark.createDataFrame(rows)
+        with tempfile.TemporaryDirectory() as d:
+            df.write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+            got = {
+                (r.query_id, r.neighbor_id, r.hamming, r.rank)
+                for r in ann_hamming_topk(spark, d).collect()
+            }
+        # naive reference in pure Python
+        sig = {
+            r.vec_id: tuple(1 if x > 0 else 0 for x in r.embedding)
+            for r in rows
+        }
+        want = set()
+        for q in range(16):
+            cand = sorted(
+                (
+                    (sum(a != b for a, b in zip(sig[q], sig[n])), n)
+                    for n in sig
+                    if n != q
+                ),
+            )[:10]
+            want |= {(q, n, h, i + 1) for i, (h, n) in enumerate(cand)}
+        assert got == want, f"trial {trial}"
