@@ -21,7 +21,7 @@ generation-dir cleanup with a reader grace window.
 
 Only SUM/COUNT-class aggregates merge additively; AVG ships as
 (sum, count) pairs finalized at read time, MIN/MAX merge with
-least/greatest (also supported via ``merge="minmax"`` columns).
+least/greatest (declare them in ``minmax_cols={col: "min"|"max"}``).
 Non-decomposable aggregates (exact distinct, medians) need the full
 input and are out of scope — the same restriction every IVM engine
 documents.
@@ -29,32 +29,20 @@ documents.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from .silver import (
-    _bucket_col,
-    _cleanup_unreferenced,
-    _publish_state,
-    _read_state,
-)
+from .silver import _read_bucket_store, cow_apply_batch
 
 
 def read_view(spark: SparkSession, table_dir: str, schema) -> DataFrame:
     """The committed view state: union of every bucket's latest
     generation (path-pruned via the marker)."""
-    state = _read_state(table_dir)
-    paths = [
-        os.path.join(table_dir, gen, f"__bucket={b}")
-        for b, gen in state["buckets"].items()
-    ]
-    paths = [p for p in paths if os.path.isdir(p)]
-    if not paths:
+    store = _read_bucket_store(spark, table_dir, schema)
+    if store is None:
         return spark.createDataFrame([], schema)
-    return spark.read.schema(schema).parquet(*paths)
+    return store
 
 
 def apply_agg_delta_batch(
@@ -73,60 +61,28 @@ def apply_agg_delta_batch(
     SUM, except names in ``minmax_cols`` which merge by ``"min"`` or
     ``"max"``.  ``schema`` is the full view schema (keys + values).
     """
-    state = _read_state(table_dir)
-    if state["epoch"] is not None and epoch_id <= state["epoch"]:
-        return  # replay of an applied epoch: exactly-once no-op
-    spark = delta.sparkSession
     minmax_cols = minmax_cols or {}
+    val_cols = [f.name for f in schema.fields if f.name not in key_cols]
 
-    delta = delta.withColumn("__bucket", _bucket_col(key_cols, n_buckets))
-    affected = sorted(r[0] for r in delta.select("__bucket").distinct().collect())
-    if affected:
-        cur_paths = [
-            os.path.join(table_dir, state["buckets"][str(b)], f"__bucket={b}")
-            for b in affected
-            if str(b) in state["buckets"]
-        ]
-        cur_paths = [p for p in cur_paths if os.path.isdir(p)]
-        if cur_paths:
-            current = spark.read.schema(schema).parquet(*cur_paths).withColumn(
-                "__bucket", _bucket_col(key_cols, n_buckets)
-            )
-        else:
-            current = (
-                spark.createDataFrame([], schema)
-                .withColumn("__bucket", F.lit(0))
-                .limit(0)
-            )
-        val_cols = [f.name for f in schema.fields if f.name not in key_cols]
+    def merge_expr(c: str):
+        if minmax_cols.get(c) == "min":
+            return F.min(c).alias(c)
+        if minmax_cols.get(c) == "max":
+            return F.max(c).alias(c)
+        return F.sum(c).alias(c)
 
-        def merge_expr(c: str):
-            if minmax_cols.get(c) == "min":
-                return F.min(c).alias(c)
-            if minmax_cols.get(c) == "max":
-                return F.max(c).alias(c)
-            return F.sum(c).alias(c)
-
-        merged = (
-            delta.select(*key_cols, *val_cols, "__bucket")
+    def merge(delta_b: DataFrame, current: DataFrame) -> DataFrame:
+        return (
+            delta_b.select(*key_cols, *val_cols, "__bucket")
             .unionByName(current.select(*key_cols, *val_cols, "__bucket"))
             .groupBy(*key_cols, "__bucket")
             .agg(*[merge_expr(c) for c in val_cols])
             .select(*[f.name for f in schema.fields], "__bucket")
         )
-        gen = f"gen-{epoch_id}"
-        (
-            merged.write.mode("overwrite")
-            .partitionBy("__bucket")
-            .parquet(os.path.join(table_dir, gen))
-        )
-        new_buckets = dict(state["buckets"])
-        for b in affected:
-            new_buckets[str(b)] = gen
-    else:
-        new_buckets = state["buckets"]
-    _publish_state(table_dir, {"epoch": epoch_id, "buckets": new_buckets})
-    _cleanup_unreferenced(table_dir, new_buckets, epoch_id)
+
+    cow_apply_batch(
+        delta, table_dir, schema, key_cols, epoch_id, n_buckets, merge
+    )
 
 
 def start_matview_stream(

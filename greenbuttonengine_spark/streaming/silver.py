@@ -86,11 +86,12 @@ def _store_schema(schema):
     )
 
 
-def read_current(spark: SparkSession, table_dir: str, schema) -> DataFrame:
-    """The committed current state: union of every bucket's latest
-    generation (path-pruned — no directory scans outside the marker).
-    Tombstoned keys are filtered here; the public contract is
-    unchanged (data columns only, deleted keys absent)."""
+def _read_bucket_store(
+    spark: SparkSession, table_dir: str, store_schema
+) -> DataFrame | None:
+    """Marker-pruned union of every bucket's latest generation, or
+    ``None`` for an empty store — the shared read side of the
+    copy-on-write bucket layout (silver state AND matview totals)."""
     state = _read_state(table_dir)
     paths = [
         os.path.join(table_dir, gen, f"__bucket={b}")
@@ -98,11 +99,89 @@ def read_current(spark: SparkSession, table_dir: str, schema) -> DataFrame:
     ]
     paths = [p for p in paths if os.path.isdir(p)]
     if not paths:
+        return None
+    return spark.read.schema(store_schema).parquet(*paths)
+
+
+def cow_apply_batch(
+    incoming: DataFrame,
+    table_dir: str,
+    store_schema,
+    key_cols: list[str],
+    epoch_id: int,
+    n_buckets: int,
+    merge_fn,
+) -> None:
+    """Shared copy-on-write skeleton for bucket-granular stores: epoch
+    guard (replaying an applied epoch is a no-op), bucket assignment,
+    affected-bucket discovery, current-state read of ONLY those
+    buckets, ``merge_fn(incoming_b, current_b) -> merged`` (columns =
+    ``store_schema`` fields + ``__bucket``), generation write, atomic
+    marker publish, lazy cleanup.  One copy of the crash-safety
+    logic; silver's rank-merge and matview's additive merge differ
+    ONLY in ``merge_fn``.
+
+    ``incoming`` is materialized once (eager localCheckpoint) before
+    the affected-bucket collect: without it the frame would be
+    re-evaluated for the merge write — double cost per micro-batch,
+    and a nondeterministic source could disagree between the two
+    evaluations, dropping a bucket from the marker update."""
+    state = _read_state(table_dir)
+    if state["epoch"] is not None and epoch_id <= state["epoch"]:
+        return  # replay of an applied epoch: exactly-once no-op
+    spark = incoming.sparkSession
+
+    incoming = incoming.withColumn(
+        "__bucket", _bucket_col(key_cols, n_buckets)
+    ).localCheckpoint(eager=True)
+    affected = sorted(
+        r[0] for r in incoming.select("__bucket").distinct().collect()
+    )
+    if affected:
+        # current rows of ONLY the affected buckets
+        cur_paths = [
+            os.path.join(table_dir, state["buckets"][str(b)], f"__bucket={b}")
+            for b in affected
+            if str(b) in state["buckets"]
+        ]
+        cur_paths = [p for p in cur_paths if os.path.isdir(p)]
+        if cur_paths:
+            current = spark.read.schema(store_schema).parquet(*cur_paths).withColumn(
+                "__bucket", _bucket_col(key_cols, n_buckets)
+            )
+        else:
+            current = (
+                spark.createDataFrame([], store_schema)
+                .withColumn("__bucket", F.lit(0))
+                .limit(0)
+            )
+        merged = merge_fn(incoming, current)
+        gen = f"gen-{epoch_id}"
+        (
+            merged.write.mode("overwrite")
+            .partitionBy("__bucket")
+            .parquet(os.path.join(table_dir, gen))
+        )
+        new_buckets = dict(state["buckets"])
+        for b in affected:
+            new_buckets[str(b)] = gen
+    else:
+        new_buckets = state["buckets"]
+    _publish_state(table_dir, {"epoch": epoch_id, "buckets": new_buckets})
+    _cleanup_unreferenced(table_dir, new_buckets, epoch_id)
+
+
+def read_current(spark: SparkSession, table_dir: str, schema) -> DataFrame:
+    """The committed current state: union of every bucket's latest
+    generation (path-pruned — no directory scans outside the marker).
+    Tombstoned keys are filtered here; the public contract is
+    unchanged (data columns only, deleted keys absent)."""
+    store = _read_bucket_store(spark, table_dir, _store_schema(schema))
+    if store is None:
         return spark.createDataFrame([], schema)
     data_cols = [f.name for f in schema.fields]
     return (
-        spark.read.schema(_store_schema(schema)).parquet(*paths)
-        .filter(~F.coalesce(F.col("__deleted"), F.lit(False)))
+        store.filter(~F.coalesce(F.col("__deleted"), F.lit(False)))
         .select(*data_cols)
     )
 
@@ -130,42 +209,16 @@ def apply_cdc_batch(
     tombstones forever (one skinny row per deleted key)."""
     from pyspark.sql.window import Window
 
-    state = _read_state(table_dir)
-    if state["epoch"] is not None and epoch_id <= state["epoch"]:
-        return  # replay of an applied epoch: exactly-once no-op
-    spark = batch.sparkSession
+    data_cols = [f.name for f in schema.fields]
 
-    batch = batch.withColumn("__bucket", _bucket_col(key_cols, n_buckets))
-    affected = sorted(
-        r[0] for r in batch.select("__bucket").distinct().collect()
-    )
-    if affected:
-        # current rows of ONLY the affected buckets
-        cur_paths = [
-            os.path.join(table_dir, state["buckets"][str(b)], f"__bucket={b}")
-            for b in affected
-            if str(b) in state["buckets"]
-        ]
-        cur_paths = [p for p in cur_paths if os.path.isdir(p)]
-        store_schema = _store_schema(schema)
-        if cur_paths:
-            current = spark.read.schema(store_schema).parquet(*cur_paths).withColumn(
-                "__bucket", _bucket_col(key_cols, n_buckets)
-            )
-        else:
-            current = (
-                spark.createDataFrame([], store_schema)
-                .withColumn("__bucket", F.lit(0))
-                .limit(0)
-            )
-        data_cols = [f.name for f in schema.fields]
+    def merge(batch_b: DataFrame, current: DataFrame) -> DataFrame:
         # NULL / missing op defaults to UPDATE explicitly (CDC feeds
         # commonly omit the op on plain upserts).  Without the
         # coalesce, a NULL-op winner stored __deleted = (NULL == 'd')
         # = NULL — an undefined state the r5 form happened to drop and
         # the r6 tombstone path would have read back as live.
         op = F.coalesce(F.col(op_col), F.lit("u")) if op_col else F.lit("u")
-        b_norm = batch.withColumn("__op", op).select(
+        b_norm = batch_b.withColumn("__op", op).select(
             *data_cols, "__bucket", "__op", F.lit(1).alias("__prio"),
             F.when(F.col("__op") == "d", F.lit(epoch_id))
             .otherwise(F.lit(None)).cast("long").alias("__del_epoch"),
@@ -198,7 +251,7 @@ def apply_cdc_batch(
                 F.col("__op").asc(),
             )
         )
-        merged = (
+        return (
             b_norm.unionByName(c_norm)
             .withColumn("__rn", rn)
             .filter(F.col("__rn") == 1)
@@ -208,19 +261,11 @@ def apply_cdc_batch(
                 "__del_epoch",
             )
         )
-        gen = f"gen-{epoch_id}"
-        (
-            merged.write.mode("overwrite")
-            .partitionBy("__bucket")
-            .parquet(os.path.join(table_dir, gen))
-        )
-        new_buckets = dict(state["buckets"])
-        for b in affected:
-            new_buckets[str(b)] = gen
-    else:
-        new_buckets = state["buckets"]
-    _publish_state(table_dir, {"epoch": epoch_id, "buckets": new_buckets})
-    _cleanup_unreferenced(table_dir, new_buckets, epoch_id)
+
+    cow_apply_batch(
+        batch, table_dir, _store_schema(schema), key_cols, epoch_id,
+        n_buckets, merge,
+    )
 
 
 # How many epochs an unreferenced generation survives after being

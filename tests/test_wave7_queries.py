@@ -197,7 +197,7 @@ def test_pit_interval_join_planted(spark):
     assert got == {4: 1, 5: 1, 6: 2, 7: 2}
 
 
-def test_mean_shift_detect_planted_step(spark, tmp_path):
+def test_mean_shift_detect_planted_step(spark):
     """A planted level step is localized to (near) the step position;
     a flat series yields no change points."""
     from greenbuttonengine_spark.plans.wave7_queries import (
