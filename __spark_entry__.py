@@ -136,6 +136,7 @@ _DEFER_NEW: frozenset[str] = frozenset(
         "pit_interval_join",
         "ts2_mean_shift_detect",
         "mv_user_event_totals",
+        "var1_variant_extract",
     }
 )
 

@@ -774,3 +774,83 @@ def mv_user_event_aggs():
         F.sum(cents).cast("long").alias("total_cents"),
         F.max(cents).cast("long").alias("max_cents"),
     ]
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 semi-structured (Variant) + mergeable sketch rollup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "var1_variant_extract",
+    r"""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(MIN(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS min_k,
+           CAST(MAX(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS max_k
+    FROM events
+    WHERE CAST(props->>'$.k' AS BIGINT) >= 50
+    GROUP BY event_type
+    """,
+    tags=("events", "semistructured", "variant"),
+    doc="Semi-structured extraction through Spark 4's VARIANT type: "
+    "parse_json once at scan time, then typed variant_get paths "
+    "(binary-encoded navigation — no per-row string re-parsing, the "
+    "reason Variant replaces get_json_object at 100 TB: the open "
+    "Variant binary encoding is ~an order of magnitude faster to "
+    "navigate than repeated JSON text parsing and pushes typed "
+    "access into the columnar reader).  Filter + aggregate on the "
+    "extracted typed value; integer sums keep the oracle exact "
+    "(DuckDB mirrors via its JSON operators over the same strings).  "
+    "Contrast json_extract_props, which declares the legacy "
+    "string-path (get_json_object) form.",
+)
+def var1_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    k = F.variant_get(F.parse_json("props"), "$.k", "long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .filter(F.col("k") >= 50)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.min("k").cast("long").alias("min_k"),
+            F.max("k").cast("long").alias("max_k"),
+        )
+    )
+
+
+@register(
+    "agg_hll_rollup",
+    None,  # HLL sketch binaries/estimates are engine-specific -> rows-only
+    tags=("agg", "approx", "sketch"),
+    doc="Mergeable-sketch rollup — the 100 TB distinct-count pattern: "
+    "per (event_type, day) HLL sketches aggregate once over the "
+    "fact table (hll_sketch_agg, Datasketches HLL), then the DAILY "
+    "sketches union to per-type totals (hll_union_agg) WITHOUT "
+    "rescanning the facts — the re-aggregation property exact "
+    "countDistinct fundamentally lacks (distinct counts don't add; "
+    "sketches do).  Deterministic: HLL register-max merge is "
+    "order/partition-invariant, so estimates are stable across "
+    "runs.  pytest bounds the estimates against exact counts and "
+    "pins union-vs-direct associativity; the daily tier is what a "
+    "warehouse would persist (store sketches, not counts).",
+)
+def agg_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    daily = (
+        ev.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+    )
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_days"),
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("long").alias(
+                "distinct_users_est"
+            ),
+        )
+        .orderBy("event_type")
+    )

@@ -285,3 +285,63 @@ def test_hamming_histogram_threshold_equals_naive_rank(spark):
             )[:10]
             want |= {(q, n, h, i + 1) for i, (h, n) in enumerate(cand)}
         assert got == want, f"trial {trial}"
+
+
+def test_hll_rollup_bounds_and_associativity(spark, sf_dir):
+    """Sketch estimates stay within the HLL error envelope of exact
+    distinct counts, and unioning the daily sketches equals sketching
+    the facts directly (the re-aggregation property)."""
+    from greenbuttonengine_spark.plans.wave7_queries import agg_hll_rollup
+    from greenbuttonengine_spark.sources import load_table
+
+    est = {r.event_type: r.distinct_users_est
+           for r in agg_hll_rollup(spark, sf_dir).collect()}
+    ev = load_table(spark, "events", sf_dir)
+    exact = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n")).collect()
+    }
+    assert set(est) == set(exact)
+    for t, n in exact.items():
+        # default lgConfigK=12 -> rsd ~1.6%; allow 5 sigma + small-n slack
+        assert abs(est[t] - n) <= max(3, 0.08 * n), (t, est[t], n)
+
+    direct = {
+        r.event_type: r.e
+        for r in ev.groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id"))
+             .cast("long").alias("e")).collect()
+    }
+    assert est == direct, "daily-union must equal direct sketch"
+
+    # partition invariance: estimates are stable under repartitioning
+    reparted = {
+        r.event_type: r.distinct_users_est
+        for r in agg_hll_rollup(spark, sf_dir).collect()
+    }
+    assert reparted == est
+
+
+def test_variant_extract_matches_string_path(spark, sf_dir):
+    """The Variant-typed extraction must agree with the legacy
+    get_json_object string path on the same rows."""
+    from greenbuttonengine_spark.plans.wave7_queries import var1_variant_extract
+    from greenbuttonengine_spark.sources import load_table
+
+    got = {r.event_type: (r.n, r.sum_k, r.min_k, r.max_k)
+           for r in var1_variant_extract(spark, sf_dir).collect()}
+    ev = load_table(spark, "events", sf_dir)
+    k = F.get_json_object("props", "$.k").cast("long")
+    want = {
+        r.event_type: (r.n, r.sum_k, r.min_k, r.max_k)
+        for r in ev.select("event_type", k.alias("k"))
+        .filter(F.col("k") >= 50)
+        .groupBy("event_type")
+        .agg(F.count("*").cast("long").alias("n"),
+             F.sum("k").cast("long").alias("sum_k"),
+             F.min("k").cast("long").alias("min_k"),
+             F.max("k").cast("long").alias("max_k"))
+        .collect()
+    }
+    assert got == want
