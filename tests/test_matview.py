@@ -197,3 +197,42 @@ def test_matview_stream_matches_declared_batch_query(spark, tmp_path):
         for r in mv_user_event_totals(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_matview_crash_before_publish_replays_cleanly(spark, tmp_path):
+    """Simulated crash: epoch 1's generation dir is fully written but
+    the marker publish never happened (marker still points at epoch
+    0).  foreachBatch replays epoch 1; the merge must read current
+    state through the OLD marker and overwrite the orphan generation
+    — totals end exactly once, never doubled."""
+    import json
+    import os
+
+    from greenbuttonengine_spark.streaming.matview import apply_agg_delta_batch
+    from greenbuttonengine_spark.streaming.silver import _marker_path
+
+    d = str(tmp_path / "view_crash")
+    mk = lambda rows: spark.createDataFrame(rows, VIEW_SCHEMA)
+    apply_agg_delta_batch(mk([(1, 1, 10, 10), (2, 1, 5, 5)]), d,
+                          VIEW_SCHEMA, ["user_id"], epoch_id=0, n_buckets=4,
+                          minmax_cols={"max_value": "max"})
+    marker_after_0 = open(_marker_path(d)).read()
+
+    apply_agg_delta_batch(mk([(1, 1, 7, 7)]), d, VIEW_SCHEMA,
+                          ["user_id"], epoch_id=1, n_buckets=4,
+                          minmax_cols={"max_value": "max"})
+    assert _view(spark, d)[1] == (2, 17, 10)
+
+    # crash simulation: roll the marker back to epoch 0 — the gen-1
+    # directory is now an orphan the marker never referenced
+    with open(_marker_path(d), "w") as fh:
+        fh.write(marker_after_0)
+    assert json.loads(open(_marker_path(d)).read())["epoch"] == 0
+
+    # replay epoch 1 (same delta, as foreachBatch would)
+    apply_agg_delta_batch(mk([(1, 1, 7, 7)]), d, VIEW_SCHEMA,
+                          ["user_id"], epoch_id=1, n_buckets=4,
+                          minmax_cols={"max_value": "max"})
+    got = _view(spark, d)
+    assert got[1] == (2, 17, 10), "replay after crash must not double-count"
+    assert got[2] == (1, 5, 5)
