@@ -137,6 +137,7 @@ _DEFER_NEW: frozenset[str] = frozenset(
         "ts2_mean_shift_detect",
         "mv_user_event_totals",
         "var1_variant_extract",
+        "sample_grouped_split",
     }
 )
 

@@ -854,3 +854,61 @@ def agg_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Group-aware train/val/test split (leakage prevention)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sample_grouped_split",
+    r"""
+    WITH e AS (
+        SELECT event_id, user_id,
+               ((user_id % 2147483648) * 1103515245 + 12345) % 2147483648
+                   AS h
+        FROM events
+    ), s AS (
+        SELECT event_id, user_id,
+               CASE WHEN h % 10 < 8 THEN 'train'
+                    WHEN h % 10 < 9 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM e
+    )
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM s GROUP BY split
+    """,
+    tags=("sampling", "pipeline"),
+    doc="Group-aware 80/10/10 split (GroupShuffleSplit semantics): "
+    "the split is a deterministic LCG of the GROUP key (user_id), "
+    "never the row, so every event of a user lands in one split — "
+    "the leakage guard row-level splits (sample_train_val_test) "
+    "lack: a user appearing in both train and test leaks "
+    "user-specific signal into evaluation.  Scan-stage assignment "
+    "(integer LCG, cross-engine exact), one aggregate; at 100 TB "
+    "the assignment is a projection on the fact scan with no extra "
+    "shuffle, and the same LCG assigns any OTHER table keyed by "
+    "user_id to the same side — splits stay consistent across every "
+    "table of the schema.  pytest pins user-disjointness and "
+    "assignment determinism.",
+)
+def sample_grouped_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    h = (
+        (F.col("user_id") % F.lit(2147483648)) * F.lit(1103515245)
+        + F.lit(12345)
+    ) % F.lit(2147483648)
+    split = (
+        F.when(h % 10 < 8, "train").when(h % 10 < 9, "val").otherwise("test")
+    )
+    return (
+        ev.select("event_id", "user_id", split.alias("split"))
+        .groupBy("split")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+    )

@@ -345,3 +345,28 @@ def test_variant_extract_matches_string_path(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_grouped_split_user_disjoint_and_deterministic(spark, sf_dir):
+    """No user appears in two splits; assignment is a pure function of
+    user_id (re-run identical); split masses are plausible 80/10/10."""
+    from greenbuttonengine_spark.plans.wave7_queries import sample_grouped_split
+    from greenbuttonengine_spark.sources import load_table
+
+    ev = load_table(spark, "events", sf_dir)
+    h = ((F.col("user_id") % F.lit(2147483648)) * F.lit(1103515245)
+         + F.lit(12345)) % F.lit(2147483648)
+    split = (F.when(h % 10 < 8, "train").when(h % 10 < 9, "val")
+             .otherwise("test"))
+    assign = ev.select("user_id", split.alias("split")).distinct()
+    per_user = assign.groupBy("user_id").count().filter("count > 1").count()
+    assert per_user == 0, "a user must belong to exactly one split"
+
+    r1 = {(r.split, r.n_events, r.n_users)
+          for r in sample_grouped_split(spark, sf_dir).collect()}
+    r2 = {(r.split, r.n_events, r.n_users)
+          for r in sample_grouped_split(spark, sf_dir).collect()}
+    assert r1 == r2
+    masses = {s: u for s, _, u in r1}
+    total = sum(masses.values())
+    assert masses.get("train", 0) / total > 0.5
