@@ -115,6 +115,21 @@ _DRIVER_CHECKED = frozenset(
         "text_doc_bigram_surprisal", "text_gopher_flags", "text_line_dedup",
         "text_rare_token_stats", "text_ttr_hapax", "text_unigram_surprisal",
         "ts1_gap_fill_daily", "w5_moving_avg_time_range",
+        # r06 greens (50/50 gate: 26 first-time + q12 re-verify; the
+        # rotated re-checks were already listed above)
+        "ann_ivf_topk", "ann_lsh_topk", "dedup_semantic",
+        "q12_priority_shipping", "user_event_transitions",
+        "o11_latest_per_key", "embedding_centroid_similarity",
+        "dq_events_expectations", "scd2_user_type_intervals",
+        "trending_topk_events", "corpus_zipf_topk",
+        "w6_nth_value_cume_dist", "session_concurrency_daily",
+        "dedup_cross_source_matrix", "drift_value_histogram",
+        "dt1_datetime_functions", "embedding_outlier_topk",
+        "lm_bpe_pair_counts", "dedup_doc_containment",
+        "corpus_ngram_novelty", "embedding_knn_classify",
+        "lm_pmi_collocations", "agg_contribution_bounded",
+        "ops_zorder_key", "dedup_repeated_substrings",
+        "stats_bootstrap_ci_events", "pipeline_curation_v2",
     }
 )
 
@@ -123,23 +138,7 @@ _DRIVER_CHECKED = frozenset(
 # re-check block (ADVICE r4: keep re-check slots even when new queries
 # compete for the budget).  They are local-gate-verified now and become
 # ordinary oracle-new entries next round, when the budget has room.
-_DEFER_NEW: frozenset[str] = frozenset(
-    {
-        # r6 additions (wave 7) queue behind the r5-deferred block and
-        # the rotated re-checks; local-gate green + pytest meanwhile.
-        "ann_hamming_topk",
-        "eval_ann_recall",
-        "embedding_matryoshka_eval",
-        "text_ccnet_buckets",
-        "corpus_mix_rebalance",
-        "pack_padding_waste",
-        "pit_interval_join",
-        "ts2_mean_shift_detect",
-        "mv_user_event_totals",
-        "var1_variant_extract",
-        "sample_grouped_split",
-    }
-)
+_DEFER_NEW: frozenset[str] = frozenset()
 
 
 def _rotation_seed() -> int:

@@ -310,22 +310,26 @@ def embedding_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     all_ranked = per_dim[0]
     for p in per_dim[1:]:
         all_ranked = all_ranked.unionByName(p)
-    ref = all_ranked.filter(F.col("dim") == 64).select(
-        "query_id", F.col("neighbor_id").alias("ref_neighbor")
+    # ref and hits both derive from all_ranked: explicit aliases keep the
+    # self-join unambiguous across Spark versions (r6 ADVICE).
+    ref = (
+        all_ranked.filter(F.col("dim") == 64)
+        .select("query_id", F.col("neighbor_id").alias("ref_neighbor"))
+        .alias("r")
     )
-    hits = all_ranked.withColumn("__hit", F.lit(1))
+    hits = all_ranked.withColumn("__hit", F.lit(1)).alias("h")
     dims = [(int(d),) for d in _MRL_DIMS]
-    dims_df = emb.sparkSession.createDataFrame(dims, "dim long")
+    dims_df = emb.sparkSession.createDataFrame(dims, "dim long").alias("d")
     return (
         ref.crossJoin(F.broadcast(dims_df))
         .join(
             hits,
-            (hits["dim"] == dims_df["dim"])
-            & (hits["query_id"] == ref["query_id"])
-            & (hits["neighbor_id"] == ref["ref_neighbor"]),
+            (F.col("h.dim") == F.col("d.dim"))
+            & (F.col("h.query_id") == F.col("r.query_id"))
+            & (F.col("h.neighbor_id") == F.col("r.ref_neighbor")),
             "left",
         )
-        .groupBy(dims_df["dim"].alias("dim"), ref["query_id"].alias("query_id"))
+        .groupBy(F.col("d.dim").alias("dim"), F.col("r.query_id").alias("query_id"))
         .agg(
             (
                 F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast("double")
@@ -598,21 +602,26 @@ def pit_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("valid_to", F.lead("valid_from").over(wv))
     )
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        "event_id", "user_id", "ts"
+    # clicks and iv both derive from ev: explicit aliases keep the
+    # self-join unambiguous across Spark versions (r6 ADVICE).
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select("event_id", "user_id", "ts")
+        .alias("c")
     )
+    iv = iv.alias("i")
     return clicks.join(
         iv,
-        (clicks["user_id"] == iv["user_id"])
-        & (clicks["ts"] >= iv["valid_from"])
-        & (iv["valid_to"].isNull() | (clicks["ts"] < iv["valid_to"])),
+        (F.col("c.user_id") == F.col("i.user_id"))
+        & (F.col("c.ts") >= F.col("i.valid_from"))
+        & (F.col("i.valid_to").isNull() | (F.col("c.ts") < F.col("i.valid_to"))),
     ).select(
-        clicks["event_id"],
-        clicks["user_id"],
-        clicks["ts"],
-        "interval_id",
-        "tier_value",
-        "valid_from",
+        F.col("c.event_id"),
+        F.col("c.user_id"),
+        F.col("c.ts"),
+        F.col("i.interval_id"),
+        F.col("i.tier_value"),
+        F.col("i.valid_from"),
     )
 
 
