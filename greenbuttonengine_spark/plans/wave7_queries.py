@@ -631,6 +631,86 @@ def pit_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MS_W = 50          # window size each side
 _MS_THRESH_C = 150  # mean-shift threshold in cents
+_MS_SEG_ROWS = 1000  # per-series segment size for the halo-sliced windows
+
+
+def _series_rn(df: DataFrame, series_col: str, order_cols: list[str]) -> DataFrame:
+    """Per-series 1-based row number with NO per-series single-task pass.
+
+    Extends the o1_multikey_sort_rank construction (range partition +
+    monotonically_increasing_id + broadcast offsets) to PER-GROUP ranks:
+    after repartitionByRange on (series, order...) + sortWithinPartitions,
+    a partition holds each series as one contiguous sorted run, so
+
+        rn = in-partition position
+             - (start of this series' run inside the partition)
+             + (count of this series in all earlier partitions)
+
+    Both correction terms come from one O(partitions x series) counts
+    aggregate, prefix-summed two ways over that tiny frame and broadcast
+    back.  The counts aggregate groups ``ranked`` itself on its decoded
+    partition id (one range shuffle in the plan, reused by both
+    branches), so the two sides can never disagree on range boundaries.
+    Cost: 1 range shuffle + 1 tiny agg + 1 broadcast join; parallelism
+    scales with partitions, never with the number of distinct series.
+    """
+    keys = [series_col, *order_cols]
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    mask = (1 << 33) - 1
+    ranked = (
+        df.repartitionByRange(n_part, *keys)
+        .sortWithinPartitions(*keys)
+        .withColumn("_mid", F.monotonically_increasing_id())
+        .withColumn("_pid", F.shiftright("_mid", 33))
+        .withColumn("_pos", F.col("_mid").bitwiseAND(F.lit(mask)) + F.lit(1))
+        .drop("_mid")
+    )
+    counts = ranked.groupBy(
+        F.col("_pid").alias("_cpid"),
+        F.col(series_col).alias("_cseries"),
+    ).agg(F.count("*").alias("_cnt"))
+    w_series = (
+        W.partitionBy("_cseries").orderBy("_cpid").rowsBetween(W.unboundedPreceding, -1)
+    )
+    w_part = (
+        W.partitionBy("_cpid").orderBy("_cseries").rowsBetween(W.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "_cpid",
+        "_cseries",
+        F.coalesce(F.sum("_cnt").over(w_series), F.lit(0)).alias("_series_off"),
+        F.coalesce(F.sum("_cnt").over(w_part), F.lit(0)).alias("_series_start"),
+    )
+    return (
+        ranked.join(
+            F.broadcast(offsets),
+            (ranked["_pid"] == offsets["_cpid"])
+            & (ranked[series_col] == offsets["_cseries"]),
+        )
+        .withColumn(
+            "_rn", F.col("_pos") - F.col("_series_start") + F.col("_series_off")
+        )
+        .drop("_cpid", "_cseries", "_series_off", "_series_start", "_pid", "_pos")
+    )
+
+
+def _halo_segments(df: DataFrame, seg_rows: int, halo: int) -> DataFrame:
+    """Explode each row into its home segment (seg = (rn-1) div seg_rows)
+    plus, within ``halo`` rows of a boundary, the neighboring segment.
+    Downstream row-frame windows partition by (series, _seg) — parallelism
+    scales with data volume — and keep only ``_home`` rows, whose frames
+    are provably identical to the unsegmented computation whenever every
+    dependency spans <= ``halo`` rows."""
+    rn0 = F.col("_rn") - 1
+    home = rn0 - (rn0 % F.lit(seg_rows))  # segment id = its first rn0
+    segs = F.array(
+        home,
+        F.when((rn0 % seg_rows < halo) & (home > 0), home - seg_rows),
+        F.when(rn0 % seg_rows >= seg_rows - halo, home + seg_rows),
+    )
+    return df.withColumn("_homeseg", home).withColumn(
+        "_seg", F.explode(F.filter(segs, lambda s: s.isNotNull()))
+    ).withColumn("_home", F.col("_seg") == F.col("_homeseg")).drop("_homeseg")
 
 
 @register(
@@ -686,27 +766,43 @@ _MS_THRESH_C = 150  # mean-shift threshold in cents
     "means are exact int/int ratios.  Non-maximum suppression "
     "localizes each change (only the +-W-local PEAK of the shift "
     "statistic reports), so a drifting series yields sparse change "
-    "points, not a flag per row.  Three frame-bounded window passes "
-    "over one keyed sort — per-series windows, no global sort, "
-    "and at 100 TB each series partition streams through its frames "
-    "in one pass (contrast anomaly_mad_events, which is point-wise "
-    "robust-outlier detection; this detects LEVEL shifts).",
+    "points, not a flag per row.  Scale shape: each series is cut into "
+    "seg_rows-row segments with a +-2W-row halo (computed from a "
+    "range-partitioned per-series row number, never a per-series "
+    "single-task pass), and the three frame-bounded window passes "
+    "partition by (event_type, segment) — window parallelism scales "
+    "with data volume, not with the 5-value type domain.  Results are "
+    "provably identical to the unsegmented form because every frame "
+    "dependency spans <= 2W rows (NMS reads shift at +-W, shift reads "
+    "rows at +-W), and pytest pins segmented == unsegmented (contrast "
+    "anomaly_mad_events, which is point-wise robust-outlier detection; "
+    "this detects LEVEL shifts).",
 )
-def ts2_mean_shift_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ts2_mean_shift_detect(
+    spark: SparkSession, sf_dir: str, seg_rows: int = _MS_SEG_ROWS
+) -> DataFrame:
     ev = load_table(spark, "events", sf_dir)
     c = F.round(F.col("value") * 100).cast("long")
     base = ev.select("event_type", "event_id", "ts", c.alias("c"))
-    order = [F.col("ts"), F.col("event_id")]
+    # Per-series rn (scale-safe), then halo-overlapped segments: the NMS
+    # statistic at row i depends on rows within 2W of i, so a +-2W halo
+    # makes every home row's result identical to the unsegmented plan.
+    sliced = _halo_segments(
+        _series_rn(base, "event_type", ["ts", "event_id"]), seg_rows, 2 * _MS_W
+    )
     before = (
-        W.partitionBy("event_type").orderBy(*order).rowsBetween(-_MS_W, -1)
+        W.partitionBy("event_type", "_seg").orderBy("_rn").rowsBetween(-_MS_W, -1)
     )
     after = (
-        W.partitionBy("event_type").orderBy(*order).rowsBetween(0, _MS_W - 1)
+        W.partitionBy("event_type", "_seg").orderBy("_rn").rowsBetween(0, _MS_W - 1)
     )
-    w = base.select(
+    w = sliced.select(
         "event_type",
         "event_id",
         "ts",
+        "_seg",
+        "_rn",
+        "_home",
         F.sum("c").over(before).alias("sum_before"),
         F.count("*").over(before).alias("n_before"),
         F.sum("c").over(after).alias("sum_after"),
@@ -720,12 +816,13 @@ def ts2_mean_shift_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the shift statistic peaks within +-W rows (ties all kept —
     # deterministic)
     nms = (
-        W.partitionBy("event_type").orderBy(*order).rowsBetween(-_MS_W, _MS_W)
+        W.partitionBy("event_type", "_seg").orderBy("_rn").rowsBetween(-_MS_W, _MS_W)
     )
     return (
         full_w.withColumn("local_max", F.max("shift").over(nms))
         .filter(
-            (F.col("shift") >= F.lit(_MS_W * _MS_THRESH_C))
+            F.col("_home")
+            & (F.col("shift") >= F.lit(_MS_W * _MS_THRESH_C))
             & (F.col("shift") == F.col("local_max"))
         )
         .select(

@@ -239,6 +239,57 @@ def test_mean_shift_detect_planted_step(spark):
         assert abs(r.event_id - 200) <= _MS_W, r
 
 
+def test_mean_shift_segmented_equals_unsegmented(spark):
+    """The halo-sliced windows (scale path) must reproduce the
+    unsegmented per-series computation EXACTLY.  A random walk with
+    planted level steps produces many change points crossing segment
+    boundaries; seg_rows=120 forces ~10 segments per 1200-row series
+    while seg_rows=10**9 degenerates to one segment per series (the
+    unsegmented semantics)."""
+    import random
+
+    from greenbuttonengine_spark.plans.wave7_queries import (
+        ts2_mean_shift_detect,
+    )
+
+    rng = random.Random(77)
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for series in ("alpha", "beta", "gamma"):
+        level = 5.0
+        for i in range(1200):
+            if i % 180 == 97:  # planted steps, deliberately off-grid
+                level += rng.choice([-4.0, 4.0])
+            rows.append(
+                Row(
+                    event_id=eid,
+                    ts=t0 + dt.timedelta(minutes=i),
+                    user_id=1,
+                    event_type=series,
+                    value=level + rng.uniform(-0.3, 0.3),
+                    props="{}",
+                )
+            )
+            eid += 1
+    df = spark.createDataFrame(rows)
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+        seg = {
+            (r.event_type, r.event_id, r.mean_before, r.mean_after, r.shift_size)
+            for r in ts2_mean_shift_detect(spark, d, seg_rows=120).collect()
+        }
+        unseg = {
+            (r.event_type, r.event_id, r.mean_before, r.mean_after, r.shift_size)
+            for r in ts2_mean_shift_detect(spark, d, seg_rows=10**9).collect()
+        }
+    assert seg, "planted steps must produce change points"
+    assert seg == unseg
+
+
 def test_hamming_histogram_threshold_equals_naive_rank(spark):
     """Property test: the histogram-threshold top-k (shipped plan) must
     equal the naive full-rank on randomized corpora — ties at the
