@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..sources.catalog import load_table
-from .registry import register
+from .registry import register, shuffle_partitions
 
 
 def _dec(c, scale: int = 2):
@@ -287,16 +287,19 @@ def a4_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "partition i wholly before partition i+1), sortWithinPartitions, then "
     "monotonically_increasing_id — whose documented layout is "
     "(partition_id << 33) | in-partition-position — yields the local rank "
-    "for free in the same single pass. Per-partition counts (O(partitions) "
-    "rows; the only partition-less Window runs over that tiny aggregate) are "
-    "prefix-summed and broadcast-joined back as offsets. Total cost: 2 scans "
-    "+ 2 range shuffles, fully parallel; never a single-partition pass over "
-    "the data.",
+    "for free in the same single pass. The ranked lineage is materialized "
+    "ONCE (eager localCheckpoint) because range-boundary sampling is seeded "
+    "per RDD instance and the frame feeds two branches (counts + join); "
+    "per-partition counts (O(partitions) rows; the only partition-less "
+    "Window runs over that tiny aggregate) then derive from the SAME frozen "
+    "blocks, are prefix-summed and broadcast-joined back as offsets. Total "
+    "cost: 1 scan + 1 range shuffle + 1 checkpoint, fully parallel; never a "
+    "single-partition pass over the data.",
 )
 def o1_multikey_sort_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir).select("event_id", "event_type", "ts")
     keys = ["event_type", "ts", "event_id"]
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    n_part = shuffle_partitions(spark)
     mask = (1 << 33) - 1
     ranked = (
         ev.repartitionByRange(n_part, *keys)
@@ -307,16 +310,14 @@ def o1_multikey_sort_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.shiftright("_mid", 33).alias("_pid"),
             (F.col("_mid").bitwiseAND(F.lit(mask)) + F.lit(1)).alias("_local_rank"),
         )
+        .localCheckpoint(eager=True)
     )
-    # Second (independent) pass computes only per-range-bucket counts: the
-    # range partitioner is deterministic for a given input, so bucket counts
-    # agree with the ranked pass. O(partitions) rows after the map-side
-    # partial count, so the prefix-sum window is trivially cheap.
-    counts = (
-        ev.repartitionByRange(n_part, *keys)
-        .groupBy(F.spark_partition_id().cast("long").alias("_pid"))
-        .agg(F.count("*").alias("_cnt"))
-    )
+    # Counts derive from the checkpointed ranked frame itself — a second
+    # independent repartitionByRange would re-sample range boundaries
+    # (sampling is seeded per RDD instance) and could silently disagree
+    # with the ranked pass on skewed data.  O(partitions) rows after the
+    # map-side partial count, so the prefix-sum window is trivially cheap.
+    counts = ranked.groupBy("_pid").agg(F.count("*").alias("_cnt"))
     prefix = W.orderBy("_pid").rowsBetween(W.unboundedPreceding, -1)
     offsets = counts.withColumn(
         "_offset", F.coalesce(F.sum("_cnt").over(prefix), F.lit(0))

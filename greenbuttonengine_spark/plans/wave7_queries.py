@@ -24,7 +24,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..sources.catalog import load_table
-from .registry import register
+from .registry import register, shuffle_partitions as _shuffle_partitions
 
 
 # ---------------------------------------------------------------------------
@@ -648,14 +648,28 @@ def _series_rn(df: DataFrame, series_col: str, order_cols: list[str]) -> DataFra
 
     Both correction terms come from one O(partitions x series) counts
     aggregate, prefix-summed two ways over that tiny frame and broadcast
-    back.  The counts aggregate groups ``ranked`` itself on its decoded
-    partition id (one range shuffle in the plan, reused by both
-    branches), so the two sides can never disagree on range boundaries.
-    Cost: 1 range shuffle + 1 tiny agg + 1 broadcast join; parallelism
-    scales with partitions, never with the number of distinct series.
+    back.
+
+    DETERMINISM CONTRACT (the r7 red-row lesson): repartitionByRange
+    draws its range boundaries from *seeded-per-RDD-instance sampling*
+    and monotonically_increasing_id depends on the resulting layout, so
+    the ``ranked`` lineage is nondeterministic under re-execution.  It
+    is consumed by TWO downstream branches (the counts aggregate and
+    the broadcast-join left side); if Spark re-executes the exchange
+    for one branch (stage retry, no exchange reuse, AQE replan) the two
+    sides see DIFFERENT boundaries and ``_rn`` is silently corrupted
+    near partition edges — observed as 76/78/77/77 rows across four
+    identical ts2 runs.  Fix: materialize the lineage ONCE with an
+    eager localCheckpoint before fan-out (the same pattern
+    extensions/dedup.py uses for minhash signatures).  Every consumer
+    then reads the same frozen blocks and the plan is deterministic.
+    Cost: 1 range shuffle + 1 checkpoint write + 1 tiny agg + 1
+    broadcast join; parallelism scales with partitions, never with the
+    number of distinct series.  The checkpointed frame holds only the
+    caller's projected columns, so size the projection before calling.
     """
     keys = [series_col, *order_cols]
-    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    n_part = _shuffle_partitions(df.sparkSession)
     mask = (1 << 33) - 1
     ranked = (
         df.repartitionByRange(n_part, *keys)
@@ -664,6 +678,7 @@ def _series_rn(df: DataFrame, series_col: str, order_cols: list[str]) -> DataFra
         .withColumn("_pid", F.shiftright("_mid", 33))
         .withColumn("_pos", F.col("_mid").bitwiseAND(F.lit(mask)) + F.lit(1))
         .drop("_mid")
+        .localCheckpoint(eager=True)
     )
     counts = ranked.groupBy(
         F.col("_pid").alias("_cpid"),
@@ -700,7 +715,14 @@ def _halo_segments(df: DataFrame, seg_rows: int, halo: int) -> DataFrame:
     Downstream row-frame windows partition by (series, _seg) — parallelism
     scales with data volume — and keep only ``_home`` rows, whose frames
     are provably identical to the unsegmented computation whenever every
-    dependency spans <= ``halo`` rows."""
+    dependency spans <= ``halo`` rows.
+
+    The identity argument needs deps to resolve within the ADJACENT
+    segment, so ``seg_rows`` must be >= ``halo``; smaller values would
+    silently diverge (a frame could need rows two segments away).
+    Since ``seg_rows`` is a parallelism knob, not a semantic one, we
+    clamp rather than raise."""
+    seg_rows = max(seg_rows, halo)
     rn0 = F.col("_rn") - 1
     home = rn0 - (rn0 % F.lit(seg_rows))  # segment id = its first rn0
     segs = F.array(
