@@ -130,14 +130,21 @@ _DRIVER_CHECKED = frozenset(
         "lm_pmi_collocations", "agg_contribution_bounded",
         "ops_zorder_key", "dedup_repeated_substrings",
         "stats_bootstrap_ci_events", "pipeline_curation_v2",
+        # r07 greens (49/50 gate; the one red, ts2_mean_shift_detect,
+        # stays out — its nondeterministic lineage was fixed in r8 and
+        # it must re-verify as an oracle-new row first)
+        "ann_hamming_topk", "eval_ann_recall", "embedding_matryoshka_eval",
+        "text_ccnet_buckets", "corpus_mix_rebalance", "pack_padding_waste",
+        "pit_interval_join", "mv_user_event_totals", "var1_variant_extract",
+        "sample_grouped_split",
     }
 )
 
 
-# New-this-round queries that yield their in-budget slot to the rotated
-# re-check block (ADVICE r4: keep re-check slots even when new queries
-# compete for the budget).  They are local-gate-verified now and become
-# ordinary oracle-new entries next round, when the budget has room.
+# Mechanism kept for future rounds, currently EMPTY: new-this-round
+# queries listed here yield their in-budget gate slot to the rotated
+# re-check block (ADVICE r4) and become ordinary oracle-new entries the
+# following round, when the budget has room.
 _DEFER_NEW: frozenset[str] = frozenset()
 
 

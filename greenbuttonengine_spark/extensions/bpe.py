@@ -201,15 +201,27 @@ def _merge_loop_local_incremental(
     return merges, {"".join(s): tuple(s) for s in words}
 
 
+_SPARK_LOOP_MAX_MERGES = 64
+
+
 def bpe_train_spark_loop(
     docs: DataFrame,
     n_merges: int = 10,
     text_col: str = "text",
     min_pair_count: int = 2,
 ) -> tuple[list[tuple[str, str, int]], DataFrame]:
-    """r5's all-Spark merge loop, kept as a cross-check for the local
-    loop (1 aggregate + 1 collect + 1 vocab regexp_replace per merge —
-    do not use past toy merge counts; see module docstring)."""
+    """r5's all-Spark merge loop, kept ONLY as a pytest cross-check for
+    the local-incremental loop (1 aggregate + 1 collect + 1 vocab
+    regexp_replace per merge = one Spark job PER MERGE; ``bpe_train``'s
+    3-job form supersedes it for real training).  Hard-capped so the
+    per-merge job launch cannot be misused at production merge counts.
+    """
+    if n_merges > _SPARK_LOOP_MAX_MERGES:
+        raise ValueError(
+            f"bpe_train_spark_loop launches one Spark job per merge and is "
+            f"capped at {_SPARK_LOOP_MAX_MERGES} merges (cross-check use "
+            f"only); use bpe_train for real merge counts"
+        )
     vocab = (
         word_vocab(docs, text_col)
         .withColumn("syms", _to_symbols(F.col("word")))

@@ -370,17 +370,208 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash_column(col, bits: int = 48, token_pattern: str = r"\s+"):
-    """bits-wide SimHash: per token, xxhash64 supplies the bit pattern;
-    each output bit is the sign of the +1/-1 vote sum."""
+# ---------------------------------------------------------------------------
+# Seeded (oracle-reproducible) MinHash — the r6 "integer-LCG" trick
+# extended to string hashing: md5 is the one string hash BOTH engines
+# expose, and conv(substring(md5(s),1,15),16,10) == DuckDB
+# CAST(concat('0x', substr(md5(s),1,15)) AS BIGINT) bit-for-bit, so the
+# whole MinHash+LSH pipeline becomes engine-independent arithmetic.
+# The xxhash64 forms above stay as the production/streaming path (the
+# admission store's bucket function must not change shape).
+# ---------------------------------------------------------------------------
+
+_MH_P = (1 << 31) - 1  # Mersenne prime: permutation modulus
+_BAND_BASE = 1021  # < 2^10 so m * base^3 stays under 2^61 (ANSI-safe)
+
+
+def md5_hash60(col):
+    """60-bit integer string hash computed identically by Spark and
+    DuckDB (see block comment above)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def lcg_perm_params(n: int, seed: int = 0xC0FFEE) -> list[tuple[int, int]]:
+    """n (a, b) permutation pairs from a 64-bit LCG — plain Python ints
+    embedded as literals in BOTH the Spark plan and the oracle SQL, so
+    the permutation family is engine-independent by construction."""
+    a_mul, c_add, m = 6364136223846793005, 1442695040888963407, 1 << 64
+    x = seed
+    out = []
+    for _ in range(n):
+        x = (a_mul * x + c_add) % m
+        a = 1 + (x >> 33) % (_MH_P - 1)
+        x = (a_mul * x + c_add) % m
+        b = (x >> 33) % _MH_P
+        out.append((int(a), int(b)))
+    return out
+
+
+def minhash_signatures_seeded(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    num_perm: int = 32, k: int = 8,
+) -> DataFrame:
+    """Same explode + codegen'd min-aggregate shape as
+    ``minhash_signatures`` (one narrow shuffle keyed by id), but the
+    shingle hash is md5-derived and the permutations are literal-LCG
+    modular arithmetic — every value reproducible in the DuckDB oracle.
+    a*h+b < 2^62 for a,h < 2^31, so ANSI long arithmetic cannot throw."""
+    params = lcg_perm_params(num_perm)
+    ex = docs.select(
+        F.col(id_col), F.explode(_shingles(text_col, k, distinct=False)).alias("__sh")
+    ).select(F.col(id_col), (md5_hash60(F.col("__sh")) % F.lit(_MH_P)).alias("h0"))
+    mins = [
+        F.min((F.lit(a) * F.col("h0") + F.lit(b)) % F.lit(_MH_P)).alias(f"__m{j}")
+        for j, (a, b) in enumerate(params)
+    ]
+    return ex.groupBy(id_col).agg(*mins).select(
+        F.col(id_col),
+        F.array(*[F.col(f"__m{j}") for j in range(num_perm)]).alias("sig"),
+    )
+
+
+def band_buckets_seeded(
+    sig: DataFrame, num_perm: int = 32, bands: int = 8, id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, band_idx, band_hash) where band_hash is the positional
+    weighted sum sum_r sig[band*rows+r] * BASE^r — not injective, but
+    both engines compute the identical value, and the verify stage
+    filters false bucket collisions anyway (exactly as with the
+    xxhash64 band hash)."""
+    rows = num_perm // bands
+    weights = [_BAND_BASE**r for r in range(rows)]
+    band_cols = []
+    for bi in range(bands):
+        acc = None
+        for r, w in enumerate(weights):
+            term = F.col("sig")[bi * rows + r] * F.lit(w)
+            acc = term if acc is None else acc + term
+        band_cols.append(
+            F.struct(F.lit(bi).alias("band_idx"), acc.alias("band_hash"))
+        )
+    return sig.select(id_col, F.explode(F.array(*band_cols)).alias("b")).select(
+        id_col, F.col("b.band_idx").alias("band_idx"),
+        F.col("b.band_hash").alias("band_hash"),
+    )
+
+
+def minhash_lsh_pairs_seeded(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    num_perm: int = 32,
+    bands: int = 8,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket: int = 10000,
+) -> DataFrame:
+    """``minhash_lsh_pairs`` with the seeded signature/band functions:
+    identical scale shape (checkpointed signatures, capped band-key
+    self-equi-join, signature-agreement verify), every value DuckDB-
+    reproducible.  ``minhash_seeded_oracle_sql`` emits the matching
+    oracle from the same literals."""
+    sig = minhash_signatures_seeded(docs, text_col, id_col, num_perm, k)
+    sig = sig.localCheckpoint(eager=False)  # feeds buckets + both verify sides
+    buckets = band_buckets_seeded(sig, num_perm=num_perm, bands=bands, id_col=id_col)
+    buckets = _cap_buckets(buckets, max_bucket)
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    sa = sig.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
+    est = _sig_agreement(num_perm)
+    return (
+        cand.join(sa, "id_a").join(sb, "id_b")
+        .select("id_a", "id_b", est.alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
+def minhash_seeded_oracle_sql(
+    threshold: float = 0.8, num_perm: int = 32, bands: int = 8, k: int = 8,
+    max_bucket: int = 10000,
+) -> str:
+    """DuckDB oracle for ``minhash_lsh_pairs_seeded`` generated from
+    the SAME LCG literals the Spark plan embeds."""
+    rows = num_perm // bands
+    params = lcg_perm_params(num_perm)
+    values = ", ".join(
+        f"({j}, {a}, {b}, {_BAND_BASE ** (j % rows)}, {j // rows})"
+        for j, (a, b) in enumerate(params)
+    )
+    return f"""
+    WITH params(j, a, b, w, band) AS (VALUES {values}),
+    ex AS (
+        SELECT DISTINCT doc_id,
+               CAST(concat('0x', substr(md5(sh), 1, 15)) AS BIGINT)
+                   % {_MH_P} AS h0
+        FROM (
+            SELECT doc_id, unnest([substring(text, i, {k})
+                       for i in generate_series(1,
+                           greatest(length(text) - {k - 1}, 1))]) AS sh
+            FROM documents
+        )
+    ),
+    sigv AS (
+        SELECT doc_id, j, MIN((a * h0 + b) % {_MH_P}) AS m
+        FROM ex CROSS JOIN params GROUP BY doc_id, j
+    ),
+    bandv AS (
+        SELECT s.doc_id, p.band AS band_idx, SUM(s.m * p.w) AS band_hash
+        FROM sigv s JOIN params p USING (j)
+        GROUP BY s.doc_id, p.band
+    ),
+    capped AS (
+        SELECT * FROM bandv
+        QUALIFY COUNT(*) OVER (PARTITION BY band_idx, band_hash)
+                    <= {max_bucket}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM capped a
+        JOIN capped b ON a.band_idx = b.band_idx
+                     AND a.band_hash = b.band_hash
+                     AND a.doc_id < b.doc_id
+    ),
+    est AS (
+        SELECT c.id_a, c.id_b,
+               CAST(SUM(CASE WHEN va.m = vb.m THEN 1 ELSE 0 END)
+                    AS DOUBLE) / {num_perm}.0 AS est_jaccard
+        FROM cand c
+        JOIN sigv va ON va.doc_id = c.id_a
+        JOIN sigv vb ON vb.doc_id = c.id_b AND vb.j = va.j
+        GROUP BY c.id_a, c.id_b
+    )
+    SELECT id_a, id_b, est_jaccard FROM est
+    WHERE est_jaccard >= {threshold}
+    """
+
+
+def simhash_column(
+    col, bits: int = 48, token_pattern: str = r"\s+", seeded: bool = False
+):
+    """bits-wide SimHash: per token, a 64-bit hash supplies the bit
+    pattern; each output bit is the sign of the +1/-1 vote sum.
+    ``seeded=True`` swaps xxhash64 for the md5-derived 60-bit hash the
+    DuckDB oracle reproduces (bits must then be <= 60)."""
+    if seeded and bits > 60:
+        raise ValueError("seeded simhash draws bits from a 60-bit hash")
     tokens = F.split(F.trim(col), token_pattern)
+    hash_fn = md5_hash60 if seeded else F.xxhash64
 
     def vote(b: int):
         return F.aggregate(
             F.transform(
                 tokens,
                 lambda t: F.when(
-                    F.shiftright(F.xxhash64(t), b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+                    F.shiftright(hash_fn(t), b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
                 ).otherwise(F.lit(-1)),
             ),
             F.lit(0),
@@ -401,13 +592,18 @@ def simhash_pairs(
     bands: int = 4,
     text_col: str = "text",
     id_col: str = "doc_id",
+    seeded: bool = False,
 ) -> DataFrame:
     """SimHash near-dup: banded candidate generation (pigeonhole: any
     pair within max_hamming shares at least one of `bands` exact bands
-    when bands > max_hamming), then exact popcount verify."""
+    when bands > max_hamming), then exact popcount verify.
+    ``seeded=True`` makes every value DuckDB-reproducible
+    (``simhash_seeded_oracle_sql`` emits the matching oracle)."""
     width = bits // bands
     mask = (1 << width) - 1
-    sh = docs.select(F.col(id_col), simhash_column(F.col(text_col), bits).alias("sh"))
+    sh = docs.select(
+        F.col(id_col), simhash_column(F.col(text_col), bits, seeded=seeded).alias("sh")
+    )
     # see minhash_lsh_pairs: auto-freed once consumers are GC'd
     sh = sh.localCheckpoint(eager=False)
     band_arr = F.array(
@@ -441,6 +637,57 @@ def simhash_pairs(
         .select("id_a", "id_b", hamming.cast("int").alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def simhash_seeded_oracle_sql(
+    max_hamming: int = 3, bits: int = 48, bands: int = 4
+) -> str:
+    """DuckDB oracle for ``simhash_pairs(seeded=True)``: the same
+    md5-derived token hash, sign-of-vote bits, pigeonhole bands, and
+    popcount verify, all in integer arithmetic."""
+    width = bits // bands
+    mask = (1 << width) - 1
+    return f"""
+    WITH th AS (
+        SELECT doc_id,
+               CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) AS h
+        FROM (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
+            FROM documents
+        )
+    ),
+    votes AS (
+        SELECT doc_id, g.b AS b,
+               SUM(CASE WHEN (h >> g.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        FROM th CROSS JOIN generate_series(0, {bits - 1}) AS g(b)
+        GROUP BY doc_id, g.b
+    ),
+    sh AS (
+        SELECT doc_id,
+               SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b)
+                        ELSE 0 END) AS sh
+        FROM votes GROUP BY doc_id
+    ),
+    bandv AS (
+        SELECT doc_id, g.bi AS band_idx,
+               (sh >> ({width} * g.bi)) & {mask} AS band_val
+        FROM sh CROSS JOIN generate_series(0, {bands - 1}) AS g(bi)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bandv a
+        JOIN bandv b ON a.band_idx = b.band_idx
+                    AND a.band_val = b.band_val
+                    AND a.doc_id < b.doc_id
+    )
+    SELECT c.id_a, c.id_b,
+           CAST(bit_count(xor(sa.sh, sb.sh)) AS INTEGER) AS hamming
+    FROM cand c
+    JOIN sh sa ON sa.doc_id = c.id_a
+    JOIN sh sb ON sb.doc_id = c.id_b
+    WHERE bit_count(xor(sa.sh, sb.sh)) <= {max_hamming}
+    """
 
 
 def _with_norm(emb: DataFrame, vec_col: str, id_col: str) -> DataFrame:

@@ -444,6 +444,72 @@ def espi_egd_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "espi_egd_golden_parity",
+    """
+    SELECT title,
+           CASE WHEN isnan(cost) THEN NULL
+                ELSE CAST(cost AS DOUBLE) END AS cost,
+           quality,
+           CAST(value AS DOUBLE) AS value,
+           CAST(tou AS BIGINT) AS tou,
+           epoch_ms(time_period_start_unix) // 1000 AS start_unix_s,
+           CAST(time_period_duration_seconds AS BIGINT) AS duration_s,
+           accumulation_behaviour, commodity, currency, data_qualifier,
+           flow_direction, kind, phase, uom
+    FROM read_parquet(
+        '/root/reference/cli-frontend/tests/goldens/golden.parquet')
+    WHERE title = 'Meter data'
+    """,
+    tags=("espi", "flagship", "golden"),
+    doc="Driver-visible VALUE check for the flagship ESPI pipeline: the "
+    "Spark side runs the full EGD XML -> parse -> denormalize -> "
+    "15-column TimeSeries pipeline (timeseries.rs:244-262 schema); the "
+    "oracle side is the reference's own committed golden parquet "
+    "(cli-frontend/tests/goldens/golden.parquet) restricted to the "
+    "'Meter data' series the one non-stripped input file produces.  "
+    "Canonicalization makes the hash compare exact: NaN cost sentinel "
+    "-> NULL, f32 values widened to DOUBLE (exact), timestamps as "
+    "BIGINT epoch seconds.  This turns the pytest-only golden parity "
+    "(tests/test_espi_golden.py) into a driver CORRECTNESS row, so the "
+    "end-to-end pipeline is value-pinned by the gate itself.",
+)
+def espi_egd_golden_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..espi import timeseries_from_files
+
+    egd = "/root/reference/test_files/EGD_Gas_EnergyUsage_20221225_20241225.xml"
+    schema = (
+        "title string, cost double, quality string, value double, tou bigint,"
+        " start_unix_s bigint, duration_s bigint, accumulation_behaviour"
+        " string, commodity string, currency string, data_qualifier string,"
+        " flow_direction string, kind string, phase string, uom string"
+    )
+    if not os.path.exists(egd):  # environment without the reference corpus
+        return spark.createDataFrame([], schema)
+    ts, _errors = timeseries_from_files(spark, egd)
+    return ts.select(
+        "title",
+        F.when(F.isnan("cost"), F.lit(None))
+        .otherwise(F.col("cost").cast("double"))
+        .alias("cost"),
+        "quality",
+        F.col("value").cast("double").alias("value"),
+        F.col("tou").cast("bigint").alias("tou"),
+        F.col("time_period_start_unix").cast("bigint").alias("start_unix_s"),
+        F.col("time_period_duration_seconds").cast("bigint").alias("duration_s"),
+        "accumulation_behaviour",
+        "commodity",
+        "currency",
+        "data_qualifier",
+        "flow_direction",
+        "kind",
+        "phase",
+        "uom",
+    )
+
+
+@register(
     "a5_salted_skew_aggregate",
     """
     SELECT event_type, COUNT(*) AS n,

@@ -119,25 +119,35 @@ def dedup_ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_minhash_lsh",
-    None,  # xxhash64-based signatures are engine-specific -> rows-only
+    dedup.minhash_seeded_oracle_sql(threshold=0.8),
     tags=("dedup", "approx"),
     doc="MinHash(32) + 8x4 banded LSH candidates, est-Jaccard >= 0.8. "
     "The scalable near-dup path: shuffle on band keys, never all-pairs. "
-    "pytest cross-checks recall against dedup_ngram_jaccard.",
+    "Oracle-backed since r8 via the seeded cross-engine hash family "
+    "(md5-derived 60-bit shingle hash + literal-LCG permutations + "
+    "weighted-sum band keys — the r6 quantizer trick extended to "
+    "string hashing); identical plan shape to the xxhash64 production "
+    "form, which the streaming admission store keeps.  pytest "
+    "cross-checks recall against dedup_ngram_jaccard.",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.minhash_lsh_pairs(load_table(spark, "documents", sf_dir), threshold=0.8)
+    return dedup.minhash_lsh_pairs_seeded(
+        load_table(spark, "documents", sf_dir), threshold=0.8
+    )
 
 
 @register(
     "dedup_simhash",
-    None,
+    dedup.simhash_seeded_oracle_sql(max_hamming=3),
     tags=("dedup", "approx"),
-    doc="32-bit SimHash near-dup, hamming <= 3, banded candidate "
-    "generation (pigeonhole over 4 bands).",
+    doc="48-bit SimHash near-dup, hamming <= 3, banded candidate "
+    "generation (pigeonhole over 4 bands).  Oracle-backed since r8: "
+    "md5-derived token hash makes every bit DuckDB-reproducible.",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.simhash_pairs(load_table(spark, "documents", sf_dir), max_hamming=3)
+    return dedup.simhash_pairs(
+        load_table(spark, "documents", sf_dir), max_hamming=3, seeded=True
+    )
 
 
 @register(
