@@ -494,20 +494,20 @@ def minhash_lsh_pairs_seeded(
     )
 
 
-def minhash_seeded_oracle_sql(
+def minhash_seeded_pair_ctes(
     threshold: float = 0.8, num_perm: int = 32, bands: int = 8, k: int = 8,
     max_bucket: int = 10000,
 ) -> str:
-    """DuckDB oracle for ``minhash_lsh_pairs_seeded`` generated from
-    the SAME LCG literals the Spark plan embeds."""
+    """The shared CTE chain (no WITH keyword) ending in
+    ``mh_pairs(id_a, id_b, est_jaccard)`` — used by the pair oracle and
+    by downstream compositions (LSH connected components)."""
     rows = num_perm // bands
     params = lcg_perm_params(num_perm)
     values = ", ".join(
         f"({j}, {a}, {b}, {_BAND_BASE ** (j % rows)}, {j // rows})"
         for j, (a, b) in enumerate(params)
     )
-    return f"""
-    WITH params(j, a, b, w, band) AS (VALUES {values}),
+    return f"""params(j, a, b, w, band) AS (VALUES {values}),
     ex AS (
         SELECT DISTINCT doc_id,
                CAST(concat('0x', substr(md5(sh), 1, 15)) AS BIGINT)
@@ -548,9 +548,48 @@ def minhash_seeded_oracle_sql(
         JOIN sigv va ON va.doc_id = c.id_a
         JOIN sigv vb ON vb.doc_id = c.id_b AND vb.j = va.j
         GROUP BY c.id_a, c.id_b
+    ),
+    mh_pairs AS (
+        SELECT id_a, id_b, est_jaccard FROM est
+        WHERE est_jaccard >= {threshold}
+    )"""
+
+
+def minhash_seeded_oracle_sql(
+    threshold: float = 0.8, num_perm: int = 32, bands: int = 8, k: int = 8,
+    max_bucket: int = 10000,
+) -> str:
+    """DuckDB oracle for ``minhash_lsh_pairs_seeded`` generated from
+    the SAME LCG literals the Spark plan embeds."""
+    ctes = minhash_seeded_pair_ctes(threshold, num_perm, bands, k, max_bucket)
+    return f"""
+    WITH {ctes}
+    SELECT id_a, id_b, est_jaccard FROM mh_pairs
+    """
+
+
+def minhash_clusters_seeded_oracle_sql(
+    threshold: float = 0.8, num_perm: int = 32, bands: int = 8, k: int = 8,
+    max_bucket: int = 10000,
+) -> str:
+    """DuckDB oracle for connected components over the seeded LSH
+    pairs (``dedup_clusters_lsh``): recursive-CTE transitive closure,
+    cluster id = min node id — the same closure the exact
+    ``dedup_clusters`` oracle uses, over the LSH candidate edges."""
+    ctes = minhash_seeded_pair_ctes(threshold, num_perm, bands, k, max_bucket)
+    return f"""
+    WITH RECURSIVE {ctes},
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM mh_pairs
+        UNION SELECT id_b, id_a FROM mh_pairs
+    ),
+    labels(node, label) AS (
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT e.src, l.label FROM edges e JOIN labels l ON l.node = e.dst
     )
-    SELECT id_a, id_b, est_jaccard FROM est
-    WHERE est_jaccard >= {threshold}
+    SELECT CAST(node AS BIGINT) AS node, CAST(MIN(label) AS BIGINT) AS cluster_id
+    FROM labels GROUP BY node
     """
 
 
@@ -985,6 +1024,74 @@ def dedup_cascade(
         .otherwise(F.lit("kept"))
     )
     return decided.select(F.col(id_col), keep.alias("keep"), reason.alias("reason"))
+
+
+def cascade_oracle_sql(threshold: float = 0.8, k: int = 8) -> str:
+    """DuckDB oracle for ``dedup_cascade(method='prefix')``: stitches
+    the already-proven component oracles — md5 normalized fingerprint
+    (dedup_exact), exact shingle-Jaccard pairs over the exact-pass
+    survivors (dedup_ngram_jaccard; the prefix-filtered Spark plan is
+    pytest-pinned result-identical), recursive-CTE transitive closure
+    (dedup_clusters) — into the end-to-end (doc_id, keep, reason)
+    decision the Spark composition emits."""
+    return rf"""
+    WITH RECURSIVE fp AS (
+        SELECT doc_id,
+               md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+                   AS fingerprint
+        FROM documents
+    ),
+    exact_keep AS (
+        SELECT MIN(doc_id) AS doc_id FROM fp GROUP BY fingerprint
+    ),
+    surv AS (
+        SELECT d.doc_id, d.text FROM documents d
+        JOIN exact_keep ek ON ek.doc_id = d.doc_id
+    ),
+    ex AS (
+        SELECT doc_id, unnest(list_distinct([substring(text, i, {k})
+                   for i in generate_series(1,
+                       greatest(length(text) - {k - 1}, 1))])) AS sh
+        FROM surv
+    ),
+    sizes AS (
+        SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY doc_id
+    ),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+        FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT id_a, id_b FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE)
+                  >= {threshold}
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION SELECT id_b, id_a FROM pairs
+    ),
+    labels(node, label) AS (
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT e.src, l.label FROM edges e JOIN labels l ON l.node = e.dst
+    ),
+    cl AS (
+        SELECT node, node = MIN(label) AS cluster_keep
+        FROM labels GROUP BY node
+    )
+    SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+           (ek.doc_id IS NOT NULL) AND COALESCE(cl.cluster_keep, TRUE)
+               AS keep,
+           CASE WHEN ek.doc_id IS NULL THEN 'exact_dup'
+                WHEN NOT COALESCE(cl.cluster_keep, TRUE) THEN 'near_dup'
+                ELSE 'kept' END AS reason
+    FROM documents d
+    LEFT JOIN exact_keep ek ON ek.doc_id = d.doc_id
+    LEFT JOIN cl ON cl.node = d.doc_id
+    """
 
 
 def contamination_flags(

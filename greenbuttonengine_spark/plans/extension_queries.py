@@ -838,13 +838,16 @@ def graph_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_cascade",
-    None,  # step 3 is an iterative fixpoint -> rows-only
+    dedup.cascade_oracle_sql(threshold=0.8),
     tags=("dedup", "iterative"),
     doc="The composed dedup pipeline: exact fingerprint pass (cheapest "
     "first, shrinks the corpus) -> prefix-filtered exact Jaccard pairs "
     "over survivors -> connected-component cluster resolution -> one "
     "keep decision + reason per document. pytest asserts keeper-set "
-    "soundness (no kept near-dup pair, every drop has a kept witness).",
+    "soundness (no kept near-dup pair, every drop has a kept witness). "
+    "Oracle-backed since r8: the Spark iterative min-label CC converges "
+    "to the same components as the oracle's recursive-CTE transitive "
+    "closure, so the whole composition is value-checkable.",
 )
 def dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_cascade(load_table(spark, "documents", sf_dir), threshold=0.8)

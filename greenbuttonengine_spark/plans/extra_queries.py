@@ -885,8 +885,7 @@ def dt1_datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_clusters_lsh",
-    None,  # LSH candidates ride engine-specific xxhash64; pytest pins
-    # cluster-membership recall >= 0.9 against the exact clusters
+    dedup.minhash_clusters_seeded_oracle_sql(threshold=0.8),
     tags=("dedup", "approx", "iterative"),
     doc="Connected components over MinHash-LSH candidate pairs — the "
     "100 TB clustering path: the exact prefix join's candidate set "
@@ -896,10 +895,11 @@ def dt1_datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "caps. Same duplicate_clusters CC kernel as dedup_clusters, so "
     "the exact variant doubles as this one's recall oracle in "
     "pytest. At scale this is the full dedup story: LSH pairs -> "
-    "CC -> keeper per cluster.",
+    "CC -> keeper per cluster. Oracle-backed since r8 via the seeded "
+    "md5+LCG pair family feeding the recursive-CTE closure.",
 )
 def dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = dedup.minhash_lsh_pairs(
+    pairs = dedup.minhash_lsh_pairs_seeded(
         load_table(spark, "documents", sf_dir), threshold=0.8
     )
     return dedup.duplicate_clusters(pairs)
