@@ -943,15 +943,23 @@ def duplicate_clusters(
     over-deletes; the correct unit is the component (keep min id per
     cluster, drop the rest).
 
-    Iterative min-label propagation (the simplified map-reduce CC of
-    Kiveris et al.'s 'Connected Components in MapReduce and Beyond',
-    SoCC'14): each round joins labels across edges and takes the min;
-    rounds needed = component diameter (near-dup clusters are
-    clique-ish, so 2-4 in practice, bounded by ``max_iter``).  Each
-    round is one shuffle join + one aggregate; lineage is truncated
-    with localCheckpoint per round so plans stay flat.  Convergence is
-    detected by an exact count of changed labels (one action per
-    round — the driver loop is control flow only, never data).
+    Iterative min-label propagation with POINTER JUMPING: each round
+    takes the min over (own label, neighbors' labels, label-of-label).
+    The neighbor step alone needs diameter rounds (Kiveris et al.,
+    'Connected Components in MapReduce and Beyond', SoCC'14); the
+    label-of-label self-join compresses paths so convergence is
+    O(log diameter) — a 2^20-diameter chain converges within the
+    default 20-round cap, where plain propagation would silently
+    return unconverged labels (and disagree with the oracle's
+    recursive-CTE transitive closure).  Both lookups only ever
+    surface ids from the same component, so every intermediate label
+    is a valid component member and the fixpoint is the component
+    min.  Each round is two shuffle joins + one aggregate; lineage is
+    truncated with localCheckpoint per round so plans stay flat.
+    Convergence is detected by an exact count of changed labels (one
+    action per round — the driver loop is control flow only, never
+    data); exhausting ``max_iter`` without converging RAISES rather
+    than shipping wrong clusters.
     """
     edges = pairs.select(
         F.col(a_col).cast("long").alias("src"), F.col(b_col).cast("long").alias("dst")
@@ -967,18 +975,26 @@ def duplicate_clusters(
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=False)
     )
+    converged = False
     for _ in range(max_iter):
         nbr_min = (
             edges.join(labels, edges["dst"] == labels["node"])
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
+        # pointer jumping: my label's OWN current label (path halving)
+        jump = labels.select(
+            F.col("node").alias("__jnode"), F.col("label").alias("__jlabel")
+        )
         new_labels = (
             labels.join(nbr_min, labels["node"] == nbr_min["src"], "left")
+            .join(jump, labels["label"] == jump["__jnode"], "left")
             .select(
                 "node",
                 F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                    F.col("label"),
+                    F.coalesce(F.col("nbr_label"), F.col("label")),
+                    F.coalesce(F.col("__jlabel"), F.col("label")),
                 ).alias("label"),
             )
             .localCheckpoint(eager=False)
@@ -991,7 +1007,14 @@ def duplicate_clusters(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"duplicate_clusters did not converge within {max_iter} rounds "
+            f"(component diameter > 2^{max_iter}?) — refusing to return "
+            f"partially-merged clusters"
+        )
     return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
 
 

@@ -20,30 +20,91 @@ def emb(spark):
     return spark.read.parquet(f"{SF}/embeddings.parquet")
 
 
-def test_minhash_lsh_recall_vs_exact(spark, docs):
+@pytest.mark.parametrize("family", ["xxhash", "seeded"])
+def test_minhash_lsh_recall_vs_exact(spark, docs, family):
+    """Both hash families must clear the recall bar: the xxhash64
+    production/streaming form AND the seeded md5+LCG form the
+    registered dedup_minhash_lsh query runs (a biased lcg_perm_params
+    permutation would pass the oracle — which only pins Spark==DuckDB
+    on the same family — while silently missing near-dups)."""
     from greenbuttonengine_spark.extensions import dedup
 
+    fn = (
+        dedup.minhash_lsh_pairs if family == "xxhash"
+        else dedup.minhash_lsh_pairs_seeded
+    )
     exact = {
         (r.id_a, r.id_b) for r in dedup.ngram_jaccard_pairs(docs, threshold=0.8).collect()
     }
-    approx = {
-        (r.id_a, r.id_b) for r in dedup.minhash_lsh_pairs(docs, threshold=0.8).collect()
-    }
+    approx = {(r.id_a, r.id_b) for r in fn(docs, threshold=0.8).collect()}
     assert exact, "corpus should contain true near-dup pairs"
     recall = len(exact & approx) / len(exact)
-    assert recall >= 0.9, f"LSH recall {recall} too low ({len(approx)} candidates)"
+    assert recall >= 0.9, f"{family} LSH recall {recall} too low ({len(approx)} candidates)"
 
 
-def test_simhash_finds_near_dups(spark, docs):
+@pytest.mark.parametrize("seeded", [False, True])
+def test_simhash_finds_near_dups(spark, docs, seeded):
     from greenbuttonengine_spark.extensions import dedup
 
     exact = {
         (r.id_a, r.id_b) for r in dedup.ngram_jaccard_pairs(docs, threshold=0.8).collect()
     }
-    sim = {(r.id_a, r.id_b) for r in dedup.simhash_pairs(docs, max_hamming=3).collect()}
+    sim = {
+        (r.id_a, r.id_b)
+        for r in dedup.simhash_pairs(docs, max_hamming=3, seeded=seeded).collect()
+    }
     # simhash on token multisets: near-dup docs must collide
     recall = len(exact & sim) / len(exact)
-    assert recall >= 0.8, f"simhash recall {recall}"
+    assert recall >= 0.8, f"simhash(seeded={seeded}) recall {recall}"
+
+
+def test_duplicate_clusters_deep_chain_converges(spark):
+    """A 3000-node path graph has diameter 2999: plain min-label
+    propagation needs 2999 rounds and would hit the 20-round cap
+    (which now RAISES instead of returning partially-merged labels);
+    pointer jumping must converge within it and label every node with
+    the chain's min id — the case where Spark would otherwise diverge
+    from the oracle's unbounded recursive-CTE closure."""
+    from pyspark.sql import Row
+
+    from greenbuttonengine_spark.extensions import dedup
+
+    n = 3000
+    edges = spark.createDataFrame([Row(id_a=i, id_b=i + 1) for i in range(n - 1)])
+    got = dedup.duplicate_clusters(edges).collect()
+    assert len(got) == n
+    assert all(r.cluster_id == 0 for r in got)
+
+
+@pytest.mark.parametrize("seeded", [False, True])
+def test_simhash_signatures_equal_column_form(spark, seeded):
+    """The explode+aggregate simhash (shipped plan) must be bit-equal
+    to the HOF expression form for both hash families — pins the
+    'identical results' claim so the two cannot silently drift."""
+    from pyspark.sql import Row
+
+    from greenbuttonengine_spark.extensions import dedup
+
+    rows = [
+        Row(doc_id=0, text="the quick brown fox jumps over the lazy dog"),
+        Row(doc_id=1, text="the quick brown fox jumps  over the lazy dog"),
+        Row(doc_id=2, text="completely different words entirely here now"),
+        Row(doc_id=3, text="x"),
+        Row(doc_id=4, text=""),
+    ]
+    df = spark.createDataFrame(rows)
+    want = {
+        (r.doc_id, r.sh)
+        for r in df.select(
+            "doc_id",
+            dedup.simhash_column(F.col("text"), 48, seeded=seeded).alias("sh"),
+        ).collect()
+    }
+    got = {
+        (r.doc_id, r.sh)
+        for r in dedup.simhash_signatures(df, bits=48, seeded=seeded).collect()
+    }
+    assert got == want
 
 
 def test_ann_lsh_recall_vs_bruteforce(spark, emb):

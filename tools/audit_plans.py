@@ -155,7 +155,10 @@ def main() -> None:
     for r in rows:
         out.append("| " + " | ".join(str(x) for x in r) + " |")
     if only:  # debug subset: print, never clobber the full PLANS.md
-        print("\n".join(out[-len(rows):]))
+        if not rows:
+            print(f"no queries matched filter {sorted(only)}")
+        else:
+            print("\n".join(out[-len(rows):]))
     else:
         (REPO / "PLANS.md").write_text("\n".join(out) + "\n")
     print(f"PLANS.md: {len(rows)} queries audited")

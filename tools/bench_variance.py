@@ -79,12 +79,17 @@ def main() -> None:
         print(f"{name}: median={med}s min={min(trials)} max={max(trials)} "
               f"ratio={out[name]['vs_baseline']}{flag}", flush=True)
 
-    total = round(sum(v["median"] for v in out.values()), 3)
-    base_total = round(sum(BASELINE[x] for x in out), 3)
+    # totals compare only queries that HAVE a baseline row, so adding a
+    # new headline query without a baseline entry degrades to
+    # ratio=None per-query instead of crashing the summary
+    based = [x for x in out if x in BASELINE]
+    total = round(sum(out[x]["median"] for x in based), 3)
+    base_total = round(sum(BASELINE[x] for x in based), 3)
     print(json.dumps({
         "metric": "headline_warm_median_total", "value": total, "unit": "sec",
         "n": n, "sf_dir": sf_dir, "baseline_total": base_total,
-        "ratio": round(total / base_total, 3),
+        "n_compared": len(based),
+        "ratio": round(total / base_total, 3) if base_total else None,
         "queries": {k: v["median"] for k, v in out.items()},
     }))
     spark.stop()
