@@ -386,8 +386,18 @@ _BAND_BASE = 1021  # < 2^10 so m * base^3 stays under 2^61 (ANSI-safe)
 
 def md5_hash60(col):
     """60-bit integer string hash computed identically by Spark and
-    DuckDB (see block comment above)."""
+    DuckDB (see block comment above).  Used where many bits are drawn
+    from one hash (seeded SimHash takes 48)."""
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def md5_hash32(col):
+    """32-bit variant: MinHash reduces h0 mod 2^31-1 anyway, so the
+    extra hex digits of the 60-bit form buy nothing, and conv over 8
+    hex chars is measurably cheaper (~0.5s on the sf0.1 signature
+    stage).  ~500 colliding shingle pairs per 1.5M shingles merely
+    perturb the Jaccard estimate IDENTICALLY in both engines."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
 
 
 def lcg_perm_params(n: int, seed: int = 0xC0FFEE) -> list[tuple[int, int]]:
@@ -418,7 +428,7 @@ def minhash_signatures_seeded(
     params = lcg_perm_params(num_perm)
     ex = docs.select(
         F.col(id_col), F.explode(_shingles(text_col, k, distinct=False)).alias("__sh")
-    ).select(F.col(id_col), (md5_hash60(F.col("__sh")) % F.lit(_MH_P)).alias("h0"))
+    ).select(F.col(id_col), (md5_hash32(F.col("__sh")) % F.lit(_MH_P)).alias("h0"))
     mins = [
         F.min((F.lit(a) * F.col("h0") + F.lit(b)) % F.lit(_MH_P)).alias(f"__m{j}")
         for j, (a, b) in enumerate(params)
@@ -510,7 +520,7 @@ def minhash_seeded_pair_ctes(
     return f"""params(j, a, b, w, band) AS (VALUES {values}),
     ex AS (
         SELECT DISTINCT doc_id,
-               CAST(concat('0x', substr(md5(sh), 1, 15)) AS BIGINT)
+               CAST(concat('0x', substr(md5(sh), 1, 8)) AS BIGINT)
                    % {_MH_P} AS h0
         FROM (
             SELECT doc_id, unnest([substring(text, i, {k})
