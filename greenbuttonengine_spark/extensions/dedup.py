@@ -986,27 +986,31 @@ def duplicate_clusters(
         .localCheckpoint(eager=False)
     )
     converged = False
-    for _ in range(max_iter):
+    for it in range(max_iter):
         nbr_min = (
             edges.join(labels, edges["dst"] == labels["node"])
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
-        # pointer jumping: my label's OWN current label (path halving)
-        jump = labels.select(
-            F.col("node").alias("__jnode"), F.col("label").alias("__jlabel")
-        )
-        new_labels = (
-            labels.join(nbr_min, labels["node"] == nbr_min["src"], "left")
-            .join(jump, labels["label"] == jump["__jnode"], "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"),
-                    F.coalesce(F.col("nbr_label"), F.col("label")),
-                    F.coalesce(F.col("__jlabel"), F.col("label")),
-                ).alias("label"),
+        base = labels.join(nbr_min, labels["node"] == nbr_min["src"], "left")
+        cands = [
+            F.col("label"),
+            F.coalesce(F.col("nbr_label"), F.col("label")),
+        ]
+        if it >= 2:
+            # pointer jumping: my label's OWN current label (path
+            # halving).  Costs one extra shuffle join per round, and
+            # clique-ish near-dup graphs converge in rounds 0-2 via the
+            # neighbor min alone, so engage it only once a component
+            # has survived two plain rounds (i.e. its diameter is the
+            # bottleneck) — chains then collapse in O(log d) rounds.
+            jump = labels.select(
+                F.col("node").alias("__jnode"), F.col("label").alias("__jlabel")
             )
+            base = base.join(jump, base["label"] == jump["__jnode"], "left")
+            cands.append(F.coalesce(F.col("__jlabel"), F.col("label")))
+        new_labels = (
+            base.select("node", F.least(*cands).alias("label"))
             .localCheckpoint(eager=False)
         )
         changed = (
