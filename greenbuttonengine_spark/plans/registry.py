@@ -55,22 +55,6 @@ QUERIES: dict[str, QuerySpec] = {}
 ORACLES: dict[str, str] = {}
 
 
-def shuffle_partitions(spark: SparkSession, default: int = 32) -> int:
-    """Numeric shuffle-partition count for explicit repartition calls.
-
-    ``spark.sql.shuffle.partitions`` may legally be ``"auto"`` under
-    AQE advisory settings; fall back to the cluster's default
-    parallelism (then ``default``) instead of raising ValueError.
-    """
-    try:
-        return int(spark.conf.get("spark.sql.shuffle.partitions", str(default)))
-    except ValueError:
-        try:
-            return int(spark.sparkContext.defaultParallelism)
-        except Exception:
-            return default
-
-
 def register(name: str, sql: str | None, tags: tuple[str, ...] = (), doc: str = ""):
     """Decorator registering a query callable under ``name``."""
 

@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..sources.catalog import load_table
-from .registry import register, shuffle_partitions
+from .registry import register
 
 
 def _dec(c, scale: int = 2):
@@ -283,48 +283,42 @@ def a4_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("sort", "window", "tiny-global-window"),
     doc="O1 multi-key stable sort (timeseries.rs:116-138) made hash-checkable "
     "via a global row_number, implemented scale-safely with NO full-data "
-    "window: repartitionByRange on the sort keys (range partitioner puts "
-    "partition i wholly before partition i+1), sortWithinPartitions, then "
-    "monotonically_increasing_id — whose documented layout is "
-    "(partition_id << 33) | in-partition-position — yields the local rank "
-    "for free in the same single pass. The ranked lineage is materialized "
-    "ONCE (eager localCheckpoint) because range-boundary sampling is seeded "
-    "per RDD instance and the frame feeds two branches (counts + join); "
-    "per-partition counts (O(partitions) rows; the only partition-less "
-    "Window runs over that tiny aggregate) then derive from the SAME frozen "
-    "blocks, are prefix-summed and broadcast-joined back as offsets. Total "
-    "cost: 1 scan + 1 range shuffle + 1 checkpoint, fully parallel; never a "
-    "single-partition pass over the data.",
+    "window and NO nondeterministic lineage: bucket-offset ranking. The "
+    "sort key's order-consistent coarse prefix (event_type, day(ts)) cuts "
+    "the data into buckets whose order equals row order; global_rank = "
+    "(rows in all earlier buckets, a running sum over the O(types x days) "
+    "counts aggregate — the only partition-less Window, broadcast back) + "
+    "row_number within the bucket (one keyed window, parallelism = "
+    "types x days). Deterministic by construction — every term is a pure "
+    "function of row values, unlike the earlier repartitionByRange + "
+    "monotonically_increasing_id form whose per-RDD-seeded boundary "
+    "sampling could diverge between branches under re-execution (r7 "
+    "lesson, see _series_rn). Total cost: 1 tiny agg + 1 keyed window "
+    "shuffle; never a single-partition pass over the data.",
 )
 def o1_multikey_sort_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir).select("event_id", "event_type", "ts")
-    keys = ["event_type", "ts", "event_id"]
-    n_part = shuffle_partitions(spark)
-    mask = (1 << 33) - 1
-    ranked = (
-        ev.repartitionByRange(n_part, *keys)
-        .sortWithinPartitions(*keys)
-        .withColumn("_mid", F.monotonically_increasing_id())
+    keyed = ev.withColumn("_bk", F.to_date("ts"))
+    counts = keyed.groupBy("event_type", "_bk").agg(F.count("*").alias("_cnt"))
+    prior = W.orderBy("event_type", "_bk").rowsBetween(W.unboundedPreceding, -1)
+    offsets = counts.select(
+        F.col("event_type").alias("_otype"),
+        F.col("_bk").alias("_obk"),
+        F.coalesce(F.sum("_cnt").over(prior), F.lit(0)).alias("_off"),
+    )
+    win = W.partitionBy("event_type", "_bk").orderBy("ts", "event_id")
+    return (
+        keyed.join(
+            F.broadcast(offsets),
+            (keyed["event_type"] == offsets["_otype"])
+            & (keyed["_bk"] == offsets["_obk"]),
+        )
         .select(
             "event_id",
-            F.shiftright("_mid", 33).alias("_pid"),
-            (F.col("_mid").bitwiseAND(F.lit(mask)) + F.lit(1)).alias("_local_rank"),
+            (F.row_number().over(win) + F.col("_off"))
+            .cast("bigint")
+            .alias("global_rank"),
         )
-        .localCheckpoint(eager=True)
-    )
-    # Counts derive from the checkpointed ranked frame itself — a second
-    # independent repartitionByRange would re-sample range boundaries
-    # (sampling is seeded per RDD instance) and could silently disagree
-    # with the ranked pass on skewed data.  O(partitions) rows after the
-    # map-side partial count, so the prefix-sum window is trivially cheap.
-    counts = ranked.groupBy("_pid").agg(F.count("*").alias("_cnt"))
-    prefix = W.orderBy("_pid").rowsBetween(W.unboundedPreceding, -1)
-    offsets = counts.withColumn(
-        "_offset", F.coalesce(F.sum("_cnt").over(prefix), F.lit(0))
-    ).select("_pid", "_offset")
-    return ranked.join(F.broadcast(offsets), "_pid").select(
-        "event_id",
-        (F.col("_local_rank") + F.col("_offset")).cast("bigint").alias("global_rank"),
     )
 
 

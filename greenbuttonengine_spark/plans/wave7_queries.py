@@ -24,7 +24,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..sources.catalog import load_table
-from .registry import register, shuffle_partitions as _shuffle_partitions
+from .registry import register
 
 
 # ---------------------------------------------------------------------------
@@ -635,77 +635,61 @@ _MS_SEG_ROWS = 1000  # per-series segment size for the halo-sliced windows
 
 
 def _series_rn(df: DataFrame, series_col: str, order_cols: list[str]) -> DataFrame:
-    """Per-series 1-based row number with NO per-series single-task pass.
+    """Per-series 1-based row number with NO per-series single-task pass
+    and NO nondeterministic lineage: bucket-offset ranking.
 
-    Extends the o1_multikey_sort_rank construction (range partition +
-    monotonically_increasing_id + broadcast offsets) to PER-GROUP ranks:
-    after repartitionByRange on (series, order...) + sortWithinPartitions,
-    a partition holds each series as one contiguous sorted run, so
+    Cut each series by an order-consistent COARSE PREFIX of its sort
+    key — the calendar day of the leading order column — so bucket
+    order equals row order.  Then
 
-        rn = in-partition position
-             - (start of this series' run inside the partition)
-             + (count of this series in all earlier partitions)
+        rn = (rows of this series in all earlier buckets)   [broadcast]
+             + row_number() within (series, bucket)         [window]
 
-    Both correction terms come from one O(partitions x series) counts
-    aggregate, prefix-summed two ways over that tiny frame and broadcast
-    back.
+    The bucket counts are one map-side-combined aggregate
+    (O(series x days) rows); their running sum per series is a window
+    over that tiny frame, broadcast back; the heavy pass is ONE
+    row-frame window partitioned by (series, day) — parallelism scales
+    with series x days, not with the series count.
 
-    DETERMINISM CONTRACT (the r7 red-row lesson): repartitionByRange
-    draws its range boundaries from *seeded-per-RDD-instance sampling*
-    and monotonically_increasing_id depends on the resulting layout, so
-    the ``ranked`` lineage is nondeterministic under re-execution.  It
-    is consumed by TWO downstream branches (the counts aggregate and
-    the broadcast-join left side); if Spark re-executes the exchange
-    for one branch (stage retry, no exchange reuse, AQE replan) the two
-    sides see DIFFERENT boundaries and ``_rn`` is silently corrupted
-    near partition edges — observed as 76/78/77/77 rows across four
-    identical ts2 runs.  Fix: materialize the lineage ONCE with an
-    eager localCheckpoint before fan-out (the same pattern
-    extensions/dedup.py uses for minhash signatures).  Every consumer
-    then reads the same frozen blocks and the plan is deterministic.
-    Cost: 1 range shuffle + 1 checkpoint write + 1 tiny agg + 1
-    broadcast join; parallelism scales with partitions, never with the
-    number of distinct series.  The checkpointed frame holds only the
-    caller's projected columns, so size the projection before calling.
-    """
-    keys = [series_col, *order_cols]
-    n_part = _shuffle_partitions(df.sparkSession)
-    mask = (1 << 33) - 1
-    ranked = (
-        df.repartitionByRange(n_part, *keys)
-        .sortWithinPartitions(*keys)
-        .withColumn("_mid", F.monotonically_increasing_id())
-        .withColumn("_pid", F.shiftright("_mid", 33))
-        .withColumn("_pos", F.col("_mid").bitwiseAND(F.lit(mask)) + F.lit(1))
-        .drop("_mid")
-        .localCheckpoint(eager=True)
-    )
-    counts = ranked.groupBy(
-        F.col("_pid").alias("_cpid"),
-        F.col(series_col).alias("_cseries"),
-    ).agg(F.count("*").alias("_cnt"))
-    w_series = (
-        W.partitionBy("_cseries").orderBy("_cpid").rowsBetween(W.unboundedPreceding, -1)
-    )
-    w_part = (
-        W.partitionBy("_cpid").orderBy("_cseries").rowsBetween(W.unboundedPreceding, -1)
+    DETERMINISM (the r7 red-row lesson): the previous construction —
+    repartitionByRange (boundaries sampled with a per-RDD-instance
+    seed) + monotonically_increasing_id consumed by two branches —
+    could see DIFFERENT boundaries per branch under re-execution
+    (stage retry, broken exchange reuse, AQE replan), silently
+    corrupting _rn near partition edges (observed: 76/78/77/77 rows
+    across four identical ts2 runs).  An eager localCheckpoint fixed
+    it but paid a full materialization (~2x at 10M rows).  This form
+    has no sampling and no layout-dependent ids anywhere: the bucket
+    key is a pure function of the row, row_number carries a total
+    order (order_cols are unique per series), and the offsets are
+    plain aggregates — deterministic by construction, and cheaper
+    (counts agg + window shuffle vs range shuffle + checkpoint
+    write/read).
+
+    Caveats: order_cols[0] must be castable to DATE (event time), and
+    a single (series, day) bucket is one window task — at 100 TB,
+    swap the day bucket for hour granularity if a series can exceed
+    ~10M rows/day (the bucket expression is the only knob)."""
+    bucket = F.to_date(F.col(order_cols[0])).alias("_bk")
+    keyed = df.withColumn("_bk", bucket)
+    counts = keyed.groupBy(series_col, "_bk").agg(F.count("*").alias("_cnt"))
+    prior = (
+        W.partitionBy(series_col).orderBy("_bk").rowsBetween(W.unboundedPreceding, -1)
     )
     offsets = counts.select(
-        "_cpid",
-        "_cseries",
-        F.coalesce(F.sum("_cnt").over(w_series), F.lit(0)).alias("_series_off"),
-        F.coalesce(F.sum("_cnt").over(w_part), F.lit(0)).alias("_series_start"),
+        F.col(series_col).alias("_oseries"),
+        F.col("_bk").alias("_obk"),
+        F.coalesce(F.sum("_cnt").over(prior), F.lit(0)).alias("_off"),
     )
+    win = W.partitionBy(series_col, "_bk").orderBy(*order_cols)
     return (
-        ranked.join(
+        keyed.join(
             F.broadcast(offsets),
-            (ranked["_pid"] == offsets["_cpid"])
-            & (ranked[series_col] == offsets["_cseries"]),
+            (keyed[series_col] == offsets["_oseries"])
+            & (keyed["_bk"] == offsets["_obk"]),
         )
-        .withColumn(
-            "_rn", F.col("_pos") - F.col("_series_start") + F.col("_series_off")
-        )
-        .drop("_cpid", "_cseries", "_series_off", "_series_start", "_pid", "_pos")
+        .withColumn("_rn", F.row_number().over(win) + F.col("_off"))
+        .drop("_oseries", "_obk", "_off", "_bk")
     )
 
 
