@@ -773,14 +773,16 @@ def _halo_segments(df: DataFrame, seg_rows: int, halo: int) -> DataFrame:
     "localizes each change (only the +-W-local PEAK of the shift "
     "statistic reports), so a drifting series yields sparse change "
     "points, not a flag per row.  Scale shape: each series is cut into "
-    "seg_rows-row segments with a +-2W-row halo (computed from a "
-    "range-partitioned per-series row number, never a per-series "
-    "single-task pass), and the three frame-bounded window passes "
-    "partition by (event_type, segment) — window parallelism scales "
-    "with data volume, not with the 5-value type domain.  Results are "
-    "provably identical to the unsegmented form because every frame "
-    "dependency spans <= 2W rows (NMS reads shift at +-W, shift reads "
-    "rows at +-W), and pytest pins segmented == unsegmented (contrast "
+    "seg_rows-row segments with a +-2W-row halo (computed from the "
+    "deterministic bucket-offset per-series row number — cumulative "
+    "day-bucket counts + in-bucket row_number, never a per-series "
+    "single-task pass nor a sampled range partitioning), and the three "
+    "frame-bounded window passes partition by (event_type, segment) — "
+    "window parallelism scales with data volume, not with the 5-value "
+    "type domain.  Results are provably identical to the unsegmented "
+    "form because every frame dependency spans <= 2W rows (NMS reads "
+    "shift at +-W, shift reads rows at +-W); pytest pins segmented == "
+    "unsegmented AND 3-run bit-identity (contrast "
     "anomaly_mad_events, which is point-wise robust-outlier detection; "
     "this detects LEVEL shifts).",
 )
