@@ -519,17 +519,55 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_byte_histogram",
-    None,  # binary-blob feature extraction is not SQL-expressible
+    r"""
+    WITH hx AS (
+        SELECT doc_id, concat(md5(text), md5(text || '#2')) AS h
+        FROM documents
+    ),
+    nib AS (
+        -- byte j's HIGH nibble is hex char 2j-1 of the 64-char string,
+        -- and the numpy path bins by (byte >> 4), so the histogram is
+        -- a character count over the odd positions
+        SELECT doc_id, substr(h, 2 * g.j - 1, 1) AS c
+        FROM hx CROSS JOIN generate_series(1, 32) AS g(j)
+    ),
+    cnt AS (
+        SELECT doc_id, b.bin AS bin,
+               SUM(CASE WHEN strpos('0123456789abcdef', c) - 1 = b.bin
+                        THEN 1 ELSE 0 END) AS n
+        FROM nib CROSS JOIN generate_series(0, 15) AS b(bin)
+        GROUP BY doc_id, b.bin
+    )
+    SELECT doc_id, CAST(32 AS BIGINT) AS n_bytes, CAST(bin AS INT) AS bin,
+           CAST(n AS DOUBLE) / 32.0 AS frac
+    FROM cnt
+    """,
     tags=("multimodal",),
     doc="Binary media column plumbing: attach (media binary, meta "
     "struct), extract 16-bin byte histograms via Arrow-batched "
     "mapInPandas. The decode-to-image step is stubbed (no codec libs "
-    "in this environment); the batch shape is the real one.",
+    "in this environment); the batch shape is the real one.  Oracle-"
+    "backed since r8: the fake blob is unhex(md5(text)||md5(text||'#2')),"
+    " so each byte's high nibble is a hex character of the md5 strings "
+    "and DuckDB reproduces the numpy bincount by counting characters at "
+    "odd positions; fractions n/32 are exact dyadic doubles.  The "
+    "declared output posexplodes the histogram to scalars because the "
+    "driver's value-hash canonicalizes scalar columns (the "
+    "embedding_quantize_int8 lesson); the Arrow batch stage still "
+    "produces the fixed-width array a real embedder would.",
 )
 def multimodal_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     media = multimodal.attach_fake_media(docs)
-    return multimodal.extract_features(media, allow_fake=True)
+    feats = multimodal.extract_features(media, allow_fake=True)
+    return feats.select(
+        "doc_id",
+        F.col("n_bytes").cast("bigint").alias("n_bytes"),
+        F.posexplode("byte_histogram").alias("bin", "frac"),
+    ).select(
+        "doc_id", "n_bytes", F.col("bin").cast("int").alias("bin"),
+        F.col("frac").cast("double").alias("frac"),
+    )
 
 
 # ---------------------------------------------------------------------------
