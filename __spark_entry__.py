@@ -137,6 +137,11 @@ _DRIVER_CHECKED = frozenset(
         "text_ccnet_buckets", "corpus_mix_rebalance", "pack_padding_waste",
         "pit_interval_join", "mv_user_event_totals", "var1_variant_extract",
         "sample_grouped_split",
+        # r08 greens (50/50 gate: every declared oracle-backed query now
+        # has at least one green driver row cumulatively)
+        "dedup_cascade", "dedup_clusters_lsh", "dedup_minhash_lsh",
+        "dedup_simhash", "espi_egd_golden_parity", "multimodal_byte_histogram",
+        "ts2_mean_shift_detect",
     }
 )
 

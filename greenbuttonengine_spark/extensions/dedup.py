@@ -1026,8 +1026,10 @@ def duplicate_clusters(
     if not converged:
         raise RuntimeError(
             f"duplicate_clusters did not converge within {max_iter} rounds "
-            f"(component diameter > 2^{max_iter}?) — refusing to return "
-            f"partially-merged clusters"
+            f"(pointer jumping engages from round 2, so guaranteed "
+            f"coverage is only ~2^{max(max_iter - 2, 0)} hops — a larger "
+            f"component diameter, or a genuine bug, exceeds it) — "
+            f"refusing to return partially-merged clusters"
         )
     return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
 

@@ -479,28 +479,29 @@ def espi_egd_golden_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..espi import timeseries_from_files
 
     egd = "/root/reference/test_files/EGD_Gas_EnergyUsage_20221225_20241225.xml"
-    golden = "/root/reference/cli-frontend/tests/goldens/golden.parquet"
     if not os.path.exists(egd):
         # Environment with the input XML stripped: there is no pipeline
-        # run to check, but the oracle unconditionally reads the golden
-        # parquet — returning empty here would turn "nothing to check"
-        # into a red row.  Degrade to reading the golden itself through
-        # the same canonical projection (vacuously green, clearly
-        # labeled); the driver environment always has both files, where
-        # this branch is dead and the real pipeline is compared.
-        g = spark.read.parquet(golden).filter(F.col("title") == "Meter data")
-        return g.select(
-            "title",
-            F.when(F.isnan("cost"), F.lit(None))
-            .otherwise(F.col("cost").cast("double"))
-            .alias("cost"),
-            "quality",
-            F.col("value").cast("double").alias("value"),
-            F.col("tou").cast("bigint").alias("tou"),
-            F.col("time_period_start_unix").cast("long").alias("start_unix_s"),
-            F.col("time_period_duration_seconds").cast("bigint").alias("duration_s"),
-            "accumulation_behaviour", "commodity", "currency",
-            "data_qualifier", "flow_direction", "kind", "phase", "uom",
+        # run to check.  Emit a single SENTINEL row that cannot
+        # hash-match the oracle (which reads the golden parquet), so a
+        # missing input reads as a RED/skipped row in the gate output
+        # instead of a vacuous pass (an earlier fallback read the
+        # golden through the same projection, which compared the golden
+        # to itself and was indistinguishable from a real green).
+        return spark.range(1).select(
+            F.lit("SKIPPED_NO_INPUT").alias("title"),
+            F.lit(None).cast("double").alias("cost"),
+            F.lit(None).cast("string").alias("quality"),
+            F.lit(None).cast("double").alias("value"),
+            F.lit(None).cast("bigint").alias("tou"),
+            F.lit(None).cast("bigint").alias("start_unix_s"),
+            F.lit(None).cast("bigint").alias("duration_s"),
+            *[
+                F.lit(None).cast("string").alias(c)
+                for c in (
+                    "accumulation_behaviour", "commodity", "currency",
+                    "data_qualifier", "flow_direction", "kind", "phase", "uom",
+                )
+            ],
         )
     ts, _errors = timeseries_from_files(spark, egd)
     return ts.select(

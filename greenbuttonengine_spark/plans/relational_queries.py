@@ -310,8 +310,12 @@ def o1_multikey_sort_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         keyed.join(
             F.broadcast(offsets),
-            (keyed["event_type"] == offsets["_otype"])
-            & (keyed["_bk"] == offsets["_obk"]),
+            # eqNullSafe: a NULL ts yields a NULL day bucket; plain
+            # equality would silently DROP those rows from the rank
+            # (inner join), while null-safe equality ranks them first —
+            # matching the NULLS FIRST order of the offsets window.
+            keyed["event_type"].eqNullSafe(offsets["_otype"])
+            & keyed["_bk"].eqNullSafe(offsets["_obk"]),
         )
         .select(
             "event_id",

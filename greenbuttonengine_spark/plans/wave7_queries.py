@@ -685,8 +685,13 @@ def _series_rn(df: DataFrame, series_col: str, order_cols: list[str]) -> DataFra
     return (
         keyed.join(
             F.broadcast(offsets),
-            (keyed[series_col] == offsets["_oseries"])
-            & (keyed["_bk"] == offsets["_obk"]),
+            # eqNullSafe: NULL series / NULL event-time rows get a NULL
+            # key, which plain inner-join equality would silently drop;
+            # null-safe equality keeps them, ranked first (NULLS FIRST,
+            # consistent with both the offsets window and the heavy
+            # row_number window's default ordering).
+            keyed[series_col].eqNullSafe(offsets["_oseries"])
+            & keyed["_bk"].eqNullSafe(offsets["_obk"]),
         )
         .withColumn("_rn", F.row_number().over(win) + F.col("_off"))
         .drop("_oseries", "_obk", "_off", "_bk")

@@ -62,6 +62,13 @@ def main() -> None:
     do_time = "--time" in sys.argv[1:]
     do_nondet = "--nondet" in sys.argv[1:]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    if not Path(sf_dir).is_dir():
+        # Guard against `audit_plans.py <query-name>` silently consuming
+        # the query name as sf_dir and matching nothing.
+        sys.exit(
+            f"audit_plans.py: sf_dir {sf_dir!r} is not a directory — "
+            f"usage: audit_plans.py [SF_DIR] [QUERY_NAME ...] [--time] [--nondet]"
+        )
     only = set(args[1:])  # optional query-name filter (debug runs)
 
     import __spark_entry__ as e
