@@ -993,8 +993,54 @@ def embedding_outlier_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_audio_features",
-    None,  # decode runs in the Arrow Python stage; features pinned vs
-    # numpy in pytest (test_audio_features_match_numpy)
+    """
+    WITH hex AS (
+        SELECT d.doc_id,
+               string_agg(md5(d.text || '#' || t.i), '' ORDER BY t.i) AS h
+        FROM documents d CROSS JOIN (SELECT unnest(range(100)) AS i) t
+        GROUP BY d.doc_id
+    ), samples AS (
+        SELECT hex.doc_id, s.j,
+               CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END AS v
+        FROM hex
+        CROSS JOIN (SELECT unnest(range(800)) AS j) s
+        CROSS JOIN LATERAL (
+            SELECT CAST(concat('0x', substr(h, CAST(4 * j + 1 AS INTEGER), 2))
+                        AS INTEGER)
+                 + 256 * CAST(concat('0x', substr(h, CAST(4 * j + 3 AS INTEGER), 2))
+                              AS INTEGER) AS raw
+        ) b
+    ), flags AS (
+        SELECT doc_id, j, v,
+               CASE WHEN lag(v < 0) OVER w IS NOT NULL
+                         AND (v < 0) <> lag(v < 0) OVER w
+                    THEN 1 ELSE 0 END AS zc
+        FROM samples WINDOW w AS (PARTITION BY doc_id ORDER BY j)
+    ), per_doc AS (
+        SELECT doc_id,
+               SUM(CAST(v AS BIGINT) * v) AS s2,
+               SUM(zc) AS z
+        FROM flags GROUP BY doc_id
+    ), per_frame AS (
+        SELECT doc_id, j // 400 AS frame_idx,
+               SUM(CAST(v AS BIGINT) * v) AS f2
+        FROM samples GROUP BY doc_id, j // 400
+    )
+    SELECT p.doc_id,
+           CAST(8000 AS BIGINT) AS sample_rate,
+           CAST(800 AS BIGINT) AS n_samples,
+           CAST(800 AS DOUBLE) / 8000.0 AS duration_s,
+           sqrt((CAST(p.s2 AS DOUBLE) / 1073741824.0) / 800.0) AS rms,
+           CAST(p.z AS DOUBLE) / 799.0 AS zero_cross_rate,
+           CAST(f.frame_idx AS INTEGER) AS frame_idx,
+           sqrt((CAST(f.f2 AS DOUBLE) / 1073741824.0) / 400.0) AS frame_rms
+    FROM per_doc p JOIN per_frame f USING (doc_id)
+    """,  # oracle (r9): the PCM payload is md5-derived, so DuckDB
+    # re-derives every int16 sample from the hex digests (little-endian
+    # pair + sign fold) and replays the numpy features EXACTLY: all
+    # sums are integer (v^2 < 2^30, 800 terms -> any summation order is
+    # fp-exact after the /2^30 dyadic scaling), and each feature ends
+    # in one IEEE division (+ sqrt) on identical operands.
     tags=("multimodal",),
     doc="End-to-end audio feature pipeline on deterministic synthetic "
     "WAV clips: a PCM16 payload is built JVM-side (md5-derived bytes "
@@ -1003,7 +1049,8 @@ def embedding_outlier_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "envelope extraction runs in one Arrow mapInPandas stage — the "
     "silence-trim/clipping/energy-bucket slice of a speech-data "
     "pipeline. Blobs never leave the scan stage; output is O(frames) "
-    "doubles per clip; no shuffle.",
+    "doubles per clip; no shuffle (the declared posexplode of the "
+    "2-frame envelope keeps the driver hash scalar-only).",
 )
 def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..extensions.multimodal import audio_features, encode_wav
@@ -1024,4 +1071,9 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = docs.select(
         "doc_id", F.concat(F.lit(bytearray(header)), pcm).alias("media")
     )
-    return audio_features(media)
+    feats = audio_features(media)
+    return feats.select(
+        "doc_id", "sample_rate", "n_samples", "duration_s", "rms",
+        "zero_cross_rate",
+        F.posexplode("frame_rms").alias("frame_idx", "frame_rms"),
+    )

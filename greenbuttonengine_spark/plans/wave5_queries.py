@@ -1077,7 +1077,30 @@ def lm_bpe_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ops_file_layout_report",
-    None,  # rows-only: per-file lineage (input_file_name) has no DuckDB-view analog
+    """
+    WITH per_file AS (
+        SELECT filename,
+               COUNT(*) AS rows,
+               MIN(l_orderkey) AS min_key,
+               MAX(l_orderkey) AS max_key
+        FROM read_parquet('/root/testdata/sf0.01/lineitem.parquet',
+                          filename=true)
+        GROUP BY filename
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(rows) AS BIGINT) AS total_rows,
+           CAST(MIN(rows) AS BIGINT) AS min_rows_per_file,
+           CAST(MAX(rows) AS BIGINT) AS max_rows_per_file,
+           CAST(SUM(CASE WHEN rows < 10000 THEN 1 ELSE 0 END) AS BIGINT)
+               AS small_files,
+           CAST(MIN(min_key) AS BIGINT) AS global_min_key,
+           CAST(MAX(max_key) AS BIGINT) AS global_max_key
+    FROM per_file
+    """,  # oracle (r9): DuckDB read_parquet(filename=true) reproduces the
+    # input_file_name lineage — per-file groups then the scalar summary.
+    # The absolute path pins the gate's sf0.01 dir, same convention as
+    # espi_egd_golden_parity's golden read; file NAMES never reach the
+    # output so the file:// vs posix path spelling difference is moot.
     tags=("ops",),
     doc="Small-files / key-range health report over the lineitem scan: "
     "rows per physical file (via input_file_name lineage, free at scan "

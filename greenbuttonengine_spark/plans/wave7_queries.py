@@ -941,23 +941,111 @@ def var1_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Seeded-HLL constants (oracle-reproducible sketch, r9).  m = 32
+# registers keeps the sf0.01 cardinalities (150 users/type) outside the
+# linear-counting small-range zone (2.5m = 80), so the RAW HyperLogLog
+# estimator applies and no libm log/exp enters the plan.  All register
+# arithmetic is integer-exact: term = 2^(55 - M) as BIGINT shifts
+# (M in 1..55, sum <= 32 * 2^55 = 2^60 < 2^63), and the only float op
+# is one literal/BIGINT division — IEEE-deterministic given identical
+# operands, so Spark and DuckDB hash-match bit for bit.
+_HLL_P = 5
+_HLL_M = 1 << _HLL_P  # 32 registers; a power of two so idx/w are SHIFTS
+_HLL_EMPTY_TERM = 1 << 55  # an unhit register has M = 0 -> 2^(55-0)
+_HLL_NUM = repr(0.697 * _HLL_M * _HLL_M * float(1 << 55))  # alpha_32 * m^2 * 2^55
+
+
 @register(
     "agg_hll_rollup",
-    None,  # HLL sketch binaries/estimates are engine-specific -> rows-only
+    f"""
+    WITH h AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) AS h
+        FROM events
+    ), r AS (
+        SELECT event_type, day, h % {_HLL_M} AS idx,
+               56 - length(bin(h // {_HLL_M})) AS rho
+        FROM h
+    ), daily AS (
+        SELECT event_type, day, idx, MAX(rho) AS m FROM r GROUP BY 1, 2, 3
+    ), unioned AS (
+        SELECT event_type, idx, MAX(m) AS m2 FROM daily GROUP BY 1, 2
+    ), est AS (
+        SELECT event_type, COUNT(*) AS regs_hit,
+               SUM(CAST(1 AS BIGINT) << (55 - m2)) AS s_present
+        FROM unioned GROUP BY 1
+    ), days AS (
+        SELECT event_type, COUNT(DISTINCT day) AS n_days FROM daily GROUP BY 1
+    )
+    SELECT e.event_type,
+           CAST(d.n_days AS BIGINT) AS n_days,
+           CAST(e.regs_hit AS BIGINT) AS regs_hit,
+           {_HLL_NUM} / CAST(e.s_present
+               + ({_HLL_M} - e.regs_hit) * {_HLL_EMPTY_TERM} AS DOUBLE)
+               AS distinct_users_est
+    FROM est e JOIN days d USING (event_type)
+    """,
     tags=("agg", "approx", "sketch"),
     doc="Mergeable-sketch rollup — the 100 TB distinct-count pattern: "
-    "per (event_type, day) HLL sketches aggregate once over the "
-    "fact table (hll_sketch_agg, Datasketches HLL), then the DAILY "
-    "sketches union to per-type totals (hll_union_agg) WITHOUT "
-    "rescanning the facts — the re-aggregation property exact "
-    "countDistinct fundamentally lacks (distinct counts don't add; "
-    "sketches do).  Deterministic: HLL register-max merge is "
-    "order/partition-invariant, so estimates are stable across "
-    "runs.  pytest bounds the estimates against exact counts and "
-    "pins union-vs-direct associativity; the daily tier is what a "
-    "warehouse would persist (store sketches, not counts).",
+    "per (event_type, day) HLL REGISTER tables aggregate once over "
+    "the fact table, then the daily registers union to per-type "
+    "totals by register-wise MAX WITHOUT rescanning the facts — the "
+    "re-aggregation property exact countDistinct fundamentally lacks "
+    "(distinct counts don't add; sketches do).  r9: the declared form "
+    "is a SEEDED HLL the DuckDB oracle reproduces exactly — register "
+    "index/rank from the md5-60 cross-engine hash (h % m, "
+    "rho = 56 - bitlength(h div m)), integer 2^(55-M) harmonic terms, "
+    "one IEEE division for the raw estimate (alpha_32 m^2 / sum) — "
+    "deterministic because register max-merge is order-invariant and "
+    "every term is a pure function of row values.  The Datasketches "
+    "production form (hll_sketch_agg/hll_union_agg, binary sketches a "
+    "warehouse would persist) stays as agg_hll_rollup_native below; "
+    "pytest bounds both estimates against exact counts and pins "
+    "union-vs-direct associativity.",
 )
 def agg_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    h = F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+    regs = ev.select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        (h % _HLL_M).alias("idx"),
+        # h // m via shiftright (m = 2^p): h/m would be a DOUBLE divide,
+        # inexact for h >= 2^53 — the shift keeps the 55-bit w exact.
+        (F.lit(56) - F.length(F.bin(F.shiftright(h, _HLL_P)))).alias("rho"),
+    )
+    daily = regs.groupBy("event_type", "day", "idx").agg(F.max("rho").alias("m"))
+    unioned = daily.groupBy("event_type", "idx").agg(F.max("m").alias("m2"))
+    est = unioned.groupBy("event_type").agg(
+        F.count("*").alias("regs_hit"),
+        # F.shiftleft only takes a Python-int bit count; the SQL form
+        # accepts a column expression for the 2^(55-M) harmonic term.
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 55 - m2)")).alias("s_present"),
+    )
+    days = daily.groupBy("event_type").agg(
+        F.countDistinct("day").cast("long").alias("n_days")
+    )
+    return est.join(F.broadcast(days), "event_type").select(
+        "event_type",
+        "n_days",
+        F.col("regs_hit").cast("long").alias("regs_hit"),
+        (
+            F.lit(float(_HLL_NUM))
+            / (
+                F.col("s_present")
+                + (F.lit(_HLL_M) - F.col("regs_hit")) * F.lit(_HLL_EMPTY_TERM)
+            ).cast("double")
+        ).alias("distinct_users_est"),
+    )
+
+
+def agg_hll_rollup_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production Datasketches form of the rollup (binary HLL sketches,
+    hll_sketch_agg -> hll_union_agg): engine-specific sketch bytes, so
+    it is pytest-bounded rather than oracle-declared."""
     ev = load_table(spark, "events", sf_dir)
     daily = (
         ev.groupBy("event_type", F.to_date("ts").alias("day"))

@@ -339,10 +339,20 @@ def test_hamming_histogram_threshold_equals_naive_rank(spark):
 
 
 def test_hll_rollup_bounds_and_associativity(spark, sf_dir):
-    """Sketch estimates stay within the HLL error envelope of exact
-    distinct counts, and unioning the daily sketches equals sketching
-    the facts directly (the re-aggregation property)."""
-    from greenbuttonengine_spark.plans.wave7_queries import agg_hll_rollup
+    """The seeded declared form reproduces an independent pure-Python
+    HLL bit for bit (register max-merge is order-invariant), both forms
+    stay within their HLL error envelopes of exact distinct counts, and
+    the native Datasketches daily-union equals sketching directly (the
+    re-aggregation property)."""
+    import hashlib
+
+    from greenbuttonengine_spark.plans.wave7_queries import (
+        _HLL_M,
+        _HLL_NUM,
+        _HLL_P,
+        agg_hll_rollup,
+        agg_hll_rollup_native,
+    )
     from greenbuttonengine_spark.sources import load_table
 
     est = {r.event_type: r.distinct_users_est
@@ -354,19 +364,48 @@ def test_hll_rollup_bounds_and_associativity(spark, sf_dir):
         .agg(F.countDistinct("user_id").alias("n")).collect()
     }
     assert set(est) == set(exact)
-    for t, n in exact.items():
-        # default lgConfigK=12 -> rsd ~1.6%; allow 5 sigma + small-n slack
-        assert abs(est[t] - n) <= max(3, 0.08 * n), (t, est[t], n)
 
+    # exact replay: independent Python HLL over the same md5-60 hash
+    rows = ev.select("event_type", "user_id").collect()
+    regs: dict[str, list[int]] = {}
+    for r in rows:
+        h = int(hashlib.md5(str(r.user_id).encode()).hexdigest()[:15], 16)
+        idx, w = h % _HLL_M, h >> _HLL_P
+        rho = 56 - len(bin(w)[2:] if w else "0")
+        m = regs.setdefault(r.event_type, [0] * _HLL_M)
+        m[idx] = max(m[idx], rho)
+    for t, m in regs.items():
+        s = sum(1 << (55 - v) for v in m)
+        assert est[t] == float(_HLL_NUM) / float(s), t
+
+    for t, n in exact.items():
+        if n >= 2.5 * _HLL_M:
+            # raw-estimator regime: m=32 -> rsd ~18%; allow ~2 sigma
+            assert abs(est[t] - n) <= max(3, 0.40 * n), (t, est[t], n)
+        else:
+            # linear-counting zone (sf0.001: ~15 users/type): the RAW
+            # estimate is biased by design; check the registers still
+            # carry the cardinality via test-side linear counting
+            import math
+
+            v = sum(1 for x in regs[t] if x == 0)
+            lc = _HLL_M * math.log(_HLL_M / max(v, 1))
+            assert abs(lc - n) <= max(3, 0.40 * n), (t, lc, n)
+
+    # native Datasketches form keeps the old envelope + associativity
+    nat = {r.event_type: r.distinct_users_est
+           for r in agg_hll_rollup_native(spark, sf_dir).collect()}
+    for t, n in exact.items():
+        assert abs(nat[t] - n) <= max(3, 0.08 * n), (t, nat[t], n)
     direct = {
         r.event_type: r.e
         for r in ev.groupBy("event_type")
         .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id"))
              .cast("long").alias("e")).collect()
     }
-    assert est == direct, "daily-union must equal direct sketch"
+    assert nat == direct, "daily-union must equal direct sketch"
 
-    # partition invariance: estimates are stable under repartitioning
+    # partition invariance: estimates are stable across re-runs
     reparted = {
         r.event_type: r.distinct_users_est
         for r in agg_hll_rollup(spark, sf_dir).collect()
