@@ -1592,28 +1592,93 @@ def er_fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.blocked_fuzzy_pairs(part, "p_name", max_dist=2)
 
 
+def _pagerank_knn_oracle_sql(iters: int = 10, k: int = 5, scale: int = 1 << 40) -> str:
+    """Unrolled fixed-point PageRank oracle: recursive CTEs cannot
+    aggregate in the recursive term, but the iteration count is a
+    STATIC constant, so the power iteration unrolls into ``iters``
+    chained plain CTEs — each one the same integer update the Spark
+    loop performs (floor contributions, 17/20 damping, (3*scale) div
+    (20*n) teleport).  Every value is a BIGINT; both engines floor
+    positive divisions identically, so the replay is bit-exact."""
+    head = f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s AS (
+        SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+               list_dot_product(a.v, b.v)
+                   / (sqrt(list_dot_product(a.v, a.v))
+                      * sqrt(list_dot_product(b.v, b.v))) AS cosine
+        FROM e a JOIN e b ON a.vec_id <> b.vec_id
+    ),
+    edges AS (
+        SELECT vec_id AS src, neighbor_id AS dst FROM (
+            SELECT s.*, ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id) AS rank
+            FROM s
+        ) t WHERE rank <= {k}
+    ),
+    od AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+    nodes AS (
+        SELECT DISTINCT node FROM (
+            SELECT src AS node FROM edges
+            UNION ALL SELECT dst AS node FROM edges)
+    ),
+    c AS (SELECT COUNT(*) AS n FROM nodes),
+    r0 AS (SELECT node, CAST({scale} AS BIGINT) // n AS r FROM nodes, c)"""
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(f""",
+    r{i} AS (
+        SELECT nodes.node,
+               (3 * CAST({scale} AS BIGINT)) // (20 * c.n)
+                   + (17 * COALESCE(s.m, 0)) // 20 AS r
+        FROM nodes CROSS JOIN c
+        LEFT JOIN (
+            SELECT edges.dst AS node, SUM(p.r // od.outdeg) AS m
+            FROM r{i - 1} p
+            JOIN od ON od.src = p.node
+            JOIN edges ON edges.src = p.node
+            GROUP BY edges.dst
+        ) s ON s.node = nodes.node
+    )"""
+        )
+    return (
+        head
+        + "".join(steps)
+        + f"""
+    SELECT node, CAST(r AS BIGINT) AS rank_scaled,
+           CAST(r AS DOUBLE) / {float(scale)!r} AS rank
+    FROM r{iters}
+    """
+    )
+
+
 @register(
     "graph_pagerank_knn",
-    None,  # iterative fp power iteration: not oracle-expressible
-    # (aggregates are disallowed in recursive CTE terms); pytest pins
-    # the semantics against a numpy power iteration instead
+    _pagerank_knn_oracle_sql(),
     tags=("graph", "iterative", "tiny-bnlj"),
     doc="PageRank over the exact cosine 5-NN graph: rank identifies "
     "central/representative documents for diversity sampling and "
     "cluster-keeper election (the importance complement to the "
     "connected-components equivalence classes). Per iteration: one "
-    "rank-onto-edges equi-join + one shuffle-by-dst sum; dangling "
-    "mass is a one-row broadcast; localCheckpoint truncates lineage "
-    "per round (CC discipline).",
+    "rank-onto-edges equi-join + one shuffle-by-dst sum; "
+    "localCheckpoint truncates lineage per round (CC discipline). "
+    "r9: the declared form is FIXED-POINT (BIGINT multiples of 2^-40, "
+    "d = 17/20, floor contributions — graph.pagerank_scaled), which an "
+    "unrolled 10-step SQL oracle replays bit for bit; a kNN graph has "
+    "no dangling nodes (every node emits k out-edges), so the "
+    "dangling-mass term vanishes and the truncation bias is bounded "
+    "by iters * k * 2^-40.  The float power iteration with dangling "
+    "handling stays as graph.pagerank (pytest vs numpy, incl. "
+    "dangling).",
 )
 def graph_pagerank_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..extensions.graph import pagerank
+    from ..extensions.graph import pagerank_scaled
 
     emb = load_table(spark, "embeddings", sf_dir)
     edges = similarity.knn_graph(emb, k=5).select(
         F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst")
     )
-    return pagerank(edges, damping=0.85, iters=10)
+    return pagerank_scaled(edges, iters=10)
 
 
 @register(

@@ -299,6 +299,48 @@ def test_pagerank_matches_numpy_power_iteration(spark):
     assert got[0] == max(got.values())
 
 
+def test_pagerank_scaled_matches_integer_replay(spark):
+    """The fixed-point declared form replays a pure-Python integer
+    power iteration EXACTLY, tracks the float pagerank closely on a
+    dangling-free graph, and refuses dangling graphs."""
+    import pytest as _pytest
+
+    from greenbuttonengine_spark.extensions.graph import (
+        PR_SCALE, pagerank, pagerank_scaled,
+    )
+
+    # dangling-free 5-node graph (every node has out-edges)
+    E = [(0, 1), (0, 2), (1, 0), (2, 0), (3, 0), (3, 4), (1, 4), (4, 3)]
+    edges = spark.createDataFrame([Row(src=a, dst=b) for a, b in E])
+    got = {r.node: (r.rank_scaled, r.rank)
+           for r in pagerank_scaled(edges, iters=10).collect()}
+
+    n, q = 5, PR_SCALE
+    out: dict[int, int] = {}
+    for a, _ in E:
+        out[a] = out.get(a, 0) + 1
+    r = {v: q // n for v in range(n)}
+    base = (3 * q) // (20 * n)
+    for _ in range(10):
+        m = {v: 0 for v in range(n)}
+        for a, b in E:
+            m[b] += r[a] // out[a]
+        r = {v: base + (17 * m[v]) // 20 for v in range(n)}
+    for v in range(n):
+        assert got[v][0] == r[v], (v, got[v][0], r[v])
+        assert got[v][1] == r[v] / q
+
+    # closeness to the float form (truncation bias ~ iters*k*2^-40)
+    fp = {x.node: x.rank for x in pagerank(edges, 0.85, iters=10).collect()}
+    for v in range(n):
+        assert abs(got[v][1] - fp[v]) < 1e-9, (v, got[v][1], fp[v])
+
+    # dangling node 5 (in-edges only) must be rejected
+    bad = spark.createDataFrame([Row(src=a, dst=b) for a, b in E + [(0, 5)]])
+    with _pytest.raises(ValueError, match="dangling"):
+        pagerank_scaled(bad, iters=2)
+
+
 def test_bmp_codec_roundtrip_and_padding():
     import numpy as np
 
