@@ -410,3 +410,126 @@ def knn_graph(
         cand.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= k)
     )
+
+
+def hard_negatives(
+    emb: DataFrame,
+    k: int = 5,
+    n_blocks: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for every vector,
+    the k most-cosine-similar vectors with a DIFFERENT label — the
+    near-boundary negatives that make embedding models learn, versus
+    random negatives that are trivially separable.
+
+    Same triangle block layout and k-ordered numpy arithmetic as
+    :func:`knn_graph` (O(n*B) shuffle, local top-k per task, global
+    top-k over O(n*B*k) candidates); the only difference is the mask:
+    instead of just the self-diagonal, every SAME-label pair is masked
+    to -inf before the local top-k, so the selection happens among
+    negatives only.  Labels ride the same Arrow batch — no extra join.
+
+    Output: (vec_id, label, neighbor_id, neighbor_label, cosine, rank).
+    """
+    import numpy as np
+    import pandas as pd
+
+    g = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int")
+    tasks = F.expr(
+        f"transform(sequence(0, {n_blocks - 1}),"
+        " t -> named_struct('ti', least(__g, t), 'tj', greatest(__g, t)))"
+    )
+    exploded = (
+        emb.select(F.col(id_col), F.col(vec_col), F.col(label_col), g.alias("__g"))
+        .select(id_col, vec_col, label_col, "__g", F.explode(tasks).alias("__t"))
+        .select(
+            F.col(id_col).alias("vid"),
+            F.col(vec_col).alias("vec"),
+            F.col(label_col).alias("lbl"),
+            F.col("__g").alias("blk"),
+            F.col("__t.ti").alias("ti"),
+            F.col("__t.tj").alias("tj"),
+        )
+    )
+
+    def _seq_norm(m, d):
+        acc = np.zeros(m.shape[0])
+        for kk in range(d):
+            acc += m[:, kk] * m[:, kk]
+        return np.sqrt(acc)
+
+    def _seq_dots(a, b, d):
+        acc = np.zeros((a.shape[0], b.shape[0]))
+        for kk in range(d):
+            acc += np.outer(a[:, kk], b[:, kk])
+        return acc
+
+    def _emit_topk(q_ids, q_lbl, n_ids, n_lbl, cos):
+        out = {"q": [], "ql": [], "n": [], "nl": [], "c": []}
+        for r in range(cos.shape[0]):
+            order = np.lexsort((n_ids, -cos[r]))[:k]
+            order = order[np.isfinite(cos[r][order])]
+            out["q"].append(np.full(len(order), q_ids[r]))
+            out["ql"].append(np.full(len(order), q_lbl[r]))
+            out["n"].append(n_ids[order])
+            out["nl"].append(n_lbl[order])
+            out["c"].append(cos[r][order])
+        return {kk: np.concatenate(v) if v else np.array([]) for kk, v in out.items()}
+
+    cols = {
+        "vec_id": "int64", "label": "int32",
+        "neighbor_id": "int64", "neighbor_label": "int32", "cosine": "float64",
+    }
+
+    def _part(pdf: pd.DataFrame) -> pd.DataFrame:
+        ti, tj = int(pdf["ti"].iloc[0]), int(pdf["tj"].iloc[0])
+        ids = pdf["vid"].to_numpy()
+        lbl = pdf["lbl"].to_numpy()
+        mat = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
+        blk = pdf["blk"].to_numpy()
+        d = mat.shape[1]
+        empty = pd.DataFrame({c: [] for c in cols}).astype(cols)
+
+        def frame(o):
+            if len(o["q"]) == 0:
+                return empty
+            return pd.DataFrame(
+                {"vec_id": o["q"].astype("int64"),
+                 "label": o["ql"].astype("int32"),
+                 "neighbor_id": o["n"].astype("int64"),
+                 "neighbor_label": o["nl"].astype("int32"),
+                 "cosine": o["c"].astype("float64")}
+            )
+
+        if ti == tj:
+            if len(ids) < 2:
+                return empty
+            cos = _seq_dots(mat, mat, d) / np.outer(_seq_norm(mat, d), _seq_norm(mat, d))
+            cos[np.equal.outer(lbl, lbl)] = -np.inf  # mask positives (incl. self)
+            return frame(_emit_topk(ids, lbl, ids, lbl, cos))
+        am = blk == ti
+        a_ids, b_ids = ids[am], ids[~am]
+        a_lbl, b_lbl = lbl[am], lbl[~am]
+        a_mat, b_mat = mat[am], mat[~am]
+        if len(a_ids) == 0 or len(b_ids) == 0:
+            return empty
+        cos = _seq_dots(a_mat, b_mat, d) / np.outer(
+            _seq_norm(a_mat, d), _seq_norm(b_mat, d)
+        )
+        cos[np.equal.outer(a_lbl, b_lbl)] = -np.inf
+        oa = _emit_topk(a_ids, a_lbl, b_ids, b_lbl, cos)
+        ob = _emit_topk(b_ids, b_lbl, a_ids, a_lbl, cos.T)
+        return pd.concat([frame(oa), frame(ob)], ignore_index=True)
+
+    cand = exploded.groupBy("ti", "tj").applyInPandas(
+        _part,
+        "vec_id long, label int, neighbor_id long, neighbor_label int, cosine double",
+    )
+    w = W.partitionBy("vec_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )

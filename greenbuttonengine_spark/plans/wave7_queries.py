@@ -1119,3 +1119,107 @@ def sample_grouped_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").cast("long").alias("n_users"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# r9: contrastive hard-negative mining + curriculum schedule
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ann_hard_negatives",
+    """
+    WITH e AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+    ), s AS (
+        SELECT a.vec_id AS vec_id, a.label AS label,
+               b.vec_id AS neighbor_id, b.label AS neighbor_label,
+               list_dot_product(a.v, b.v)
+                   / (sqrt(list_dot_product(a.v, a.v))
+                      * sqrt(list_dot_product(b.v, b.v))) AS cosine
+        FROM e a JOIN e b ON a.label <> b.label
+    )
+    SELECT vec_id, CAST(label AS INTEGER) AS label, neighbor_id,
+           CAST(neighbor_label AS INTEGER) AS neighbor_label, cosine, rank
+    FROM (
+        SELECT s.*, CAST(ROW_NUMBER() OVER (
+            PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id)
+            AS BIGINT) AS rank
+        FROM s
+    ) t WHERE rank <= 5
+    """,
+    tags=("similarity", "blocked"),
+    doc="Hard-negative mining for contrastive embedding training: per "
+    "vector, the 5 most-similar vectors with a DIFFERENT label — the "
+    "near-boundary negatives that actually move a contrastive loss, "
+    "vs trivially-separable random negatives.  Same triangle block "
+    "join + local-top-k shape as graph_knn_cosine (O(n*B) shuffle, "
+    "O(n*B*k) reduce candidates, never O(n^2)); the same-label mask "
+    "is applied inside each Arrow task BEFORE the local top-k, so "
+    "selection happens among negatives only and labels ride the "
+    "batch with no extra join.  k-ordered numpy adds keep cosines "
+    "bitwise-equal to the all-pairs DuckDB oracle.",
+)
+def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.similarity import hard_negatives
+
+    return hard_negatives(load_table(spark, "embeddings", sf_dir), k=5)
+
+
+@register(
+    "curriculum_interleave",
+    """
+    WITH d AS (
+        SELECT doc_id, lang, n_chars, coalesce(lang, '') AS lk FROM documents
+    ), li AS (
+        SELECT lk, CAST(DENSE_RANK() OVER (ORDER BY lk) AS BIGINT) AS li
+        FROM (SELECT DISTINCT coalesce(lang, '') AS lk FROM documents)
+    ), n AS (SELECT COUNT(*) AS ns FROM li),
+    r AS (
+        SELECT doc_id, lang, lk,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY lk ORDER BY n_chars, doc_id) AS BIGINT)
+                   AS stratum_rank
+        FROM d
+    )
+    SELECT r.doc_id, r.lang, r.stratum_rank,
+           (r.stratum_rank - 1) * n.ns + (li.li - 1) AS sched_key
+    FROM r JOIN li USING (lk) CROSS JOIN n
+    """,
+    tags=("sampling", "curriculum", "tiny-global-window"),
+    doc="Deterministic curriculum schedule with stratified interleave: "
+    "docs rank easy-to-hard WITHIN their language (n_chars, doc_id "
+    "tiebreak), and the global training order is the collision-free "
+    "FORMULA sched_key = (stratum_rank-1) * n_strata + stratum_index "
+    "— language strata interleave round-robin so every training "
+    "window sees every language, without any global window or sort "
+    "(the only partition-less window ranks the O(langs) distinct "
+    "stratum list; the heavy window is keyed per language).  "
+    "Null-safe: a NULL lang is its own '' stratum, never dropped.  "
+    "Writing shards ordered by sched_key materializes the curriculum.",
+)
+def curriculum_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    d = docs.select(
+        "doc_id", "lang", "n_chars", F.coalesce("lang", F.lit("")).alias("lk")
+    )
+    li = (
+        d.select("lk")
+        .distinct()
+        .withColumn("li", F.dense_rank().over(W.orderBy("lk")).cast("long"))
+    )
+    n_strata = li.count()
+    ranked = d.withColumn(
+        "stratum_rank",
+        F.row_number()
+        .over(W.partitionBy("lk").orderBy("n_chars", "doc_id"))
+        .cast("long"),
+    )
+    return ranked.join(F.broadcast(li), "lk").select(
+        "doc_id",
+        "lang",
+        "stratum_rank",
+        (
+            (F.col("stratum_rank") - 1) * F.lit(n_strata) + (F.col("li") - 1)
+        ).cast("long").alias("sched_key"),
+    )

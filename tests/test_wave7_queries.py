@@ -460,3 +460,76 @@ def test_grouped_split_user_disjoint_and_deterministic(spark, sf_dir):
     masses = {s: u for s, _, u in r1}
     total = sum(masses.values())
     assert masses.get("train", 0) / total > 0.5
+
+
+def test_hard_negatives_semantics_and_bruteforce(spark, sf_dir):
+    """No same-label pair ever surfaces, ranks are dense per vector,
+    and the blocked miner equals a brute-force different-label top-k
+    under the same (cosine desc, id asc) order."""
+    import numpy as np
+
+    from greenbuttonengine_spark.extensions.similarity import hard_negatives
+    from greenbuttonengine_spark.sources import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    got = hard_negatives(emb, k=3).collect()
+    assert got, "non-empty corpus must yield negatives"
+    assert all(r.label != r.neighbor_label for r in got)
+    by_q: dict[int, list] = {}
+    for r in got:
+        by_q.setdefault(r.vec_id, []).append(r)
+    for q, rows in by_q.items():
+        assert sorted(x.rank for x in rows) == list(range(1, len(rows) + 1)), q
+
+    rows = emb.collect()
+    ids = np.array([r.vec_id for r in rows])
+    lbl = np.array([r.label for r in rows])
+    mat = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in rows])
+    d = mat.shape[1]
+    acc = np.zeros(len(ids))
+    for kk in range(d):
+        acc += mat[:, kk] * mat[:, kk]
+    nrm = np.sqrt(acc)
+    dots = np.zeros((len(ids), len(ids)))
+    for kk in range(d):
+        dots += np.outer(mat[:, kk], mat[:, kk])
+    cos = dots / np.outer(nrm, nrm)
+    cos[np.equal.outer(lbl, lbl)] = -np.inf
+    want = set()
+    for i in range(len(ids)):
+        order = np.lexsort((ids, -cos[i]))
+        order = [j for j in order if np.isfinite(cos[i][j])][:3]
+        for rk, j in enumerate(order):
+            want.add((int(ids[i]), int(ids[j]), rk + 1))
+    assert {(r.vec_id, r.neighbor_id, r.rank) for r in got} == want
+
+
+def test_curriculum_interleave_schedule(spark, sf_dir):
+    """sched_key is a bijection onto a prefix-interleaved order: keys
+    are unique, every window of n_strata consecutive ranks holds at
+    most one doc per stratum, and within a stratum the order is
+    easy-to-hard (n_chars asc)."""
+    from greenbuttonengine_spark.plans.wave7_queries import curriculum_interleave
+    from greenbuttonengine_spark.sources import load_table
+
+    rows = curriculum_interleave(spark, sf_dir).collect()
+    docs = load_table(spark, "documents", sf_dir).collect()
+    assert len(rows) == len(docs)
+    keys = [r.sched_key for r in rows]
+    assert len(set(keys)) == len(keys)
+    strata = {(r.lang or "") for r in rows}
+    ns = len(strata)
+    # round-robin: key mod n_strata identifies the stratum
+    by_mod = {}
+    for r in rows:
+        by_mod.setdefault(r.sched_key % ns, set()).add(r.lang or "")
+    assert all(len(v) == 1 for v in by_mod.values())
+    # easy-to-hard within stratum
+    n_chars = {d.doc_id: d.n_chars for d in docs}
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        by_lang.setdefault(r.lang or "", []).append(r)
+    for lang, rs in by_lang.items():
+        rs = sorted(rs, key=lambda r: r.stratum_rank)
+        lens = [n_chars[r.doc_id] for r in rs]
+        assert lens == sorted(lens), lang
