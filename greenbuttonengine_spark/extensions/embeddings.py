@@ -242,3 +242,125 @@ def pca_project(
             ).alias(f"pc{j + 1}")
         )
     return emb.select(*keep_cols, *cols)
+
+
+def pca_power_fixed(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    keep_cols: tuple[str, ...] = ("label",),
+    grid: int = 4096,
+    ascale: int = 1 << 16,
+    xscale: int = 1 << 20,
+    iters: int = 12,
+) -> DataFrame:
+    """Top principal component by FIXED-POINT power iteration — the
+    deterministic, oracle-reproducible twin of :func:`pca_fit` (which
+    stays the production path; LAPACK ``eigh`` is neither
+    cross-engine- nor cross-platform-bit-stable, this is).
+
+    Construction (every step exact integer arithmetic, identical in
+    Spark, Python, and ANSI SQL):
+
+    1. Quantize vectors to the 2^-12 grid: ``q_i = floor(v_i * 4096)``
+       (power-of-two scaling of a float-widened double is exact; floor
+       is IEEE-identical in both engines).
+    2. One distributed Arrow pass accumulates the exact integer moments
+       ``n``, ``m = sum q``, ``S = sum q q^T`` (int64; per-partition
+       partials are order-free because integer addition commutes).
+       Collect is O(partitions * d^2) — the proven pca_fit shape.
+    3. ``A = n*S - m m^T`` (the covariance times n^2 — same
+       eigenvectors, no division) is rescaled to ``|A'| <= 2^16`` with
+       sign-explicit truncating division (``-((-a)*s//amax)`` for
+       negatives, so engine floor-vs-truncate conventions can't
+       diverge), then 12 power-iteration steps run on the driver in
+       pure Python ints: ``y = A' x``; ``x' = sign(y)*(|y|*2^20//ymax)``.
+       d x d = 64 x 64 — driver cost is microseconds; the DATA never
+       leaves the cluster.
+    4. Sign canonicalization: flip so the max-|x| coordinate (lowest
+       index on ties) is positive.
+    5. Distributed projection: ``pc1n = n * (q . x) - (m . x)`` — the
+       centered projection scaled by n*grid*xscale, one zip_with +
+       aggregate fold per row, no shuffle, scan-stage only.
+
+    Overflow bounds (ANSI mode throws, so these are load-bearing):
+    |q_i| <= grid, |x_i| <= 2^20, so |q.x| <= 64*4096*2^20 = 2^44 and
+    |pc1n| <= 2*n*2^44 — safe for n up to ~2^17 corpus rows per the
+    gate scales and ~2^18 beyond; raise ``grid`` down / ``xscale``
+    down one notch each 4x beyond that.
+    """
+    import numpy as np
+    import pandas as pd
+
+    qexpr = F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda x: F.floor(x * F.lit(float(grid))).cast("long"),
+    )
+    qdf = emb.select(F.col(id_col), *keep_cols, qexpr.alias("q"))
+    probe = qdf.select("q").first()
+    if probe is None or probe[0] is None:
+        raise ValueError("pca_power_fixed: empty input")
+    dim = len(probe[0])
+
+    def partial(it):
+        n = 0
+        s = np.zeros((dim, dim), dtype=np.int64)
+        m = np.zeros(dim, dtype=np.int64)
+        for pdf in it:
+            v = np.array(pdf["q"].tolist(), dtype=np.int64)
+            if len(v):
+                n += len(v)
+                s += v.T @ v
+                m += v.sum(0)
+        yield pd.DataFrame(
+            {"n": [n], "s": [s.ravel().tolist()], "m": [m.tolist()]}
+        )
+
+    parts = qdf.select("q").mapInPandas(
+        partial, "n long, s array<long>, m array<long>"
+    ).collect()
+    n = sum(int(r.n) for r in parts)
+    if n == 0:
+        raise ValueError("pca_power_fixed: empty input")
+    s_mat = [
+        [sum(int(r.s[i * dim + j]) for r in parts) for j in range(dim)]
+        for i in range(dim)
+    ]
+    m_vec = [sum(int(r.m[i]) for r in parts) for i in range(dim)]
+
+    def _tdiv(a: int, num: int, den: int) -> int:
+        # sign-explicit truncating scale: identical to the SQL CASE form
+        return -((-a) * num // den) if a < 0 else (a * num) // den
+
+    a_raw = [
+        [n * s_mat[i][j] - m_vec[i] * m_vec[j] for j in range(dim)]
+        for i in range(dim)
+    ]
+    amax = max(abs(v) for row in a_raw for v in row)
+    if amax == 0:
+        raise ValueError("pca_power_fixed: zero covariance")
+    a = [[_tdiv(v, ascale, amax) for v in row] for row in a_raw]
+    x = [xscale] * dim
+    for _ in range(iters):
+        y = [sum(a[i][j] * x[j] for j in range(dim)) for i in range(dim)]
+        ymax = max(abs(v) for v in y)
+        if ymax == 0:
+            raise ValueError("pca_power_fixed: iteration collapsed to zero")
+        x = [_tdiv(v, xscale, ymax) for v in y]
+    lead = min(range(dim), key=lambda i: (-abs(x[i]), i))
+    if x[lead] < 0:
+        x = [-v for v in x]
+    mdotx = sum(m_vec[i] * x[i] for i in range(dim))
+    xlit = F.array(*[F.lit(v).cast("long") for v in x])
+    dot = F.aggregate(
+        F.zip_with(F.col("q"), xlit, lambda qi, wi: qi * wi),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
+    return qdf.select(
+        F.col(id_col),
+        *keep_cols,
+        (F.lit(n).cast("long") * dot - F.lit(mdotx).cast("long"))
+        .cast("long")
+        .alias("pc1n"),
+    )
