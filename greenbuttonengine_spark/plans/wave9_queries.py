@@ -1,0 +1,622 @@
+"""Round-9 extension wave (second batch): pretraining-corpus
+transforms the wave-8 trainer-prep family left open — fill-in-the-
+middle restructuring, soft deduplication weights, Bloom-filter
+decontamination, best-of-n reward curves, a context-length packing
+sweep, and product-quantization codes for the ANN family.
+
+Shared design rules (plans/registry.py has the full idiom list):
+
+* Seeded decisions come from the md5-60 cross-engine hash
+  (``conv(substring(md5(s),1,15),16,10)`` in Spark ==
+  ``CAST(concat('0x', substr(md5(s),1,15)) AS BIGINT)`` in DuckDB,
+  bit for bit) — never ``rand()``: the driver re-executes every plan
+  and per-RDD-seeded samples would not reproduce.
+* All intermediate arithmetic is BIGINT (exact on both engines);
+  any fraction is ONE final IEEE division of exact integer sums.
+* Per-row transforms stay in Catalyst higher-order functions
+  (transform/aggregate/filter on arrays) so the hot path is
+  whole-stage codegen with zero Python and zero shuffle.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+from .registry import register
+
+
+def _md5_60(col):
+    """Seeded 60-bit hash, bit-identical in Spark and DuckDB."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def _py_md5_60(s: str) -> int:
+    """Driver-side twin of the md5-60 hash (same value as both engines'
+    SQL form; pinned by test_wave9_queries.py)."""
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+# ---------------------------------------------------------------------------
+# Fill-in-the-middle (FIM) restructuring
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "code_fim_transform",
+    """
+    WITH base AS (
+        SELECT doc_id, text, length(text) AS len,
+               CAST(concat('0x', substr(md5(concat('fim:',
+                   CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 100 AS sel,
+               CAST(concat('0x', substr(md5(concat('f1:',
+                   CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) AS h1,
+               CAST(concat('0x', substr(md5(concat('f2:',
+                   CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) AS h2
+        FROM documents WHERE text IS NOT NULL
+    ), split AS (
+        SELECT doc_id, text, len,
+               CASE WHEN sel < 50 AND len >= 4 THEN 1 ELSE 0 END AS fim_applied,
+               CASE WHEN sel < 50 AND len >= 4
+                    THEN h1 % (len + 1) ELSE len END AS a,
+               CASE WHEN sel < 50 AND len >= 4
+                    THEN h1 % (len + 1) + h2 % (len - (h1 % (len + 1)) + 1)
+                    ELSE len END AS b
+        FROM base
+    )
+    SELECT doc_id,
+           CAST(fim_applied AS BIGINT) AS fim_applied,
+           CAST(a AS BIGINT) AS prefix_len,
+           CAST(b - a AS BIGINT) AS middle_len,
+           CAST(len - b AS BIGINT) AS suffix_len,
+           md5(concat(substr(text, 1, a),
+                      substr(text, b + 1, len - b),
+                      substr(text, a + 1, b - a))) AS out_fingerprint
+    FROM split
+    """,
+    tags=("trainer", "fim"),
+    doc="Fill-in-the-middle restructuring (Bavarian et al. 2022, the "
+    "code-model pretraining transform): a seeded 50% of documents are "
+    "split at two hash-derived pivots a <= b and re-emitted in PSM "
+    "order (prefix, suffix, middle); the rest pass through.  Pivots "
+    "come from md5-60 of the doc id (NOT the text, so near-dup "
+    "documents get independent splits), spans may be empty exactly as "
+    "in the reference recipe, and out_fingerprint = md5 of the "
+    "reordered text proves the transform itself cross-engine, not "
+    "just the bookkeeping.  Plan: pure scan-stage string/int "
+    "expressions — no shuffle, no Python, no UDF; at 100 TB this is "
+    "the ideal map-only shape and composes in front of pack_sequences "
+    "without re-partitioning.",
+)
+def code_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("text").isNotNull())
+    sid = F.col("doc_id").cast("string")
+    base = docs.select(
+        "doc_id",
+        "text",
+        F.length("text").alias("len"),
+        (_md5_60(F.concat(F.lit("fim:"), sid)) % 100).alias("sel"),
+        _md5_60(F.concat(F.lit("f1:"), sid)).alias("h1"),
+        _md5_60(F.concat(F.lit("f2:"), sid)).alias("h2"),
+    )
+    applied = (F.col("sel") < 50) & (F.col("len") >= 4)
+    a = F.when(applied, F.col("h1") % (F.col("len") + 1)).otherwise(F.col("len"))
+    split = base.select(
+        "doc_id",
+        "text",
+        "len",
+        applied.cast("bigint").alias("fim_applied"),
+        a.alias("a"),
+        F.when(applied, a + F.col("h2") % (F.col("len") - a + 1))
+        .otherwise(F.col("len"))
+        .alias("b"),
+    )
+    return split.select(
+        "doc_id",
+        "fim_applied",
+        F.col("a").cast("bigint").alias("prefix_len"),
+        (F.col("b") - F.col("a")).cast("bigint").alias("middle_len"),
+        (F.col("len") - F.col("b")).cast("bigint").alias("suffix_len"),
+        F.md5(
+            F.concat(
+                F.expr("substr(text, 1, a)"),
+                F.expr("substr(text, b + 1, len - b)"),
+                F.expr("substr(text, a + 1, b - a)"),
+            )
+        ).alias("out_fingerprint"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Soft deduplication weights (down-weight instead of drop)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sample_softdedup",
+    r"""
+    WITH fp AS (
+        SELECT doc_id, coalesce(source, '') AS source_key,
+               length(text) - length(replace(text, ' ', '')) + 1 AS tokens,
+               md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS f
+        FROM documents WHERE text IS NOT NULL
+    ), mult AS (
+        SELECT f, COUNT(*) AS n_copies FROM fp GROUP BY f
+    ), weighted AS (
+        SELECT fp.source_key, fp.tokens, mult.n_copies,
+               1000000 // mult.n_copies AS w_ppm
+        FROM fp JOIN mult USING (f)
+    )
+    SELECT source_key,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_docs,
+           CAST(SUM(tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(tokens * w_ppm) AS BIGINT) AS eff_tokens_ppm,
+           CAST(SUM(w_ppm) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+               / 1000000.0 AS mean_weight
+    FROM weighted GROUP BY source_key
+    """,
+    tags=("sampling", "dedup"),
+    doc="Soft deduplication (SoftDeDup, She et al. 2024): instead of "
+    "dropping duplicates, weight every copy by 1/multiplicity so the "
+    "duplicated CONTENT keeps exactly one document's worth of "
+    "expected gradient.  Multiplicity is the exact-dedup fingerprint "
+    "(md5 of whitespace-normalized lowercased text, the dedup_exact "
+    "key); weights are integer ppm (1e6 // n_copies) so the per-source "
+    "effective-token mass is an exact BIGINT and the only float is "
+    "the final mean division.  Plan: one hash shuffle on the "
+    "fingerprint for multiplicity, one shuffle back on the "
+    "fingerprint to attach weights (both map-side combined), then a "
+    "tiny per-source aggregate — the same two-exchange shape as "
+    "dedup_exact, so the 100-TB cost equals the dedup pass the weight "
+    "replaces.",
+)
+def sample_softdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.textstats import fingerprint_col
+
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("text").isNotNull())
+    fp = docs.select(
+        F.coalesce("source", F.lit("")).alias("source_key"),
+        F.expr("length(text) - length(replace(text, ' ', '')) + 1")
+        .cast("long")
+        .alias("tokens"),
+        fingerprint_col(F.col("text")).alias("f"),
+    )
+    mult = fp.groupBy("f").agg(F.count("*").alias("n_copies"))
+    weighted = fp.join(mult, "f").withColumn(
+        "w_ppm", F.expr("1000000 div n_copies")
+    )
+    return weighted.groupBy("source_key").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum((F.col("n_copies") > 1).cast("long")).cast("long").alias("n_dup_docs"),
+        F.sum("tokens").cast("long").alias("total_tokens"),
+        F.sum(F.col("tokens") * F.col("w_ppm")).cast("long").alias("eff_tokens_ppm"),
+        (
+            F.sum("w_ppm").cast("double") / F.count("*").cast("double") / 1000000.0
+        ).alias("mean_weight"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter decontamination (broadcast bit-set membership)
+# ---------------------------------------------------------------------------
+
+_BLOOM_M = 262144  # 2^18 bits
+_BLOOM_SEEDS = (1, 2, 3)
+
+
+@register(
+    "decontam_bloom",
+    f"""
+    WITH ex AS MATERIALIZED (
+        SELECT doc_id,
+               CAST(concat('0x', substr(md5(concat('ev:',
+                   CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 50 = 0
+                   AS is_eval,
+               unnest(list_distinct([substring(text, i, 8)
+                   for i in generate_series(1, greatest(length(text)-7, 1))]))
+                   AS sh
+        FROM documents WHERE text IS NOT NULL
+    ), bits AS MATERIALIZED (
+        SELECT DISTINCT
+               CAST(concat('0x', substr(md5(concat('bl',
+                   CAST(s AS VARCHAR), ':', sh)), 1, 15)) AS BIGINT)
+                   % {_BLOOM_M} AS bit
+        FROM ex CROSS JOIN generate_series(1, 3) AS g(s)
+        WHERE is_eval
+    ), eval_sh AS MATERIALIZED (
+        SELECT DISTINCT sh FROM ex WHERE is_eval
+    ), train AS (
+        SELECT ex.doc_id, ex.sh,
+               CAST(concat('0x', substr(md5(concat('bl1:', ex.sh)), 1, 15))
+                   AS BIGINT) % {_BLOOM_M} AS b1,
+               CAST(concat('0x', substr(md5(concat('bl2:', ex.sh)), 1, 15))
+                   AS BIGINT) % {_BLOOM_M} AS b2,
+               CAST(concat('0x', substr(md5(concat('bl3:', ex.sh)), 1, 15))
+                   AS BIGINT) % {_BLOOM_M} AS b3
+        FROM ex WHERE NOT is_eval
+    ), tested AS (
+        SELECT t.doc_id,
+               CASE WHEN m1.bit IS NOT NULL AND m2.bit IS NOT NULL
+                         AND m3.bit IS NOT NULL THEN 1 ELSE 0 END AS bloom_hit,
+               CASE WHEN e.sh IS NOT NULL THEN 1 ELSE 0 END AS exact_hit
+        FROM train t
+        LEFT JOIN bits m1 ON m1.bit = t.b1
+        LEFT JOIN bits m2 ON m2.bit = t.b2
+        LEFT JOIN bits m3 ON m3.bit = t.b3
+        LEFT JOIN eval_sh e ON e.sh = t.sh
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(bloom_hit) AS BIGINT) AS n_bloom_hit,
+           CAST(SUM(exact_hit) AS BIGINT) AS n_exact_hit,
+           CAST(CASE WHEN 2 * SUM(bloom_hit) >= COUNT(*) THEN 1 ELSE 0 END
+               AS BIGINT) AS flagged
+    FROM tested GROUP BY doc_id
+    """,
+    tags=("decontam", "bloom", "broadcast"),
+    doc="Bloom-filter decontamination — the 100-TB-scale form of the "
+    "eval-overlap check: the eval set's 8-gram shingles are folded "
+    "into a 2^18-bit Bloom filter (3 seeded md5-60 hash functions), "
+    "and every training document tests its shingles against the "
+    "filter with NO join against the eval corpus itself.  Here the "
+    "bit-set is a DISTINCT bit table consumed through three broadcast "
+    "LEFT joins (a bit-for-bit relational model of the bitset probe; "
+    "the production fast path would broadcast the packed 32 KiB "
+    "bitmap itself), so the training-side scan never shuffles — the "
+    "exact property that lets decontamination run as a map-only pass "
+    "over 100 TB while the n-gram join form (decontam_ngram_overlap) "
+    "shuffles the corpus.  n_exact_hit (true containment, LEFT join "
+    "on the small eval shingle set) is emitted next to n_bloom_hit so "
+    "the Bloom false-positive rate is measurable per document: "
+    "no-false-negative (bloom >= exact) is pinned by pytest.  Eval "
+    "membership is the seeded md5-60 2% slice of doc ids.",
+)
+def decontam_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.dedup import _shingles
+
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("text").isNotNull())
+    ex = docs.select(
+        "doc_id",
+        (
+            _md5_60(F.concat(F.lit("ev:"), F.col("doc_id").cast("string"))) % 50 == 0
+        ).alias("is_eval"),
+        F.explode(_shingles("text", k=8, distinct=True)).alias("sh"),
+    )
+    def bit(seed: int, col="sh"):
+        return (
+            _md5_60(F.concat(F.lit(f"bl{seed}:"), F.col(col))) % _BLOOM_M
+        )
+
+    eval_sh = ex.filter("is_eval").select("sh").distinct()
+    bits = (
+        eval_sh.select(
+            F.explode(F.array(*[bit(s).alias(f"b{s}") for s in _BLOOM_SEEDS])).alias(
+                "bit"
+            )
+        )
+        .distinct()
+    )
+    train = ex.filter(~F.col("is_eval")).select(
+        "doc_id",
+        "sh",
+        bit(1).alias("b1"),
+        bit(2).alias("b2"),
+        bit(3).alias("b3"),
+    )
+    m = [
+        F.broadcast(bits.select(F.col("bit").alias(f"m{s}"))) for s in _BLOOM_SEEDS
+    ]
+    ev = F.broadcast(eval_sh.select(F.col("sh").alias("esh")))
+    tested = (
+        train.join(m[0], F.col("b1") == F.col("m1"), "left")
+        .join(m[1], F.col("b2") == F.col("m2"), "left")
+        .join(m[2], F.col("b3") == F.col("m3"), "left")
+        .join(ev, F.col("sh") == F.col("esh"), "left")
+        .select(
+            "doc_id",
+            (
+                F.col("m1").isNotNull()
+                & F.col("m2").isNotNull()
+                & F.col("m3").isNotNull()
+            )
+            .cast("long")
+            .alias("bloom_hit"),
+            F.col("esh").isNotNull().cast("long").alias("exact_hit"),
+        )
+    )
+    return tested.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_shingles"),
+        F.sum("bloom_hit").cast("long").alias("n_bloom_hit"),
+        F.sum("exact_hit").cast("long").alias("n_exact_hit"),
+        (2 * F.sum("bloom_hit") >= F.count("*")).cast("long").alias("flagged"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Best-of-n reward scaling curve
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rlhf_bon_curve",
+    """
+    WITH cand AS (
+        SELECT coalesce(source, '') AS source_key,
+               coalesce(lang, '') AS lang_key,
+               doc_id,
+               CAST(concat('0x', substr(md5(concat('rw:',
+                   CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)
+                   % 1000000 AS reward,
+               CAST(concat('0x', substr(md5(concat('bon:',
+                   CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) AS ord
+        FROM documents
+    ), ranked AS (
+        SELECT source_key, lang_key, reward,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY source_key, lang_key
+                   ORDER BY ord, doc_id) AS BIGINT) AS k,
+               MAX(reward) OVER (
+                   PARTITION BY source_key, lang_key
+                   ORDER BY ord, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS best_so_far
+        FROM cand
+    )
+    SELECT k,
+           CAST(COUNT(*) AS BIGINT) AS n_pools,
+           CAST(SUM(best_so_far) AS BIGINT) AS sum_best,
+           CAST(SUM(best_so_far) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+               AS mean_best,
+           CAST(MIN(best_so_far) AS BIGINT) AS min_best,
+           CAST(MAX(best_so_far) AS BIGINT) AS max_best
+    FROM ranked WHERE k <= 8 GROUP BY k
+    """,
+    tags=("sampling", "preference", "window"),
+    doc="Best-of-n reward scaling curve: within each candidate pool "
+    "(source, lang — the 'completions of one prompt' stand-in, same "
+    "pools as rlhf_preference_pairs), order candidates by a seeded "
+    "draw (md5-60 'bon:' hash, i.e. WHICH k samples you'd have drawn "
+    "first) and track the running max reward; averaging best_so_far "
+    "over pools at each k yields E[max of k draws] — the curve that "
+    "tells you whether sampling 8 completions instead of 2 is worth "
+    "4x the inference.  Rewards are the deterministic md5-60 %% 1e6 "
+    "reward-model proxy shared with rlhf_preference_pairs.  Plan: one "
+    "keyed window per pool (running max + row_number share a single "
+    "sort), then an 8-group aggregate of exact BIGINTs; shuffles only "
+    "on the pool key — millions of pools at production scale, fully "
+    "parallel.",
+)
+def rlhf_bon_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    sid = F.col("doc_id").cast("string")
+    cand = docs.select(
+        F.coalesce("source", F.lit("")).alias("source_key"),
+        F.coalesce("lang", F.lit("")).alias("lang_key"),
+        "doc_id",
+        (_md5_60(F.concat(F.lit("rw:"), sid)) % 1000000).alias("reward"),
+        _md5_60(F.concat(F.lit("bon:"), sid)).alias("ord"),
+    )
+    win = W.partitionBy("source_key", "lang_key").orderBy("ord", "doc_id")
+    ranked = cand.select(
+        F.row_number().over(win).cast("long").alias("k"),
+        F.max("reward")
+        .over(win.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("best_so_far"),
+    ).filter(F.col("k") <= 8)
+    return ranked.groupBy("k").agg(
+        F.count("*").cast("long").alias("n_pools"),
+        F.sum("best_so_far").cast("long").alias("sum_best"),
+        (F.sum("best_so_far").cast("double") / F.count("*").cast("double")).alias(
+            "mean_best"
+        ),
+        F.min("best_so_far").cast("long").alias("min_best"),
+        F.max("best_so_far").cast("long").alias("max_best"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Context-length packing sweep
+# ---------------------------------------------------------------------------
+
+_SWEEP_WINDOWS = (16, 32, 64, 128)
+
+
+@register(
+    "pack_context_sweep",
+    f"""
+    WITH toks AS (
+        SELECT CAST(length(text) - length(replace(text, ' ', '')) + 1
+                   AS BIGINT) AS t
+        FROM documents WHERE text IS NOT NULL
+    ), sweep AS (
+        SELECT w, t, (t + w - 1) // w AS chunks
+        FROM toks CROSS JOIN (
+            SELECT CAST(unnest({list(_SWEEP_WINDOWS)}) AS BIGINT) AS w
+        ) g
+    )
+    SELECT w AS context_len,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(t) AS BIGINT) AS total_tokens,
+           CAST(SUM(chunks) AS BIGINT) AS total_chunks,
+           CAST(SUM(chunks * w - t) AS BIGINT) AS total_pad,
+           CAST(SUM(chunks * w - t) AS DOUBLE)
+               / CAST(SUM(chunks * w) AS DOUBLE) AS pad_frac,
+           CAST(SUM(CASE WHEN t > w THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_docs_split
+    FROM sweep GROUP BY w
+    """,
+    tags=("packing", "sweep"),
+    doc="Context-length packing sweep: for each candidate training "
+    "context length (16/32/64/128 tokens here; 2k-32k in production) "
+    "compute, in ONE corpus pass, how many chunks each document "
+    "shards into under pad-to-boundary chunking (ceil(t/w)), the "
+    "total padding burned, the padded-slot fraction, and how many "
+    "documents must be split — the table you read before choosing a "
+    "context window, complementing pack_padding_waste (which audits "
+    "one chosen packing).  All integer arithmetic; the explode is a "
+    "literal 4-element array so the row blow-up is x4, then one "
+    "4-group map-side-combined aggregate.  Map-only at any corpus "
+    "size.",
+)
+def pack_context_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("text").isNotNull())
+    toks = docs.select(
+        F.expr("length(text) - length(replace(text, ' ', '')) + 1")
+        .cast("long")
+        .alias("t")
+    )
+    sweep = toks.select(
+        "t",
+        F.explode(
+            F.array(*[F.lit(w).cast("long") for w in _SWEEP_WINDOWS])
+        ).alias("w"),
+    ).withColumn("chunks", F.expr("(t + w - 1) div w"))
+    return sweep.groupBy(F.col("w").alias("context_len")).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("t").cast("long").alias("total_tokens"),
+        F.sum("chunks").cast("long").alias("total_chunks"),
+        F.sum(F.col("chunks") * F.col("w") - F.col("t"))
+        .cast("long")
+        .alias("total_pad"),
+        (
+            F.sum(F.col("chunks") * F.col("w") - F.col("t")).cast("double")
+            / F.sum(F.col("chunks") * F.col("w")).cast("double")
+        ).alias("pad_frac"),
+        F.sum((F.col("t") > F.col("w")).cast("long"))
+        .cast("long")
+        .alias("n_docs_split"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Product-quantization codes (IVF-PQ building block)
+# ---------------------------------------------------------------------------
+
+_PQ_SUBS = 8       # sub-quantizers (64-d -> 8 sub-vectors of 8 dims)
+_PQ_K = 16         # centroids per sub-quantizer (4-bit codes)
+_PQ_DIM = 8
+_PQ_GRID = 4096    # input quantization grid (2^-12), the PCA-oracle grid
+
+
+def _pq_centroids() -> list[list[list[int]]]:
+    """Seeded integer codebook, identical to the oracle's md5-60 form:
+    c[j][s][d] = md5_60('pq:j:s:d') % 8192 - 4096 (centered on the
+    quantized-input range)."""
+    return [
+        [
+            [
+                _py_md5_60(f"pq:{j}:{s}:{d}") % 8192 - 4096
+                for d in range(_PQ_DIM)
+            ]
+            for s in range(_PQ_K)
+        ]
+        for j in range(_PQ_SUBS)
+    ]
+
+
+@register(
+    "ann_pq_codes",
+    f"""
+    WITH q AS MATERIALIZED (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[],
+                   u -> CAST(floor(u * {float(_PQ_GRID)!r}) AS BIGINT)) AS qv
+        FROM embeddings
+    ), cent AS MATERIALIZED (
+        SELECT j, s, d,
+               CAST(concat('0x', substr(md5(concat('pq:',
+                   CAST(j AS VARCHAR), ':', CAST(s AS VARCHAR), ':',
+                   CAST(d AS VARCHAR))), 1, 15)) AS BIGINT) % 8192 - 4096
+                   AS cv
+        FROM generate_series(0, {_PQ_SUBS - 1}) gj(j)
+        CROSS JOIN generate_series(0, {_PQ_K - 1}) gs(s)
+        CROSS JOIN generate_series(0, {_PQ_DIM - 1}) gd(d)
+    ), exq AS MATERIALIZED (
+        SELECT vec_id, unnest(qv) AS qe,
+               CAST(generate_subscripts(qv, 1) AS BIGINT) - 1 AS i
+        FROM q
+    ), dist AS (
+        SELECT e.vec_id, c.j, c.s,
+               SUM((e.qe - c.cv) * (e.qe - c.cv)) AS d2
+        FROM exq e
+        JOIN cent c ON c.j = e.i // {_PQ_DIM} AND c.d = e.i % {_PQ_DIM}
+        GROUP BY 1, 2, 3
+    ), best AS (
+        SELECT vec_id, j, s, d2,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, j
+                                  ORDER BY d2, s) AS rn
+        FROM dist
+    )
+    SELECT vec_id, CAST(j AS BIGINT) AS sub, CAST(s AS BIGINT) AS code,
+           CAST(d2 AS BIGINT) AS dist2
+    FROM best WHERE rn = 1
+    """,
+    tags=("ann", "pq", "scan-stage"),
+    doc="Product-quantization encoding (Jegou et al. 2011), the "
+    "compression half of IVF-PQ that the ANN family (ann_ivf_topk / "
+    "ann_lsh_topk / ann_hamming_topk) was missing: the 64-d vector "
+    "splits into 8 sub-vectors of 8 dims, each assigned to the "
+    "nearest of 16 codebook centroids -> a 4-bit code per sub-vector, "
+    "32 bits per vector (64x compression vs f32), with the exact "
+    "squared quantization error emitted per sub-vector.  Inputs "
+    "quantize to the 2^-12 grid and the codebook is a seeded md5-60 "
+    "integer table, so every distance is exact BIGINT arithmetic and "
+    "the argmin (ties -> smallest code) is bit-identical cross-engine "
+    "(k-means-trained codebooks drop in without changing the plan).  "
+    "Spark plan: the ENTIRE encode is scan-stage Catalyst higher-"
+    "order functions — transform/aggregate over the embedding array "
+    "against a 1024-int literal codebook, argmin via "
+    "array_position(d, array_min(d)) — zero shuffle, zero join, zero "
+    "Python; at 100 TB PQ encoding is map-only behind the scan, "
+    "exactly how FAISS shards it.  The oracle models the same math "
+    "relationally (unnest + codebook join + row_number argmin).",
+)
+def ann_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    cent = _pq_centroids()
+    cent_sql = (
+        "array("
+        + ",".join(
+            "array("
+            + ",".join(
+                "array(" + ",".join(f"{v}L" for v in sub_c) + ")" for sub_c in sub
+            )
+            + ")"
+            for sub in cent
+        )
+        + ")"
+    )
+    diff = (
+        f"(element_at(qv, j * {_PQ_DIM} + d + 1) - "
+        f"element_at(element_at(element_at(cb, j + 1), s + 1), d + 1))"
+    )
+    q = emb.select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, u -> "
+            f"CAST(floor(CAST(u AS DOUBLE) * {float(_PQ_GRID)!r}D) AS BIGINT))"
+        ).alias("qv"),
+        F.expr(cent_sql).alias("cb"),
+    )
+    dists = q.select(
+        "vec_id",
+        F.expr(
+            f"transform(sequence(0, {_PQ_SUBS - 1}), j -> "
+            f"transform(sequence(0, {_PQ_K - 1}), s -> "
+            f"aggregate(sequence(0, {_PQ_DIM - 1}), 0L, "
+            f"(acc, d) -> acc + {diff} * {diff})))"
+        ).alias("subs"),
+    )
+    exploded = dists.select("vec_id", F.posexplode("subs").alias("sub", "d"))
+    return exploded.select(
+        "vec_id",
+        F.col("sub").cast("long").alias("sub"),
+        (F.expr("array_position(d, array_min(d))") - 1).cast("long").alias("code"),
+        F.expr("array_min(d)").cast("long").alias("dist2"),
+    )
