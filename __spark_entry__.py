@@ -40,6 +40,7 @@ def _registry():
     from greenbuttonengine_spark.plans import wave7_queries  # noqa: F401
     from greenbuttonengine_spark.plans import wave8_queries  # noqa: F401
     from greenbuttonengine_spark.plans import wave9_queries  # noqa: F401
+    from greenbuttonengine_spark.plans import wave10_queries  # noqa: F401
 
     return registry
 

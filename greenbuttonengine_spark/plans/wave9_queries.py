@@ -520,6 +520,48 @@ def _pq_centroids() -> list[list[list[int]]]:
     ]
 
 
+def _pq_dists_expr() -> str:
+    """Catalyst HOF computing, per row, the 8x16 table of exact squared
+    distances between the quantized vector ``qv`` and the literal
+    codebook ``cb`` — shared by encode (argmin -> ann_pq_codes) and the
+    query-side ADC lookup tables (wave10's ann_pq_adc_topk)."""
+    diff = (
+        f"(element_at(qv, j * {_PQ_DIM} + d + 1) - "
+        f"element_at(element_at(element_at(cb, j + 1), s + 1), d + 1))"
+    )
+    return (
+        f"transform(sequence(0, {_PQ_SUBS - 1}), j -> "
+        f"transform(sequence(0, {_PQ_K - 1}), s -> "
+        f"aggregate(sequence(0, {_PQ_DIM - 1}), 0L, "
+        f"(acc, d) -> acc + {diff} * {diff})))"
+    )
+
+
+def _pq_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, qv quantized BIGINT[64], cb literal codebook) scan."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    cent_sql = (
+        "array("
+        + ",".join(
+            "array("
+            + ",".join(
+                "array(" + ",".join(f"{v}L" for v in sub_c) + ")" for sub_c in sub
+            )
+            + ")"
+            for sub in _pq_centroids()
+        )
+        + ")"
+    )
+    return emb.select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, u -> "
+            f"CAST(floor(CAST(u AS DOUBLE) * {float(_PQ_GRID)!r}D) AS BIGINT))"
+        ).alias("qv"),
+        F.expr(cent_sql).alias("cb"),
+    )
+
+
 @register(
     "ann_pq_codes",
     f"""
@@ -578,41 +620,8 @@ def _pq_centroids() -> list[list[list[int]]]:
     "relationally (unnest + codebook join + row_number argmin).",
 )
 def ann_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, "embeddings", sf_dir)
-    cent = _pq_centroids()
-    cent_sql = (
-        "array("
-        + ",".join(
-            "array("
-            + ",".join(
-                "array(" + ",".join(f"{v}L" for v in sub_c) + ")" for sub_c in sub
-            )
-            + ")"
-            for sub in cent
-        )
-        + ")"
-    )
-    diff = (
-        f"(element_at(qv, j * {_PQ_DIM} + d + 1) - "
-        f"element_at(element_at(element_at(cb, j + 1), s + 1), d + 1))"
-    )
-    q = emb.select(
-        "vec_id",
-        F.expr(
-            f"transform(embedding, u -> "
-            f"CAST(floor(CAST(u AS DOUBLE) * {float(_PQ_GRID)!r}D) AS BIGINT))"
-        ).alias("qv"),
-        F.expr(cent_sql).alias("cb"),
-    )
-    dists = q.select(
-        "vec_id",
-        F.expr(
-            f"transform(sequence(0, {_PQ_SUBS - 1}), j -> "
-            f"transform(sequence(0, {_PQ_K - 1}), s -> "
-            f"aggregate(sequence(0, {_PQ_DIM - 1}), 0L, "
-            f"(acc, d) -> acc + {diff} * {diff})))"
-        ).alias("subs"),
-    )
+    q = _pq_quantized(spark, sf_dir)
+    dists = q.select("vec_id", F.expr(_pq_dists_expr()).alias("subs"))
     exploded = dists.select("vec_id", F.posexplode("subs").alias("sub", "d"))
     return exploded.select(
         "vec_id",
