@@ -42,6 +42,7 @@ def _registry():
     from greenbuttonengine_spark.plans import wave9_queries  # noqa: F401
     from greenbuttonengine_spark.plans import wave10_queries  # noqa: F401
     from greenbuttonengine_spark.plans import wave11_queries  # noqa: F401
+    from greenbuttonengine_spark.plans import wave12_queries  # noqa: F401
 
     return registry
 

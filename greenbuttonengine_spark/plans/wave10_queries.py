@@ -109,16 +109,24 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     k, nq = _ADC_K, _ADC_NQ
     q = _pq_quantized(spark, sf_dir)
     dists = q.select("vec_id", F.expr(_pq_dists_expr()).alias("subs"))
+    # scalar code columns + per-sub LUT columns keep the scoring
+    # projection in whole-stage codegen (array[int] indexing), with no
+    # interpreted HOF lambda per candidate row
     codes = dists.select(
         "vec_id",
-        F.expr(
-            "transform(subs, d -> array_position(d, array_min(d)) - 1)"
-        ).alias("codes"),
+        *[
+            F.expr(
+                f"CAST(array_position(subs[{j}], array_min(subs[{j}])) - 1"
+                " AS INT)"
+            ).alias(f"c{j}")
+            for j in range(_PQ_SUBS)
+        ],
     )
-    lut = (
-        dists.filter(F.col("vec_id") < nq)
-        .select(F.col("vec_id").alias("query_id"), F.col("subs").alias("lut"))
+    lut = dists.filter(F.col("vec_id") < nq).select(
+        F.col("vec_id").alias("query_id"),
+        *[F.col("subs")[j].alias(f"l{j}") for j in range(_PQ_SUBS)],
     )
+    adc = " + ".join(f"l{j}[c{j}]" for j in range(_PQ_SUBS))
     scored = (
         codes.withColumnRenamed("vec_id", "neighbor_id")
         .crossJoin(F.broadcast(lut))
@@ -126,11 +134,7 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "neighbor_id",
-            F.expr(
-                f"aggregate(sequence(0, {_PQ_SUBS - 1}), 0L, (acc, j) -> "
-                "acc + element_at(element_at(lut, j + 1), "
-                "CAST(element_at(codes, j + 1) + 1 AS INT)))"
-            ).alias("adc"),
+            F.expr(adc).cast("long").alias("adc"),
         )
     )
     # two-phase top-k: a salted local rank bounds every reducer's input
@@ -157,15 +161,17 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Perceptual-hash (dHash) pair mining over the multimodal blobs
 # ---------------------------------------------------------------------------
 
-_PHASH_BITS = 31  # 32 fake-blob bytes -> 31 gradient bits
+_PHASH_BITS = 63  # 64 fake-blob bytes -> 63 gradient bits
 _PHASH_HAM_T = 2
+_PHASH_BAND_BITS = 16  # 4 bands x 16 bits: the dedup_simhash geometry
 
 
 @register(
     "multimodal_phash_pairs",
     f"""
     WITH hx AS (
-        SELECT doc_id, concat(md5(text), md5(text || '#2')) AS h
+        SELECT doc_id, concat(md5(text), md5(text || '#2'),
+                              md5(text || '#3'), md5(text || '#4')) AS h
         FROM documents WHERE text IS NOT NULL
     ), ph AS MATERIALIZED (
         SELECT doc_id,
@@ -177,7 +183,7 @@ _PHASH_HAM_T = 2
         FROM hx
     ), banded AS (
         SELECT doc_id, phash, b.b AS band,
-               (phash >> (8 * b.b)) & 255 AS band_val
+               (phash >> ({_PHASH_BAND_BITS} * b.b)) & 65535 AS band_val
         FROM ph CROSS JOIN generate_series(0, 3) AS b(b)
     ), cand AS (
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -197,10 +203,15 @@ _PHASH_HAM_T = 2
     tags=("multimodal", "dedup"),
     doc="Perceptual-hash near-duplicate mining for the binary media "
     "column: a dHash-style gradient hash (bit i = byte_i > byte_i+1 "
-    "over the 32-byte blob -> 31 bits), bucketed by 4 8-bit bands "
-    "(the simhash/LSH banding guarantee: hamming <= 2 over 31 bits "
-    "always agrees on >= 1 full band, so banding loses nothing at the "
-    "declared threshold), candidates verified by bit_count(xor).  The "
+    "over the 64-byte blob -> 63 bits), bucketed by 4 16-bit bands "
+    "(the simhash/LSH banding guarantee: hamming <= 3 always agrees "
+    "on >= 1 full band, so banding loses nothing at the declared "
+    "threshold 2), candidates verified by bit_count(xor).  Band WIDTH "
+    "is the scale knob the 100x measurement pinned down: the first "
+    "cut used 8-bit bands (256 buckets), whose ~n^2/256 candidate "
+    "blow-up filled the shuffle disk at 500k docs; 16-bit bands keep "
+    "expected bucket occupancy at n/65536 and the measured run at "
+    "2.9s for the same corpus (SCALING.md).  The "
     "declared result is the hamming HISTOGRAM of band-colliding "
     "candidate pairs with the <= 2 bins marked is_duplicate_bin — on "
     "the dup-free sf0.01 gate corpus the dup bins are absent but the "
@@ -212,15 +223,18 @@ _PHASH_HAM_T = 2
     "(band, value) -> exact verify + tiny aggregate; identical shape "
     "to dedup_simhash, so the same hot-bucket analysis applies at "
     "100 TB — no all-pairs anywhere.  The blob is the established "
-    "deterministic fake (unhex(md5(text)||md5(text||'#2')), "
-    "multimodal_byte_histogram's construction; a real decoder drops "
-    "into the same plan), which makes exact duplicate media collide "
-    "at hamming 0 (8 planted pairs at sf0.1) while unrelated blobs "
-    "land ~15.5 bits apart — pinned by pytest.",
+    "deterministic fake (unhex of 4 chained md5s — "
+    "multimodal_byte_histogram's construction widened to 64 bytes; a "
+    "real decoder drops into the same plan), which makes exact "
+    "duplicate media collide at hamming 0 (8 planted pairs at sf0.1) "
+    "while unrelated blobs land ~31.5 bits apart — pinned by pytest.",
 )
 def multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir).filter(F.col("text").isNotNull())
-    hexpr = "concat(md5(text), md5(text || '#2'))"
+    hexpr = (
+        "concat(md5(text), md5(text || '#2'), "
+        "md5(text || '#3'), md5(text || '#4'))"
+    )
     # conv() returns STRING — cast to BIGINT or the compare is lexicographic
     bit = (
         "CASE WHEN CAST(conv(substr(h, 2*i-1, 2), 16, 10) AS BIGINT) > "
@@ -241,7 +255,7 @@ def multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "phash",
         F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band"),
     ).withColumn(
-        "band_val", F.expr("(phash >> (8 * band)) & 255")
+        "band_val", F.expr(f"(phash >> ({_PHASH_BAND_BITS} * band)) & 65535")
     )
     a = banded.select(
         F.col("doc_id").alias("id_a"), F.col("phash").alias("ph_a"),

@@ -521,44 +521,47 @@ def _pq_centroids() -> list[list[list[int]]]:
 
 
 def _pq_dists_expr() -> str:
-    """Catalyst HOF computing, per row, the 8x16 table of exact squared
-    distances between the quantized vector ``qv`` and the literal
-    codebook ``cb`` — shared by encode (argmin -> ann_pq_codes) and the
-    query-side ADC lookup tables (wave10's ann_pq_adc_topk)."""
-    diff = (
-        f"(element_at(qv, j * {_PQ_DIM} + d + 1) - "
-        f"element_at(element_at(element_at(cb, j + 1), s + 1), d + 1))"
-    )
-    return (
-        f"transform(sequence(0, {_PQ_SUBS - 1}), j -> "
-        f"transform(sequence(0, {_PQ_K - 1}), s -> "
-        f"aggregate(sequence(0, {_PQ_DIM - 1}), 0L, "
-        f"(acc, d) -> acc + {diff} * {diff})))"
-    )
+    """Straight-line codegen arithmetic computing, per row, the 8x16
+    table of exact squared distances between the quantized vector
+    (scalar columns ``q0..q63`` from :func:`_pq_quantized`) and the
+    codebook, with every centroid integer baked in as a literal —
+    shared by encode (argmin -> ann_pq_codes) and the query-side ADC
+    lookup tables (wave10's ann_pq_adc_topk).
+
+    The first cut carried the codebook as a per-row 1024-int literal
+    array and walked it with nested transform/aggregate lambdas;
+    Catalyst evaluates those HOFs interpretively, and the 100x
+    measurement (800k vectors) clocked 308s.  Unrolling to 1,024
+    literal (q-c)*(q-c) terms over plain BIGINT columns keeps the
+    whole encode inside one whole-stage-codegen projection: 5.9s on
+    the identical corpus, 52x (SCALING.md).  Same math, same oracle."""
+    cent = _pq_centroids()
+    subs = []
+    for j in range(_PQ_SUBS):
+        dists = []
+        for s in range(_PQ_K):
+            terms = []
+            for d in range(_PQ_DIM):
+                c = cent[j][s][d]
+                q = f"q{j * _PQ_DIM + d}"
+                terms.append(f"({q} - {c}L) * ({q} - {c}L)")
+            dists.append("(" + " + ".join(terms) + ")")
+        subs.append("array(" + ", ".join(dists) + ")")
+    return "array(" + ", ".join(subs) + ")"
 
 
 def _pq_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, qv quantized BIGINT[64], cb literal codebook) scan."""
+    """(vec_id, q0..q63 quantized BIGINT scalars) scan projection."""
     emb = load_table(spark, "embeddings", sf_dir)
-    cent_sql = (
-        "array("
-        + ",".join(
-            "array("
-            + ",".join(
-                "array(" + ",".join(f"{v}L" for v in sub_c) + ")" for sub_c in sub
-            )
-            + ")"
-            for sub in _pq_centroids()
-        )
-        + ")"
-    )
     return emb.select(
         "vec_id",
-        F.expr(
-            f"transform(embedding, u -> "
-            f"CAST(floor(CAST(u AS DOUBLE) * {float(_PQ_GRID)!r}D) AS BIGINT))"
-        ).alias("qv"),
-        F.expr(cent_sql).alias("cb"),
+        *[
+            F.expr(
+                f"CAST(floor(CAST(embedding[{i}] AS DOUBLE) * "
+                f"{float(_PQ_GRID)!r}D) AS BIGINT)"
+            ).alias(f"q{i}")
+            for i in range(_PQ_SUBS * _PQ_DIM)
+        ],
     )
 
 
@@ -611,13 +614,14 @@ def _pq_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     "integer table, so every distance is exact BIGINT arithmetic and "
     "the argmin (ties -> smallest code) is bit-identical cross-engine "
     "(k-means-trained codebooks drop in without changing the plan).  "
-    "Spark plan: the ENTIRE encode is scan-stage Catalyst higher-"
-    "order functions — transform/aggregate over the embedding array "
-    "against a 1024-int literal codebook, argmin via "
-    "array_position(d, array_min(d)) — zero shuffle, zero join, zero "
-    "Python; at 100 TB PQ encoding is map-only behind the scan, "
-    "exactly how FAISS shards it.  The oracle models the same math "
-    "relationally (unnest + codebook join + row_number argmin).",
+    "Spark plan: the ENTIRE encode is one whole-stage-codegen scan "
+    "projection — 64 quantized scalar columns, 1,024 unrolled literal "
+    "(q-c)^2 terms (the HOF-lambda form measured 52x slower at 800k "
+    "vectors, see _pq_dists_expr), argmin via array_position(d, "
+    "array_min(d)) — zero shuffle, zero join, zero Python; at 100 TB "
+    "PQ encoding is map-only behind the scan, exactly how FAISS "
+    "shards it.  The oracle models the same math relationally "
+    "(unnest + codebook join + row_number argmin).",
 )
 def ann_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = _pq_quantized(spark, sf_dir)

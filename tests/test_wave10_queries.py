@@ -71,17 +71,18 @@ def test_multimodal_phash_hist_replay(spark, sf_dir):
     )
     # independent Python replay of phash + banding + histogram
     def phash(text: str) -> int:
-        h = hashlib.md5(text.encode()).hexdigest() + hashlib.md5(
-            (text + "#2").encode()
-        ).hexdigest()
-        by = [int(h[2 * i : 2 * i + 2], 16) for i in range(32)]
-        return sum(1 << i for i in range(31) if by[i] > by[i + 1])
+        h = "".join(
+            hashlib.md5((text + suf).encode()).hexdigest()
+            for suf in ("", "#2", "#3", "#4")
+        )
+        by = [int(h[2 * i : 2 * i + 2], 16) for i in range(64)]
+        return sum(1 << i for i in range(63) if by[i] > by[i + 1])
 
     ph = {d.doc_id: phash(d.text) for d in docs}
     buckets: dict[tuple[int, int], set[int]] = {}
     for did, p in ph.items():
         for b in range(4):
-            buckets.setdefault((b, (p >> (8 * b)) & 255), set()).add(did)
+            buckets.setdefault((b, (p >> (16 * b)) & 65535), set()).add(did)
     pairs = set()
     for ids in buckets.values():
         ids = sorted(ids)
