@@ -81,3 +81,17 @@ def test_ann_ivf_pq_topk_equals_manual_composition(spark, sf_dir):
         # every returned neighbor really lives in a probed cell
         for r in rs:
             assert cells[r.neighbor_id] in pc
+
+
+def test_eval_pq_recall_bounds(spark, sf_dir):
+    from greenbuttonengine_spark.plans.wave13_queries import eval_pq_recall
+
+    rows = eval_pq_recall(spark, sf_dir).collect()
+    assert len(rows) == 16
+    for r in rows:
+        assert 0 <= r.n_hits <= 10
+        assert abs(r.recall - r.n_hits / 10) < 1e-12
+    # isotropic corpus + random codebook: nonzero but well under the
+    # ~0.25 probe ceiling (the doc's honest-reading numbers)
+    mean = sum(r.recall for r in rows) / len(rows)
+    assert 0.0 < mean < 0.35
