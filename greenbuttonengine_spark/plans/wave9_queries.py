@@ -530,11 +530,17 @@ def _pq_dists_expr() -> str:
 
     The first cut carried the codebook as a per-row 1024-int literal
     array and walked it with nested transform/aggregate lambdas;
-    Catalyst evaluates those HOFs interpretively, and the 100x
+    Catalyst evaluates HOFs by invoking the lambda closure per element
+    and re-materializing the literal array per row, and the 100x
     measurement (800k vectors) clocked 308s.  Unrolling to 1,024
-    literal (q-c)*(q-c) terms over plain BIGINT columns keeps the
-    whole encode inside one whole-stage-codegen projection: 5.9s on
-    the identical corpus, 52x (SCALING.md).  Same math, same oracle."""
+    literal (q-c)*(q-c) terms over plain BIGINT columns runs 6.5s on
+    the identical corpus, 52x (SCALING.md).  Honest mechanism note:
+    the projection is wide enough that janino still refuses the fused
+    doConsume (whole-stage codegen falls back to interpreted
+    expression eval — visible as an ERROR CodeGenerator + disabled-
+    codegen WARN in the logs); the 52x comes from flat Add/Multiply
+    expression trees being ~free to interpret while lambda dispatch
+    and per-row array construction are not.  Same math, same oracle."""
     cent = _pq_centroids()
     subs = []
     for j in range(_PQ_SUBS):
@@ -614,10 +620,11 @@ def _pq_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     "integer table, so every distance is exact BIGINT arithmetic and "
     "the argmin (ties -> smallest code) is bit-identical cross-engine "
     "(k-means-trained codebooks drop in without changing the plan).  "
-    "Spark plan: the ENTIRE encode is one whole-stage-codegen scan "
-    "projection — 64 quantized scalar columns, 1,024 unrolled literal "
-    "(q-c)^2 terms (the HOF-lambda form measured 52x slower at 800k "
-    "vectors, see _pq_dists_expr), argmin via array_position(d, "
+    "Spark plan: the ENTIRE encode is one scan projection — 64 "
+    "quantized scalar columns, 1,024 unrolled literal (q-c)^2 terms "
+    "(the HOF-lambda form measured 52x slower at 800k vectors; see "
+    "_pq_dists_expr for the honest codegen-fallback mechanism), "
+    "argmin via array_position(d, "
     "array_min(d)) — zero shuffle, zero join, zero Python; at 100 TB "
     "PQ encoding is map-only behind the scan, exactly how FAISS "
     "shards it.  The oracle models the same math relationally "
