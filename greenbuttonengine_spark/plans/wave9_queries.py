@@ -520,7 +520,7 @@ def _pq_centroids() -> list[list[list[int]]]:
     ]
 
 
-def _pq_dists_expr() -> str:
+def _pq_dists_expr(cents: list[list[list[int]]] | None = None) -> str:
     """Straight-line codegen arithmetic computing, per row, the 8x16
     table of exact squared distances between the quantized vector
     (scalar columns ``q0..q63`` from :func:`_pq_quantized`) and the
@@ -540,8 +540,11 @@ def _pq_dists_expr() -> str:
     expression eval — visible as an ERROR CodeGenerator + disabled-
     codegen WARN in the logs); the 52x comes from flat Add/Multiply
     expression trees being ~free to interpret while lambda dispatch
-    and per-row array construction are not.  Same math, same oracle."""
-    cent = _pq_centroids()
+    and per-row array construction are not.  Same math, same oracle.
+
+    ``cents`` overrides the seeded codebook (wave-18's trained
+    variant); default is the md5-60 random codebook."""
+    cent = cents if cents is not None else _pq_centroids()
     subs = []
     for j in range(_PQ_SUBS):
         dists = []
