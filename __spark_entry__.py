@@ -152,6 +152,20 @@ _DRIVER_CHECKED = frozenset(
         "dedup_cascade", "dedup_clusters_lsh", "dedup_minhash_lsh",
         "dedup_simhash", "espi_egd_golden_parity", "multimodal_byte_histogram",
         "ts2_mean_shift_detect",
+        # r09 greens (50/50 gate: 29 first-time waves 9-18 + 21 rotated
+        # re-checks already listed above)
+        "agg_hll_rollup", "ann_hard_negatives", "ann_ivf_pq_topk",
+        "ann_pq_adc_topk", "ann_pq_codes", "code_fim_transform",
+        "corpus_prefix_sharing", "curriculum_interleave", "decontam_bloom",
+        "embedding_kmeans_fixed", "embedding_pca_power",
+        "eval_pairwise_winrate", "eval_pq_recall", "eval_pq_recall_trained",
+        "graph_label_propagation", "graph_pagerank_knn",
+        "multimodal_audio_features", "multimodal_phash_pairs",
+        "ops_compaction_plan", "ops_file_layout_report",
+        "ops_partition_skew_report", "pack_context_sweep",
+        "pipeline_epoch_schedule", "rlhf_bon_curve", "rlhf_preference_pairs",
+        "sample_softdedup", "sft_dialogue_flatten", "sft_loss_mask_stats",
+        "train_shard_assign",
     }
 )
 

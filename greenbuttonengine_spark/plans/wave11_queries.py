@@ -101,7 +101,11 @@ def _epoch_oracle_sql() -> str:
     "by shared //, >>, LEAST arithmetic.  Fixed-point headroom: "
     "lambda <= 4*2^20, so toks up to ~2^41 per source stay under "
     "2^63 — at 100 TB (~2^44 tokens) drop SCALE to 2^16 or split the "
-    "multiply; documented rather than silently truncated.",
+    "multiply; documented rather than silently truncated.  The same "
+    "~2^41-per-source bound applies to the epochs_ppm projection "
+    "(alloc_tokens*1e6 with alloc up to 4*toks needs toks < "
+    "2^63/(4*10^6) ~= 2^41); past it, compute epochs_ppm directly "
+    "from the rate (lo*10^6 >> 20) instead of from alloc*10^6.",
 )
 def pipeline_epoch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir).filter(F.col("text").isNotNull())

@@ -16,7 +16,14 @@ from ..extensions.similarity import _as_double, seeded_cell_scores, seeded_centr
 from ..sources.catalog import load_table
 from .extension_queries import _seeded_cells_cte
 from .registry import register
-from .wave9_queries import _PQ_DIM, _PQ_GRID, _PQ_K, _PQ_SUBS, _pq_dists_expr
+from .wave9_queries import (
+    _PQ_DIM,
+    _PQ_GRID,
+    _PQ_K,
+    _PQ_SUBS,
+    pq_code_cols,
+    pq_encode_dists,
+)
 
 _IVFPQ_CELLS = 16
 _IVFPQ_PROBE = 4
@@ -129,32 +136,9 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeds = seeded_centroids(emb, _IVFPQ_CELLS)
     cell_scores = seeded_cell_scores(seeds)
 
-    base = emb.select(
-        "vec_id",
-        (-F.element_at(cell_scores(_as_double("embedding")), 1)["nc"]).alias(
-            "cell"
-        ),
-        *[
-            F.expr(
-                f"CAST(floor(CAST(embedding[{i}] AS DOUBLE) * "
-                f"{float(_PQ_GRID)!r}D) AS BIGINT)"
-            ).alias(f"q{i}")
-            for i in range(_PQ_SUBS * _PQ_DIM)
-        ],
-    )
-    dists = base.select(
-        "vec_id", "cell", F.expr(_pq_dists_expr()).alias("subs")
-    )
+    dists = pq_encode_dists(emb, cell_scores)
     codes = dists.select(
-        F.col("vec_id").alias("neighbor_id"),
-        "cell",
-        *[
-            F.expr(
-                f"CAST(array_position(subs[{j}], array_min(subs[{j}])) - 1"
-                " AS INT)"
-            ).alias(f"c{j}")
-            for j in range(_PQ_SUBS)
-        ],
+        F.col("vec_id").alias("neighbor_id"), "cell", *pq_code_cols()
     )
     luts = dists.filter(F.col("vec_id") < nq).select(
         F.col("vec_id").alias("query_id"),

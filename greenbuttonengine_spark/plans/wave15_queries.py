@@ -23,7 +23,7 @@ from .registry import register
     """
     WITH t AS (
         SELECT user_id, CAST(ts AS DATE) AS day,
-               concat(event_type, ':',
+               concat(coalesce(event_type, ''), ':',
                    CAST(CAST(floor(coalesce(value, 0.0) * 100)
                        AS BIGINT) AS VARCHAR)) AS turn,
                ROW_NUMBER() OVER (
@@ -66,7 +66,7 @@ def sft_dialogue_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.col("ts").cast("date").alias("day"),
         F.concat(
-            F.col("event_type"),
+            F.coalesce(F.col("event_type"), F.lit("")),
             F.lit(":"),
             F.expr(
                 "CAST(CAST(floor(coalesce(value, 0.0D) * 100) AS BIGINT)"

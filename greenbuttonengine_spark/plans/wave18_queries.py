@@ -41,7 +41,7 @@ def _trained_oracle_sql() -> str:
     recall vs exact cosine, one row per query."""
     head = f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    {_seeded_cells_cte(_PQT_NQ)},
+    {_seeded_cells_cte(_PQ_K)},
     qz AS MATERIALIZED (
         SELECT vec_id,
                list_transform(embedding::DOUBLE[],
@@ -172,13 +172,14 @@ def _train_pq_codebook(spark: SparkSession, sf_dir: str) -> list[list[list[int]]
     collect per update."""
     emb = load_table(spark, "embeddings", sf_dir)
     qdf = _pq_quantized(spark, sf_dir)
+    seeds = seeded_centroids(emb, _PQ_K)  # one seeded sample, shared by all 8 subspaces
     cents = [
         [
             [
                 int(math.floor(sv[j * _PQ_DIM + d] * float(_PQ_GRID)))
                 for d in range(_PQ_DIM)
             ]
-            for _, sv, _ in seeded_centroids(emb, _PQ_K)
+            for _, sv, _ in seeds
         ]
         for j in range(_PQ_SUBS)
     ]

@@ -559,19 +559,51 @@ def _pq_dists_expr(cents: list[list[list[int]]] | None = None) -> str:
     return "array(" + ", ".join(subs) + ")"
 
 
+def pq_quant_cols() -> list:
+    """q0..q63 quantized BIGINT scalar columns over an ``embedding``
+    array column — the shared input-quantization projection."""
+    return [
+        F.expr(
+            f"CAST(floor(CAST(embedding[{i}] AS DOUBLE) * "
+            f"{float(_PQ_GRID)!r}D) AS BIGINT)"
+        ).alias(f"q{i}")
+        for i in range(_PQ_SUBS * _PQ_DIM)
+    ]
+
+
+def pq_code_cols() -> list:
+    """c0..c7 argmin PQ-code columns over a ``subs`` array-of-arrays
+    column (the :func:`_pq_dists_expr` output)."""
+    return [
+        F.expr(
+            f"CAST(array_position(subs[{j}], array_min(subs[{j}])) - 1"
+            " AS INT)"
+        ).alias(f"c{j}")
+        for j in range(_PQ_SUBS)
+    ]
+
+
+def pq_encode_dists(emb: DataFrame, cell_scores) -> DataFrame:
+    """(vec_id, cell, subs) — the ONE IVF-PQ encode projection (coarse
+    Voronoi cell + per-subspace centroid distance arrays), shared by the
+    inline query (plans/wave13_queries.py ann_ivf_pq_topk) and the
+    materialized index sink (sinks/pq_index.py) so the two paths cannot
+    drift (tests/test_pq_index.py pins their parity)."""
+    from ..extensions.similarity import _as_double
+
+    return emb.select(
+        "vec_id",
+        (-F.element_at(cell_scores(_as_double("embedding")), 1)["nc"]).alias(
+            "cell"
+        ),
+        *pq_quant_cols(),
+    ).select("vec_id", "cell", F.expr(_pq_dists_expr()).alias("subs"))
+
+
 def _pq_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, q0..q63 quantized BIGINT scalars) scan projection."""
     emb = load_table(spark, "embeddings", sf_dir)
-    return emb.select(
-        "vec_id",
-        *[
-            F.expr(
-                f"CAST(floor(CAST(embedding[{i}] AS DOUBLE) * "
-                f"{float(_PQ_GRID)!r}D) AS BIGINT)"
-            ).alias(f"q{i}")
-            for i in range(_PQ_SUBS * _PQ_DIM)
-        ],
-    )
+    return emb.select("vec_id", *pq_quant_cols())
 
 
 @register(

@@ -15,8 +15,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..extensions.similarity import _as_double, seeded_cell_scores, seeded_centroids
-from ..plans.wave9_queries import _PQ_GRID, _PQ_SUBS, _pq_dists_expr
+from ..extensions.similarity import seeded_cell_scores, seeded_centroids
+from ..plans.wave9_queries import pq_code_cols, pq_encode_dists
 
 
 def build_pq_index(
@@ -33,33 +33,10 @@ def build_pq_index(
     (in production the seeds/codebook are the index metadata file)."""
     seeds = seeded_centroids(emb, n_cells)
     cell_scores = seeded_cell_scores(seeds)
-    base = emb.select(
-        "vec_id",
-        (-F.element_at(cell_scores(_as_double("embedding")), 1)["nc"]).alias(
-            "cell"
-        ),
-        *[
-            F.expr(
-                f"CAST(floor(CAST(embedding[{i}] AS DOUBLE) * "
-                f"{float(_PQ_GRID)!r}D) AS BIGINT)"
-            ).alias(f"q{i}")
-            for i in range(_PQ_SUBS * 8)
-        ],
-    )
-    codes = base.select(
-        "vec_id",
-        "cell",
-        F.expr(_pq_dists_expr()).alias("subs"),
-    ).select(
-        "vec_id",
-        "cell",
-        *[
-            F.expr(
-                f"CAST(array_position(subs[{j}], array_min(subs[{j}])) - 1"
-                " AS INT)"
-            ).alias(f"c{j}")
-            for j in range(_PQ_SUBS)
-        ],
+    # Same encode projection as the inline ann_ivf_pq_topk plan — one
+    # definition, so sink and query cannot drift.
+    codes = pq_encode_dists(emb, cell_scores).select(
+        "vec_id", "cell", *pq_code_cols()
     )
     codes.write.mode("overwrite").partitionBy("cell").parquet(path)
     return seeds

@@ -6,6 +6,12 @@ import pytest
 
 os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
 
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running scale/bucketing tests (deselect with -m 'not slow')"
+    )
+
 SF_SMOKE = "/root/testdata/sf0.001"
 SF_CORRECT = "/root/testdata/sf0.01"
 
