@@ -244,6 +244,182 @@ def pca_project(
     return emb.select(*keep_cols, *cols)
 
 
+def _fixed_moments(qdf: DataFrame, dim: int):
+    """Exact integer moments ``(n, S = sum q q^T, m = sum q)`` of a
+    quantized-vector column ``q`` (array<long>) in ONE distributed
+    Arrow pass: each partition emits a single (n, d*d, d) int64 row
+    (numpy does the O(rows*d^2) flops), the O(partitions) partials are
+    reduced driver-side with exact Python ints.  Integer addition
+    commutes, so the result is layout-invariant — the foundation of
+    every oracle-reproducible eigensolve here."""
+    import numpy as np
+    import pandas as pd
+
+    def partial(it):
+        n = 0
+        s = np.zeros((dim, dim), dtype=np.int64)
+        m = np.zeros(dim, dtype=np.int64)
+        for pdf in it:
+            v = np.array(pdf["q"].tolist(), dtype=np.int64)
+            if len(v):
+                n += len(v)
+                s += v.T @ v
+                m += v.sum(0)
+        yield pd.DataFrame(
+            {"n": [n], "s": [s.ravel().tolist()], "m": [m.tolist()]}
+        )
+
+    parts = qdf.select("q").mapInPandas(
+        partial, "n long, s array<long>, m array<long>"
+    ).collect()
+    n = sum(int(r.n) for r in parts)
+    s_mat = [
+        [sum(int(r.s[i * dim + j]) for r in parts) for j in range(dim)]
+        for i in range(dim)
+    ]
+    m_vec = [sum(int(r.m[i]) for r in parts) for i in range(dim)]
+    return n, s_mat, m_vec
+
+
+def _tdiv(a: int, num: int, den: int) -> int:
+    """Sign-explicit truncating scale — identical to the SQL CASE form
+    ``CASE WHEN a<0 THEN -(((-a)*num)//den) ELSE (a*num)//den END``."""
+    return -((-a) * num // den) if a < 0 else (a * num) // den
+
+
+def power_deflate_components(
+    n: int,
+    s_mat: list[list[int]],
+    m_vec: list[int],
+    k: int,
+    ascale: int = 1 << 16,
+    xscale: int = 1 << 20,
+    iters: int = 12,
+) -> list[list[int]]:
+    """Top-``k`` eigenvector directions of ``A = n*S - m m^T`` by
+    FIXED-POINT power iteration with Hotelling deflation — pure Python
+    ints, bit-reproducible by an unrolled SQL CTE chain.
+
+    Per component: 12 power steps (``y = A x``; rescale to |x|<=2^20
+    with sign-explicit truncating division), canonical sign (max-|x|
+    coordinate, lowest index on ties, made positive), then deflate
+    ``A <- A*(w.w)^2 - (w.A.w) * w w^T`` and rescale back to
+    |A|<=2^16.  Deflation intermediates reach ~2^109 (A*(w.w)^2 with
+    w.w <= 64*2^40), so the SQL twin carries them as HUGEINT; the
+    rescale product stays under 2^126.  Python ints are exact at any
+    width, so both engines replay identically."""
+    dim = len(m_vec)
+    a_raw = [
+        [n * s_mat[i][j] - m_vec[i] * m_vec[j] for j in range(dim)]
+        for i in range(dim)
+    ]
+    amax = max(abs(v) for row in a_raw for v in row)
+    if amax == 0:
+        raise ValueError("power_deflate_components: zero covariance")
+    a = [[_tdiv(v, ascale, amax) for v in row] for row in a_raw]
+    comps: list[list[int]] = []
+    for c in range(k):
+        x = [xscale] * dim
+        for _ in range(iters):
+            y = [sum(a[i][j] * x[j] for j in range(dim)) for i in range(dim)]
+            ymax = max(abs(v) for v in y)
+            if ymax == 0:
+                raise ValueError(
+                    "power_deflate_components: iteration collapsed to zero"
+                )
+            x = [_tdiv(v, xscale, ymax) for v in y]
+        lead = min(range(dim), key=lambda i: (-abs(x[i]), i))
+        if x[lead] < 0:
+            x = [-v for v in x]
+        comps.append(x)
+        if c + 1 < k:
+            w2 = sum(v * v for v in x)
+            waw = sum(
+                x[i] * a[i][j] * x[j]
+                for i in range(dim)
+                for j in range(dim)
+            )
+            raw = [
+                [
+                    a[i][j] * w2 * w2 - waw * x[i] * x[j]
+                    for j in range(dim)
+                ]
+                for i in range(dim)
+            ]
+            amax = max(abs(v) for row in raw for v in row)
+            if amax == 0:
+                raise ValueError(
+                    "power_deflate_components: deflated matrix is zero"
+                )
+            a = [[_tdiv(v, ascale, amax) for v in row] for row in raw]
+    return comps
+
+
+def pca_project_fixed(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    keep_cols: tuple[str, ...] = ("vec_id", "label"),
+    k: int = 8,
+    grid: int = 4096,
+    ascale: int = 1 << 16,
+    xscale: int = 1 << 20,
+    iters: int = 12,
+) -> DataFrame:
+    """Project every vector onto ``k`` fixed-point principal directions
+    as integer columns ``pc1n..pckn`` — the oracle-reproducible twin of
+    :func:`pca_project` (which stays the float production path; LAPACK
+    eigh is neither cross-engine- nor cross-platform-bit-stable, this
+    is).
+
+    Same recipe as :func:`pca_power_fixed` extended to k components via
+    :func:`power_deflate_components` (Hotelling deflation between power
+    solves).  The corpus passes are (1) the exact-integer-moments Arrow
+    pass and (2) the projection scan ``pc_cn = n*(q.w_c) - (m.w_c)``,
+    emitted as FLAT unrolled literal expressions over per-dim scalar
+    columns (the measured 52x-over-HOF-lambda pattern from the PQ
+    encode, SCALING.md) — no Python, no shuffle, scan-stage only.
+
+    Overflow bounds (ANSI throws): |q_i| <= grid, |w_i| <= 2^20 so
+    |q.w| <= 64*4096*2^20 = 2^44 and |pc_cn| <= 2*n*2^44 — safe to
+    n ~= 2^17 rows; drop grid/xscale a notch each 4x beyond (the
+    pca_power_fixed bound).
+    """
+    dim_probe = emb.select(vec_col).first()
+    if dim_probe is None or dim_probe[0] is None:
+        raise ValueError("pca_project_fixed: empty input")
+    dim = len(dim_probe[0])
+    qexpr = F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda x: F.floor(x * F.lit(float(grid))).cast("long"),
+    )
+    n, s_mat, m_vec = _fixed_moments(emb.select(qexpr.alias("q")), dim)
+    if n == 0:
+        raise ValueError("pca_project_fixed: empty input")
+    comps = power_deflate_components(
+        n, s_mat, m_vec, k, ascale=ascale, xscale=xscale, iters=iters
+    )
+    qcols = [
+        F.expr(
+            f"CAST(floor(CAST({vec_col}[{i}] AS DOUBLE) * "
+            f"{float(grid)!r}D) AS BIGINT)"
+        ).alias(f"__q{i}")
+        for i in range(dim)
+    ]
+    base = emb.select(*keep_cols, *qcols)
+    proj = []
+    for c, w in enumerate(comps):
+        mdot = sum(m_vec[i] * w[i] for i in range(dim))
+        terms = " + ".join(
+            f"__q{i} * {w[i]}L" for i in range(dim) if w[i] != 0
+        )
+        proj.append(
+            F.expr(f"CAST({n}L * ({terms}) - {mdot}L AS BIGINT)").alias(
+                f"pc{c + 1}n"
+            )
+        )
+    return base.select(*keep_cols, *proj)
+
+
 def pca_power_fixed(
     emb: DataFrame,
     vec_col: str = "embedding",
@@ -289,9 +465,6 @@ def pca_power_fixed(
     gate scales and ~2^18 beyond; raise ``grid`` down / ``xscale``
     down one notch each 4x beyond that.
     """
-    import numpy as np
-    import pandas as pd
-
     qexpr = F.transform(
         F.col(vec_col).cast("array<double>"),
         lambda x: F.floor(x * F.lit(float(grid))).cast("long"),
@@ -301,36 +474,9 @@ def pca_power_fixed(
     if probe is None or probe[0] is None:
         raise ValueError("pca_power_fixed: empty input")
     dim = len(probe[0])
-
-    def partial(it):
-        n = 0
-        s = np.zeros((dim, dim), dtype=np.int64)
-        m = np.zeros(dim, dtype=np.int64)
-        for pdf in it:
-            v = np.array(pdf["q"].tolist(), dtype=np.int64)
-            if len(v):
-                n += len(v)
-                s += v.T @ v
-                m += v.sum(0)
-        yield pd.DataFrame(
-            {"n": [n], "s": [s.ravel().tolist()], "m": [m.tolist()]}
-        )
-
-    parts = qdf.select("q").mapInPandas(
-        partial, "n long, s array<long>, m array<long>"
-    ).collect()
-    n = sum(int(r.n) for r in parts)
+    n, s_mat, m_vec = _fixed_moments(qdf, dim)
     if n == 0:
         raise ValueError("pca_power_fixed: empty input")
-    s_mat = [
-        [sum(int(r.s[i * dim + j]) for r in parts) for j in range(dim)]
-        for i in range(dim)
-    ]
-    m_vec = [sum(int(r.m[i]) for r in parts) for i in range(dim)]
-
-    def _tdiv(a: int, num: int, den: int) -> int:
-        # sign-explicit truncating scale: identical to the SQL CASE form
-        return -((-a) * num // den) if a < 0 else (a * num) // den
 
     a_raw = [
         [n * s_mat[i][j] - m_vec[i] * m_vec[j] for j in range(dim)]

