@@ -603,6 +603,169 @@ def minhash_clusters_seeded_oracle_sql(
     """
 
 
+def incremental_near_oracle_sql(
+    threshold: float = 0.7, num_perm: int = 32, bands: int = 8, k: int = 8,
+    max_bucket: int = 10000, batch_mod: int = 5, batch_rem: int = 4,
+) -> str:
+    """DuckDB oracle for the SEEDED ``incremental_near_dedup`` batch
+    form (``dedup_incremental_near``): the minhash_seeded_pair_ctes
+    hash family applied to the batch/store split, then the exact
+    pre-collapse, probe-verify, best-match election, batch-internal
+    pair CC (recursive transitive closure, min-id keeper) and the
+    four-way verdict union — each stage a literal transcription of the
+    Spark stages in :func:`incremental_near_dedup`."""
+    rows = num_perm // bands
+    params = lcg_perm_params(num_perm)
+    values = ", ".join(
+        f"({j}, {a}, {b}, {_BAND_BASE ** (j % rows)}, {j // rows})"
+        for j, (a, b) in enumerate(params)
+    )
+
+    def sig_chain(prefix: str, src: str) -> str:
+        return f"""{prefix}ex AS (
+        SELECT DISTINCT doc_id,
+               CAST(concat('0x', substr(md5(sh), 1, 8)) AS BIGINT)
+                   % {_MH_P} AS h0
+        FROM (
+            SELECT doc_id, unnest([substring(text, i, {k})
+                       for i in generate_series(1,
+                           greatest(length(text) - {k - 1}, 1))]) AS sh
+            FROM {src}
+        )
+    ),
+    {prefix}sig AS MATERIALIZED (
+        SELECT doc_id, j, MIN((a * h0 + b) % {_MH_P}) AS m
+        FROM {prefix}ex CROSS JOIN params GROUP BY doc_id, j
+    ),
+    {prefix}band AS MATERIALIZED (
+        SELECT s.doc_id, p.band AS band_idx, SUM(s.m * p.w) AS band_hash
+        FROM {prefix}sig s JOIN params p USING (j)
+        GROUP BY s.doc_id, p.band
+    )"""
+
+    agree = (
+        f"CAST(SUM(CASE WHEN va.m = vb.m THEN 1 ELSE 0 END) AS DOUBLE)"
+        f" / {num_perm}.0"
+    )
+    return rf"""
+    WITH RECURSIVE params(j, a, b, w, band) AS (VALUES {values}),
+    docs_b AS (SELECT doc_id, text FROM documents
+               WHERE doc_id % {batch_mod} = {batch_rem}),
+    docs_c AS (SELECT doc_id, text FROM documents
+               WHERE doc_id % {batch_mod} <> {batch_rem}),
+    fpr AS MATERIALIZED (
+        SELECT doc_id, fp,
+               ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM (SELECT doc_id,
+                     md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+                         AS fp
+              FROM docs_b)
+    ),
+    keepers AS MATERIALIZED (SELECT doc_id, fp FROM fpr WHERE rn = 1),
+    exact_dups AS (
+        SELECT f.doc_id, kk.doc_id AS matched_id
+        FROM fpr f JOIN keepers kk USING (fp) WHERE f.rn > 1
+    ),
+    docs_bk AS (SELECT d.doc_id, d.text
+                FROM docs_b d JOIN keepers USING (doc_id)),
+    {sig_chain("b", "docs_bk")},
+    {sig_chain("c", "docs_c")},
+    bcap AS MATERIALIZED (
+        SELECT * FROM bband
+        QUALIFY COUNT(*) OVER (PARTITION BY band_idx, band_hash)
+                    <= {max_bucket}
+    ),
+    sb AS (
+        SELECT * FROM (
+            SELECT c.doc_id AS matched_id, c.band_idx, c.band_hash
+            FROM cband c
+            WHERE EXISTS (SELECT 1 FROM bcap b
+                          WHERE b.band_idx = c.band_idx
+                            AND b.band_hash = c.band_hash)
+        )
+        QUALIFY COUNT(*) OVER (PARTITION BY band_idx, band_hash)
+                    <= {max_bucket}
+    ),
+    cand AS (
+        SELECT DISTINCT b.doc_id, s.matched_id
+        FROM bcap b JOIN sb s ON s.band_idx = b.band_idx
+                            AND s.band_hash = b.band_hash
+    ),
+    ver AS MATERIALIZED (
+        SELECT c.doc_id, c.matched_id, {agree} AS est_jaccard
+        FROM cand c
+        JOIN bsig va ON va.doc_id = c.doc_id
+        JOIN csig vb ON vb.doc_id = c.matched_id AND vb.j = va.j
+        GROUP BY c.doc_id, c.matched_id
+        HAVING {agree} >= {threshold}
+    ),
+    corpus_matches AS MATERIALIZED (
+        SELECT doc_id, matched_id, est_jaccard FROM (
+            SELECT v.*, ROW_NUMBER() OVER (
+                PARTITION BY doc_id
+                ORDER BY est_jaccard DESC, matched_id) AS rn
+            FROM ver v
+        ) WHERE rn = 1
+    ),
+    surv AS (
+        SELECT doc_id FROM keepers
+        WHERE doc_id NOT IN (SELECT doc_id FROM corpus_matches)
+    ),
+    survband AS (
+        SELECT * FROM (SELECT b.* FROM bband b JOIN surv USING (doc_id))
+        QUALIFY COUNT(*) OVER (PARTITION BY band_idx, band_hash)
+                    <= {max_bucket}
+    ),
+    pair_cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM survband a
+        JOIN survband b ON a.band_idx = b.band_idx
+                       AND a.band_hash = b.band_hash
+                       AND a.doc_id < b.doc_id
+    ),
+    pairs AS MATERIALIZED (
+        SELECT id_a, id_b FROM (
+            SELECT c.id_a, c.id_b, {agree} AS ej
+            FROM pair_cand c
+            JOIN bsig va ON va.doc_id = c.id_a
+            JOIN bsig vb ON vb.doc_id = c.id_b AND vb.j = va.j
+            GROUP BY c.id_a, c.id_b
+        ) WHERE ej >= {threshold}
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION SELECT id_b, id_a FROM pairs
+    ),
+    labels(node, label) AS (
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT e.src, l.label FROM edges e JOIN labels l ON l.node = e.dst
+    ),
+    dup_batch AS (
+        SELECT node AS doc_id, MIN(label) AS matched_id
+        FROM labels GROUP BY node HAVING node <> MIN(label)
+    ),
+    accepted AS (
+        SELECT DISTINCT doc_id FROM bsig
+        WHERE doc_id NOT IN (SELECT doc_id FROM corpus_matches)
+          AND doc_id NOT IN (SELECT doc_id FROM dup_batch)
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           'dup_in_batch' AS verdict,
+           CAST(matched_id AS BIGINT) AS matched_id,
+           CAST(1.0 AS DOUBLE) AS est_jaccard
+    FROM exact_dups
+    UNION ALL
+    SELECT doc_id, 'near_dup_of_corpus', matched_id,
+           CAST(est_jaccard AS DOUBLE)
+    FROM corpus_matches
+    UNION ALL
+    SELECT doc_id, 'dup_in_batch', matched_id, NULL FROM dup_batch
+    UNION ALL
+    SELECT doc_id, 'accept', NULL, NULL FROM accepted
+    """
+
+
 def simhash_column(
     col, bits: int = 48, token_pattern: str = r"\s+", seeded: bool = False
 ):
@@ -1291,6 +1454,7 @@ def incremental_near_dedup(
     id_col: str = "doc_id",
     batch_sigs: DataFrame | None = None,
     max_bucket: int = 10000,
+    seeded: bool = False,
 ) -> DataFrame:
     """NEAR-dup admission of a new batch against a persistent LSH
     store: the fuzzy counterpart of :func:`incremental_dedup`, for the
@@ -1341,10 +1505,16 @@ def incremental_near_dedup(
 
     from .textstats import fingerprint_col
 
+    # ``seeded=True`` swaps the xxhash64 hash family for the md5-60 +
+    # literal-LCG one (identical plan shape) so the whole admission
+    # becomes DuckDB-reproducible; incremental_near_oracle_sql emits
+    # the matching oracle from the same literals.
+    sig_fn = minhash_signatures_seeded if seeded else minhash_signatures
+    band_fn = band_buckets_seeded if seeded else band_buckets
     sig = (
         batch_sigs
         if batch_sigs is not None
-        else minhash_signatures(new_batch, text_col, id_col, num_perm, k)
+        else sig_fn(new_batch, text_col, id_col, num_perm, k)
     ).localCheckpoint(eager=False)
 
     fp = new_batch.select(
@@ -1375,7 +1545,7 @@ def incremental_near_dedup(
     )
 
     bb = _cap_buckets(
-        band_buckets(sig, num_perm=num_perm, bands=bands, id_col=id_col),
+        band_fn(sig, num_perm=num_perm, bands=bands, id_col=id_col),
         max_bucket,
     ).localCheckpoint(eager=False)
 
@@ -1423,7 +1593,7 @@ def incremental_near_dedup(
 
     surv_sig = sig.join(corpus_matches.select(id_col), id_col, "left_anti")
     surv_bb = _cap_buckets(
-        band_buckets(surv_sig, num_perm=num_perm, bands=bands, id_col=id_col),
+        band_fn(surv_sig, num_perm=num_perm, bands=bands, id_col=id_col),
         max_bucket,
     )
     a, b = surv_bb.alias("a"), surv_bb.alias("b")

@@ -541,9 +541,15 @@ def agg_contribution_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _incremental_near_oracle() -> str:
+    from ..extensions import dedup
+
+    return dedup.incremental_near_oracle_sql(threshold=0.7)
+
+
 @register(
     "dedup_incremental_near",
-    None,  # xxhash64 MinHash signatures are engine-specific -> rows-only
+    _incremental_near_oracle(),
     tags=("dedup", "incremental", "approx"),
     doc="NEAR-dup admission of a new batch against the already-"
     "admitted corpus (docs with doc_id%5==4 arrive; the rest are the "
@@ -553,6 +559,13 @@ def agg_contribution_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the batch's own near-dup pairs — the batch form of the streaming "
     "admission path (streaming/admission.py start_near_dup_admission_"
     "stream), declared so the verdict surface is inventory-visible.  "
+    "Oracle-backed since r10 (r9 VERDICT item 1): the declared form "
+    "uses the seeded md5-60 + literal-LCG hash family (the "
+    "dedup_minhash_lsh trick), so every verdict — exact pre-collapse, "
+    "probe-verify best match, batch-internal CC keeper — replays as a "
+    "recursive-CTE DuckDB chain from the same literals; the xxhash64 "
+    "family remains the streaming-store production path (the "
+    "admission store's bucket function must not change shape).  "
     "Scale shape: store never shuffles when partitioned by band key; "
     "signatures are touched for collisions only (semi-pruned); batch-"
     "side work is micro-batch-sized.  Pytest pins verdict semantics "
@@ -564,9 +577,13 @@ def dedup_incremental_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     batch = docs.filter(F.col("doc_id") % 5 == 4)
     corpus = docs.filter(F.col("doc_id") % 5 != 4)
-    sigs = dedup.minhash_signatures(corpus)
+    sigs = dedup.minhash_signatures_seeded(corpus)
     return dedup.incremental_near_dedup(
-        batch, dedup.band_buckets(sigs), sigs, threshold=0.7
+        batch,
+        dedup.band_buckets_seeded(sigs),
+        sigs,
+        threshold=0.7,
+        seeded=True,
     )
 
 

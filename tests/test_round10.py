@@ -77,6 +77,46 @@ def test_pca_project_fixed_replay_deterministic(spark, sf_correct_dir):
     assert ra == rb
 
 
+def test_incremental_near_seeded_verdicts(spark):
+    """The seeded (oracle-backed) hash family must reproduce the
+    xxhash64 path's verdict semantics: edited re-crawl rejected as
+    near_dup_of_corpus, exact batch copy collapses, a batch-internal
+    near pair admits exactly one, distinct docs accepted."""
+    from pyspark.sql import Row
+
+    from greenbuttonengine_spark.extensions.dedup import (
+        band_buckets_seeded,
+        incremental_near_dedup,
+        minhash_signatures_seeded,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog and then runs "
+            "far away into the deep green forest before the winter snow "
+            "falls on the quiet mountain village near the frozen lake")
+    corpus = spark.createDataFrame([Row(doc_id=1, text=base)])
+    sigs = minhash_signatures_seeded(corpus)
+    bands = band_buckets_seeded(sigs)
+    edited = base.replace("winter", "summer")
+    fresh = ("completely different content about spark dataframes and "
+             "catalyst optimizer rules with predicate pushdown and "
+             "column pruning at one hundred terabyte corpus scale")
+    fresh_edit = fresh.replace("hundred", "thousand")
+    batch = spark.createDataFrame([
+        Row(doc_id=10, text=edited),       # re-crawl -> near_dup_of_corpus
+        Row(doc_id=11, text=fresh),        # new -> accept (keeper of 11/12/13)
+        Row(doc_id=12, text=fresh),        # exact copy -> dup_in_batch of 11
+        Row(doc_id=13, text=fresh_edit),   # near pair with 11 -> dup_in_batch
+        Row(doc_id=14, text="tiny unrelated note about nothing shared"),
+    ])
+    out = {r.doc_id: r for r in incremental_near_dedup(
+        batch, bands, sigs, threshold=0.6, seeded=True).collect()}
+    assert out[10].verdict == "near_dup_of_corpus" and out[10].matched_id == 1
+    assert out[11].verdict == "accept"
+    assert out[12].verdict == "dup_in_batch" and out[12].matched_id == 11
+    assert out[13].verdict == "dup_in_batch" and out[13].matched_id == 11
+    assert out[14].verdict == "accept"
+
+
 def test_power_deflate_components_orthogonality():
     """Deflation must keep later components near-orthogonal to earlier
     ones (fixed-point: cosine < 0.02)."""
