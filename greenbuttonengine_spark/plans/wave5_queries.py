@@ -1035,22 +1035,39 @@ def curation_v2_table(docs: DataFrame) -> DataFrame:
     ).select("lang", "n_docs", "total_chars", "share")
 
 
+def _bpe_train_oracle() -> str:
+    from ..extensions.bpe import bpe_train_oracle_sql
+
+    return bpe_train_oracle_sql(n_merges=20)
+
+
+def _bpe_tokenize_stats_oracle() -> str:
+    from ..extensions.bpe import bpe_tokenize_stats_oracle_sql
+
+    return bpe_tokenize_stats_oracle_sql(n_merges=20)
+
+
 @register(
     "lm_bpe_train",
-    None,  # iterative merge loop (driver control flow) -> rows-only
+    _bpe_train_oracle(),
     tags=("lm", "iterative"),
     doc="Full BPE tokenizer training (Sennrich et al., ACL'16): the "
     "learned merge-rule sequence over the corpus — 20 rounds of "
     "(most frequent weighted adjacent symbol pair -> merge corpus-"
     "wide).  Trains on the DISTINCT-WORD vocabulary weighted by word "
     "frequency, so a 100 TB corpus collapses to one word-count "
-    "aggregate before the loop; each round is one map-side-combined "
-    "pair aggregate + TakeOrdered top-1 + one vocab-sized regex "
-    "merge (lookarounds keep run merges greedy).  Pytest pins merge "
-    "sequence AND final segmentations against an independent Python "
-    "Sennrich implementation, plus run/metacharacter edge cases.  "
-    "See extensions/bpe.py; lm_bpe_pair_counts is one round of this "
-    "loop, oracle-checked.",
+    "aggregate before the loop; the driver merge loop is incremental "
+    "lazy-heap (3 Spark jobs total), with a CERTIFIED min_word_count "
+    "prune available for vocab-sized-collect headroom at 100 TB "
+    "(extensions/bpe.py bpe_train — the r9 VERDICT item).  Oracle-"
+    "backed since r10: the merge loop's LENGTH is a static constant, "
+    "so it unrolls into 20 count/argmax/replace CTE rounds (double-"
+    "space symbol encoding makes literal leftmost replace reproduce "
+    "greedy run merges without RE2-unsupported lookarounds).  Pytest "
+    "pins merge sequence AND final segmentations against an "
+    "independent Python Sennrich implementation, plus run/"
+    "metacharacter edge cases.  lm_bpe_pair_counts is one round of "
+    "this loop.",
 )
 def lm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..extensions.bpe import bpe_merge_table
@@ -1060,7 +1077,7 @@ def lm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "lm_bpe_tokenize_stats",
-    None,  # depends on the iteratively learned merges -> rows-only
+    _bpe_tokenize_stats_oracle(),
     tags=("lm", "iterative"),
     doc="The inference half of BPE over the corpus: train 20 merges "
     "(extensions/bpe.py), compile them into a fixed chain of scan-"

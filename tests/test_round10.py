@@ -117,6 +117,54 @@ def test_incremental_near_seeded_verdicts(spark):
     assert out[14].verdict == "accept"
 
 
+def test_bpe_train_pruned_identical_merges(spark):
+    """min_word_count pruning must return the SAME merge sequence as
+    the full vocabulary whenever the margin certification passes
+    (counts are the pruned-vocab lower bounds, sequence is what the
+    tokenizer ships)."""
+    from pyspark.sql import Row
+
+    from greenbuttonengine_spark.extensions.bpe import bpe_train
+
+    # head words with well-separated pair counts; 3 hapax words
+    # contribute dropped mass D=3 (one pair slot each)
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text="aaaa bbb") for i in range(50)]
+        + [Row(doc_id=100, text="qz"), Row(doc_id=101, text="wx"),
+           Row(doc_id=102, text="kp")]
+    )
+    full, _ = bpe_train(docs, n_merges=2)
+    pruned, _ = bpe_train(docs, n_merges=2, min_word_count=2)
+    assert [(a, b) for a, b, _ in full] == [(a, b) for a, b, _ in pruned]
+    assert [(a, b) for a, b, _ in full] == [("a", "a"), ("b", "b")]
+
+
+def test_bpe_train_pruned_margin_raises(spark):
+    """When the dropped mass could change a merge decision the pruned
+    run must REFUSE (BpeMarginError), never silently diverge."""
+    import pytest as _pytest
+    from pyspark.sql import Row
+
+    from greenbuttonengine_spark.extensions.bpe import BpeMarginError, bpe_train
+
+    # all words are hapax: pruning at min_word_count=2 drops everything
+    # and the dropped mass could reach min_pair_count
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(["abcd", "efgh", "ijkl"])]
+    )
+    with _pytest.raises(BpeMarginError):
+        bpe_train(docs, n_merges=2, min_word_count=2)
+
+    # ambiguous selection: two pairs tie after pruning while dropped
+    # words exist -> the tie cannot be certified
+    docs2 = spark.createDataFrame(
+        [Row(doc_id=i, text="ab ab cd cd") for i in range(5)]
+        + [Row(doc_id=99, text="zz")]
+    )
+    with _pytest.raises(BpeMarginError):
+        bpe_train(docs2, n_merges=1, min_word_count=2)
+
+
 def test_power_deflate_components_orthogonality():
     """Deflation must keep later components near-orthogonal to earlier
     ones (fixed-point: cosine < 0.02)."""
