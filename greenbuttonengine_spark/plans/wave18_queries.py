@@ -1,11 +1,21 @@
-"""Round-9 extension wave (tenth batch): PQ codebook TRAINING and the
-before/after recall evaluation — the closing arc of the PQ story.
-eval_pq_recall measured ~0.11 recall and blamed the random codebook;
-this wave trains per-subspace codebooks with the wave-17 fixed-point
-Lloyd machinery (8 parallel 16-means over the 8-dim subvectors, the
-real IVF-PQ training step) and re-measures full-corpus ADC recall
-under BOTH codebooks in one declared query, so the improvement is a
-driver-checked value, not a claim.
+"""Round-9 extension wave (tenth batch), upgraded in round 10: PQ
+codebook TRAINING and the before/after recall evaluation — the closing
+arc of the PQ story.  eval_pq_recall measured ~0.11 recall and blamed
+the random codebook; r9 trained per-subspace codebooks with the
+wave-17 fixed-point Lloyd machinery and measured 0.30.  r10 closes the
+VERDICT item (recall >= 0.6) with the two standard IVF-ADC+R levers
+(Jegou et al. 2011 §V):
+
+* finer geometry — 16 subspaces x 4 dims x 16 centroids (64-bit codes
+  at the same 16x16x4 = 1024-term unrolled-expression cost class as
+  the old 8x16x8), measured 0.30 -> 0.58 alone on this corpus;
+* shortlist re-ranking — the ADC top-50 per query re-ordered by the
+  EXACT quantized dot product (BIGINT, bit-identical cross-engine;
+  vectors are unit-norm so dot == cosine up to the 2^-12 grid),
+  measured 0.58 -> ~0.9 with float re-rank in the design experiment.
+
+The wave-9 8x8 inline PQ family (ann_pq_codes / adc / ivf_pq) keeps
+its geometry — this wave owns the trained-retriever configuration.
 """
 
 from __future__ import annotations
@@ -21,10 +31,8 @@ from ..sources.catalog import load_table
 from .extension_queries import _seeded_cells_cte
 from .registry import register
 from .wave9_queries import (
-    _PQ_DIM,
     _PQ_GRID,
     _PQ_K,
-    _PQ_SUBS,
     _pq_centroids,
     _pq_dists_expr,
     _pq_quantized,
@@ -33,12 +41,16 @@ from .wave9_queries import (
 _PQT_ITERS = 2
 _PQT_NQ = 16
 _PQT_K = 10
+_PQT_SUBS = 16   # r10 geometry: 16 subspaces x 4 dims (64-bit codes)
+_PQT_DIM = 4
+_PQT_SHORTLIST = 50  # ADC shortlist re-ranked by exact quantized dot
 
 
 def _trained_oracle_sql() -> str:
     """seeds -> per-sub quantized init -> 2 Lloyd updates (per-sub) ->
-    codes+LUTs under BOTH codebooks -> full-corpus ADC top-k each ->
-    recall vs exact cosine, one row per query."""
+    codes+LUTs under BOTH codebooks -> ADC shortlist -> exact
+    quantized-dot re-rank -> recall vs exact cosine, one row per
+    query."""
     head = f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     {_seeded_cells_cte(_PQ_K)},
@@ -51,9 +63,9 @@ def _trained_oracle_sql() -> str:
     ex AS MATERIALIZED (
         SELECT vec_id, unnest(qv) AS qe,
                (CAST(generate_subscripts(qv, 1) AS BIGINT) - 1)
-                   // {_PQ_DIM} AS j,
+                   // {_PQT_DIM} AS j,
                (CAST(generate_subscripts(qv, 1) AS BIGINT) - 1)
-                   % {_PQ_DIM} AS d
+                   % {_PQT_DIM} AS d
         FROM qz
     ),
     rc AS MATERIALIZED (
@@ -62,17 +74,17 @@ def _trained_oracle_sql() -> str:
                    CAST(j AS VARCHAR), ':', CAST(s AS VARCHAR), ':',
                    CAST(d AS VARCHAR))), 1, 15)) AS BIGINT) % 8192 - 4096
                    AS cv
-        FROM generate_series(0, {_PQ_SUBS - 1}) gj(j)
+        FROM generate_series(0, {_PQT_SUBS - 1}) gj(j)
         CROSS JOIN generate_series(0, {_PQ_K - 1}) gs(s)
-        CROSS JOIN generate_series(0, {_PQ_DIM - 1}) gd(d)
+        CROSS JOIN generate_series(0, {_PQT_DIM - 1}) gd(d)
     ),
     t0 AS MATERIALIZED (
         SELECT gj.j, seeds.cell AS s, gd.d,
-               CAST(floor(seeds.v[gj.j * {_PQ_DIM} + gd.d + 1]
+               CAST(floor(seeds.v[gj.j * {_PQT_DIM} + gd.d + 1]
                    * {float(_PQ_GRID)!r}) AS BIGINT) AS cv
         FROM seeds
-        CROSS JOIN generate_series(0, {_PQ_SUBS - 1}) gj(j)
-        CROSS JOIN generate_series(0, {_PQ_DIM - 1}) gd(d)
+        CROSS JOIN generate_series(0, {_PQT_SUBS - 1}) gj(j)
+        CROSS JOIN generate_series(0, {_PQT_DIM - 1}) gd(d)
     )"""
     steps = []
     for t in range(1, _PQT_ITERS + 1):
@@ -127,7 +139,7 @@ def _trained_oracle_sql() -> str:
                 ORDER BY d2, s) AS rn FROM dist_{tag} dd
         ) q WHERE rn = 1
     ),
-    topk_{tag} AS MATERIALIZED (
+    short_{tag} AS MATERIALIZED (
         SELECT query_id, neighbor_id FROM (
             SELECT a.*, ROW_NUMBER() OVER (PARTITION BY query_id
                 ORDER BY adc, neighbor_id) AS rank
@@ -139,6 +151,20 @@ def _trained_oracle_sql() -> str:
                 WHERE l.vec_id < {_PQT_NQ} AND c.vec_id != l.vec_id
                 GROUP BY 1, 2
             ) a
+        ) r WHERE rank <= {_PQT_SHORTLIST}
+    ),
+    topk_{tag} AS MATERIALIZED (
+        SELECT query_id, neighbor_id FROM (
+            SELECT d.*, ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY dq DESC, neighbor_id) AS rank
+            FROM (
+                SELECT s.query_id, s.neighbor_id, SUM(a.qe * b.qe) AS dq
+                FROM short_{tag} s
+                JOIN ex a ON a.vec_id = s.query_id
+                JOIN ex b ON b.vec_id = s.neighbor_id
+                         AND b.j = a.j AND b.d = a.d
+                GROUP BY 1, 2
+            ) d
         ) r WHERE rank <= {_PQT_K}
     )"""
     return (
@@ -166,43 +192,45 @@ def _trained_oracle_sql() -> str:
 
 def _train_pq_codebook(spark: SparkSession, sf_dir: str) -> list[list[list[int]]]:
     """Per-subspace fixed-point Lloyd's (the wave-17 machinery applied
-    to the 8 subvector spaces at once): init from the seeded sample's
+    to the 16 subvector spaces at once): init from the seeded sample's
     quantized subvectors, 2 updates, empty clusters keep their
-    centroid.  One exploded (vec, sub) aggregate + an O(8*16*8) driver
-    collect per update."""
+    centroid.  One exploded (vec, sub) aggregate + an O(16*16*4)
+    driver collect per update."""
     emb = load_table(spark, "embeddings", sf_dir)
     qdf = _pq_quantized(spark, sf_dir)
-    seeds = seeded_centroids(emb, _PQ_K)  # one seeded sample, shared by all 8 subspaces
+    seeds = seeded_centroids(emb, _PQ_K)  # one seeded sample, shared by all subspaces
     cents = [
         [
             [
-                int(math.floor(sv[j * _PQ_DIM + d] * float(_PQ_GRID)))
-                for d in range(_PQ_DIM)
+                int(math.floor(sv[j * _PQT_DIM + d] * float(_PQ_GRID)))
+                for d in range(_PQT_DIM)
             ]
             for _, sv, _ in seeds
         ]
-        for j in range(_PQ_SUBS)
+        for j in range(_PQT_SUBS)
     ]
     for _ in range(_PQT_ITERS):
         dists = qdf.select(
             "vec_id",
-            *[F.col(f"q{i}") for i in range(_PQ_SUBS * _PQ_DIM)],
+            *[F.col(f"q{i}") for i in range(_PQT_SUBS * _PQT_DIM)],
             F.expr(_pq_dists_expr(cents)).alias("subs"),
         )
         exploded = dists.select(
             F.posexplode(
                 F.expr(
-                    f"transform(sequence(0, {_PQ_SUBS - 1}), j -> "
+                    f"transform(sequence(0, {_PQT_SUBS - 1}), j -> "
                     "named_struct("
                     "'code', CAST(array_position(subs[j], "
                     "array_min(subs[j])) - 1 AS INT), "
-                    f"'qs', transform(sequence(0, {_PQ_DIM - 1}), "
+                    f"'qs', transform(sequence(0, {_PQT_DIM - 1}), "
                     "d -> element_at(array("
                     + ",".join(
-                        ",".join(f"q{j * _PQ_DIM + d}" for d in range(_PQ_DIM))
-                        for j in range(_PQ_SUBS)
+                        ",".join(
+                            f"q{j * _PQT_DIM + d}" for d in range(_PQT_DIM)
+                        )
+                        for j in range(_PQT_SUBS)
                     )
-                    + f"), j * {_PQ_DIM} + d + 1))))"
+                    + f"), j * {_PQT_DIM} + d + 1))))"
                 )
             ).alias("j", "st"),
         )
@@ -212,14 +240,14 @@ def _train_pq_codebook(spark: SparkSession, sf_dir: str) -> list[list[list[int]]
                 F.count("*").alias("n"),
                 *[
                     F.sum(F.expr(f"st.qs[{d}]")).alias(f"s{d}")
-                    for d in range(_PQ_DIM)
+                    for d in range(_PQT_DIM)
                 ],
             )
             .collect()
         )
         new = [[list(c) for c in sub] for sub in cents]
         for r in sums:
-            for d in range(_PQ_DIM):
+            for d in range(_PQT_DIM):
                 s, n = r[f"s{d}"], r["n"]
                 new[r["j"]][r["s"]][d] = -((-s) // n) if s < 0 else s // n
         cents = new
@@ -230,23 +258,30 @@ def _train_pq_codebook(spark: SparkSession, sf_dir: str) -> list[list[list[int]]
     "eval_pq_recall_trained",
     _trained_oracle_sql(),
     tags=("eval", "ann", "all-pairs", "iterative"),
-    doc="PQ codebook training + before/after recall — the action item "
-    "eval_pq_recall's honest ~0.11 raised, closed as a driver-checked "
-    "value: per-subspace codebooks trained with the wave-17 "
-    "fixed-point Lloyd machinery (8 parallel 16-means over the 8-dim "
-    "subvectors — THE IVF-PQ training step, Jegou et al. 2011 §III), "
-    "then full-corpus ADC recall@10 vs exact cosine measured under "
-    "the trained AND the seeded-random codebook in one result (no "
-    "cell truncation, so the delta isolates quantization quality).  "
-    "Measured on the synthetic corpus: mean recall@10 0.30-0.32 "
-    "trained vs 0.03-0.05 random — a 6-10x improvement, pinned as a "
-    "pytest bound (still far from the 0.8+ of clustered production "
-    "embeddings because isotropic vectors are PQ's hardest case).  "
-    "Spark plan: per update "
-    "ONE exploded (vec, sub) aggregate + an O(8*16*8)=1024-int "
-    "driver collect (the PCA/k-means pattern); scoring reuses the "
-    "unrolled-literal distance shape.  The all-pairs tag belongs to "
-    "the brute-force ground truth, gate-scale only.",
+    doc="PQ codebook training + shortlist-re-ranked recall — the r9 "
+    "VERDICT item (0.30 -> >=0.6) closed as a driver-checked value: "
+    "per-subspace codebooks trained with the wave-17 fixed-point "
+    "Lloyd machinery (16 parallel 16-means over the 4-dim subvectors "
+    "— 64-bit codes at the same 1024-term unrolled-expression cost as "
+    "the old 8x16x8 geometry), then per query the ADC top-50 "
+    "shortlist is RE-RANKED by the exact quantized dot product "
+    "(IVF-ADC+R, Jegou et al. 2011 §V; BIGINT arithmetic on the 2^-12 "
+    "grid so both engines replay it bit-for-bit — vectors are "
+    "unit-norm, so quantized dot == cosine up to grid error) and "
+    "recall@10 vs exact cosine is measured under the trained AND the "
+    "seeded-random codebook in one result.  Measured on the synthetic "
+    "corpus: mean recall@10 0.86 (sf0.01) / 0.65 (sf0.1) trained vs "
+    "0.29 / 0.19 random-with-rerank — the >=0.6 bar met at both gate "
+    "scales and pinned as pytest bounds (the 16x geometry alone "
+    "measured 0.58 in the float design experiment, re-ranking "
+    "supplies the rest).  Re-rank cost at scale: 50 exact "
+    "dots per query over ids the shortlist already fetched — the "
+    "standard refinement stage, not a brute-force leak.  Spark plan: "
+    "per Lloyd update ONE exploded (vec, sub) aggregate + an "
+    "O(16*16*4)=1024-int driver collect (the PCA/k-means pattern); "
+    "scoring reuses the unrolled-literal distance shape.  The "
+    "all-pairs tag belongs to the brute-force ground truth, "
+    "gate-scale only.",
 )
 def eval_pq_recall_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..extensions import similarity
@@ -254,6 +289,24 @@ def eval_pq_recall_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
     qdf = _pq_quantized(spark, sf_dir)
     trained = _train_pq_codebook(spark, sf_dir)
+
+    dotq = " + ".join(
+        f"qa{i} * qn{i}" for i in range(_PQT_SUBS * _PQT_DIM)
+    )
+    qa = qdf.filter(F.col("vec_id") < _PQT_NQ).select(
+        F.col("vec_id").alias("query_id"),
+        *[
+            F.col(f"q{i}").alias(f"qa{i}")
+            for i in range(_PQT_SUBS * _PQT_DIM)
+        ],
+    )
+    qn = qdf.select(
+        F.col("vec_id").alias("neighbor_id"),
+        *[
+            F.col(f"q{i}").alias(f"qn{i}")
+            for i in range(_PQT_SUBS * _PQT_DIM)
+        ],
+    )
 
     def topk(cents) -> DataFrame:
         dists = qdf.select("vec_id", F.expr(_pq_dists_expr(cents)).alias("subs"))
@@ -264,22 +317,36 @@ def eval_pq_recall_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
                     f"CAST(array_position(subs[{j}], array_min(subs[{j}]))"
                     " - 1 AS INT)"
                 ).alias(f"c{j}")
-                for j in range(_PQ_SUBS)
+                for j in range(_PQT_SUBS)
             ],
         )
         lut = dists.filter(F.col("vec_id") < _PQT_NQ).select(
             F.col("vec_id").alias("query_id"),
-            *[F.col("subs")[j].alias(f"l{j}") for j in range(_PQ_SUBS)],
+            *[F.col("subs")[j].alias(f"l{j}") for j in range(_PQT_SUBS)],
         )
-        adc = " + ".join(f"l{j}[c{j}]" for j in range(_PQ_SUBS))
+        adc = " + ".join(f"l{j}[c{j}]" for j in range(_PQT_SUBS))
         scored = (
             codes.crossJoin(F.broadcast(lut))
             .filter(F.col("neighbor_id") != F.col("query_id"))
             .select("query_id", "neighbor_id", F.expr(adc).alias("adc"))
         )
         w = W.partitionBy("query_id").orderBy("adc", "neighbor_id")
-        return (
+        short = (
             scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= _PQT_SHORTLIST)
+            .select("query_id", "neighbor_id")
+        )
+        # exact quantized-dot re-rank of the shortlist (IVF-ADC+R):
+        # the query side is _PQT_NQ rows, broadcast; the neighbor side
+        # joins only shortlist ids
+        rer = (
+            short.join(F.broadcast(qa), "query_id")
+            .join(qn, "neighbor_id")
+            .select("query_id", "neighbor_id", F.expr(dotq).alias("dq"))
+        )
+        w2 = W.partitionBy("query_id").orderBy(F.desc("dq"), "neighbor_id")
+        return (
+            rer.withColumn("rank", F.row_number().over(w2))
             .filter(F.col("rank") <= _PQT_K)
             .select("query_id", "neighbor_id")
         )
@@ -288,7 +355,9 @@ def eval_pq_recall_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, emb.filter(F.col("vec_id") < _PQT_NQ), k=_PQT_K
     ).select("query_id", "neighbor_id")
     tr = topk(trained).withColumn("__t", F.lit(1))
-    rr = topk(_pq_centroids()).withColumn("__r", F.lit(1))
+    rr = topk(
+        _pq_centroids(subs=_PQT_SUBS, k=_PQ_K, dim=_PQT_DIM)
+    ).withColumn("__r", F.lit(1))
     return (
         brute.join(tr, ["query_id", "neighbor_id"], "left")
         .join(rr, ["query_id", "neighbor_id"], "left")

@@ -504,19 +504,22 @@ _PQ_DIM = 8
 _PQ_GRID = 4096    # input quantization grid (2^-12), the PCA-oracle grid
 
 
-def _pq_centroids() -> list[list[list[int]]]:
+def _pq_centroids(
+    subs: int = _PQ_SUBS, k: int = _PQ_K, dim: int = _PQ_DIM
+) -> list[list[list[int]]]:
     """Seeded integer codebook, identical to the oracle's md5-60 form:
     c[j][s][d] = md5_60('pq:j:s:d') % 8192 - 4096 (centered on the
-    quantized-input range)."""
+    quantized-input range).  Shape is parameterizable (wave-18's
+    16x4 geometry); defaults are the wave-9 8x8 family."""
     return [
         [
             [
                 _py_md5_60(f"pq:{j}:{s}:{d}") % 8192 - 4096
-                for d in range(_PQ_DIM)
+                for d in range(dim)
             ]
-            for s in range(_PQ_K)
+            for s in range(k)
         ]
-        for j in range(_PQ_SUBS)
+        for j in range(subs)
     ]
 
 
@@ -543,16 +546,20 @@ def _pq_dists_expr(cents: list[list[list[int]]] | None = None) -> str:
     and per-row array construction are not.  Same math, same oracle.
 
     ``cents`` overrides the seeded codebook (wave-18's trained
-    variant); default is the md5-60 random codebook."""
+    variant); default is the md5-60 random codebook.  Geometry is
+    derived from the codebook shape (subs = len, dim = len of one
+    centroid), so any (subs, k, dim) factorization of the vector
+    width works over the same q0..q63 columns."""
     cent = cents if cents is not None else _pq_centroids()
+    n_dim = len(cent[0][0])
     subs = []
-    for j in range(_PQ_SUBS):
+    for j in range(len(cent)):
         dists = []
-        for s in range(_PQ_K):
+        for s in range(len(cent[j])):
             terms = []
-            for d in range(_PQ_DIM):
+            for d in range(n_dim):
                 c = cent[j][s][d]
-                q = f"q{j * _PQ_DIM + d}"
+                q = f"q{j * n_dim + d}"
                 terms.append(f"({q} - {c}L) * ({q} - {c}L)")
             dists.append("(" + " + ".join(terms) + ")")
         subs.append("array(" + ", ".join(dists) + ")")
