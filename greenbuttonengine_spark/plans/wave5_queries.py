@@ -701,26 +701,39 @@ def dedup_repeated_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _fixed_quality_oracle() -> str:
+    from ..extensions.quality_model import fixed_quality_oracle_sql
+
+    return fixed_quality_oracle_sql()
+
+
 @register(
     "pipeline_learned_quality",
-    None,  # LBFGS coefficients are not cross-engine reproducible -> rows-only
+    _fixed_quality_oracle(),
     tags=("textstats", "ml", "iterative"),
     doc="Learned quality filtering (the fastText-classifier stand-in "
     "of CCNet/GPT-3-style curation): weak labels from the Gopher rule "
-    "gate train a spark.ml logistic regression over scan-stage "
-    "features (length/token stats, alpha/punct ratios, bigram "
-    "repetition), then EVERY doc gets a calibrated quality "
-    "probability — the signal temperature sampling and threshold "
-    "sweeps consume.  Feature extraction and scoring are one "
-    "JVM-side projection each (broadcast coefficients, no Python); "
-    "the LBFGS fit runs at plan-construction time over the weakly-"
-    "labeled set, which at 100 TB is a corpus-tiny sample.  Pytest "
-    "pins held-out separation on planted good/spam corpora.",
+    "gate train a linear model over scan-stage features (length/token "
+    "stats, alpha/punct ratios, bigram repetition), then EVERY doc "
+    "gets a learned score.  Oracle-backed since r10: the declared "
+    "form trains a fixed-point BATCH PERCEPTRON (integer min-max-"
+    "scaled features, 8 unrolled epochs of order-free integer-sum "
+    "updates — the Lloyd's/pagerank discipline applied to a "
+    "classifier), so weights, margins, and keep verdicts replay "
+    "bit-for-bit in the DuckDB CTE chain; the spark.ml LBFGS "
+    "logistic regression remains the production path "
+    "(quality_model.weakly_supervised_quality, calibrated "
+    "probabilities, pytest-pinned held-out separation on planted "
+    "good/spam corpora — the fixed twin is pinned on the same "
+    "corpora).  Feature extraction and scoring are one JVM-side "
+    "projection each; training is one 7-int driver collect per epoch "
+    "(the PCA-moments pattern) over the weakly-labeled set, which at "
+    "100 TB is a corpus-tiny sample.",
 )
 def pipeline_learned_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..extensions.quality_model import weakly_supervised_quality
+    from ..extensions.quality_model import fixed_point_quality
 
-    return weakly_supervised_quality(load_table(spark, "documents", sf_dir))
+    return fixed_point_quality(load_table(spark, "documents", sf_dir))
 
 
 @register(
@@ -755,25 +768,126 @@ def hash_embed(text_col, dim: int = 16):
     )
 
 
+def hash_embed_seeded(text_col, dim: int = 16):
+    """``hash_embed`` over the md5-60 cross-engine hash family: the
+    DuckDB oracle reproduces every component bit-for-bit (md5-60 is
+    nonnegative, so plain %; m/100000.0 is ONE correctly-rounded IEEE
+    division of exact integers in both engines)."""
+    from ..extensions.dedup import md5_hash60
+
+    return F.array(
+        *[
+            (
+                (
+                    md5_hash60(F.concat(text_col, F.lit(f":{j}")))
+                    % F.lit(100000)
+                ).cast("double")
+                / F.lit(100000.0)
+            )
+            for j in range(dim)
+        ]
+    )
+
+
+def _rag_oracle_sql(
+    n_queries: int = 8, k: int = 5, n_centroids: int = 8, n_probe: int = 3,
+    dim: int = 16,
+) -> str:
+    """DuckDB mirror of the SEEDED rag_index_and_query composition:
+    the text_chunk_docs chunking chain + the md5-60 hash encoder + the
+    ann_ivf_topk seeded-cell retriever (same LCG fragment via
+    _seeded_cells_cte) + provenance join."""
+    from .extension_queries import _seeded_cells_cte
+
+    embed = (
+        f"[CAST(CAST(concat('0x', substr(md5(chunk_text || ':' || "
+        f"CAST(j AS VARCHAR)), 1, 15)) AS BIGINT) % 100000 AS DOUBLE)"
+        f" / 100000.0 for j in generate_series(0, {dim - 1})]"
+    )
+    return f"""
+    WITH ch AS MATERIALIZED (
+        SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+               doc_id * 1048576 + chunk_id AS vec_id,
+               substring(text, CAST(chunk_id * 150 + 1 AS INT), 200)
+                   AS chunk_text
+        FROM (
+            SELECT doc_id, text,
+                   unnest(generate_series(0,
+                       CAST(floor((length(text) - 1) / 150) AS BIGINT)))
+                       AS chunk_id
+            FROM documents WHERE length(text) > 0
+        )
+    ),
+    e AS MATERIALIZED (
+        SELECT vec_id, doc_id, chunk_id, {embed} AS v FROM ch
+    ),
+    {_seeded_cells_cte(n_centroids)},
+    assign AS (
+        SELECT e.vec_id AS neighbor_id, e.v AS cv, s.cell
+        FROM e CROSS JOIN seeds s
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY e.vec_id
+            ORDER BY list_dot_product(e.v, s.v)
+                         / sqrt(list_dot_product(s.v, s.v)) DESC, s.cell) = 1
+    ),
+    q AS (
+        SELECT vec_id AS query_id, v AS qv FROM e
+        WHERE chunk_id = 0
+        QUALIFY ROW_NUMBER() OVER (ORDER BY doc_id) <= {n_queries}
+    ),
+    probes AS (
+        SELECT q.query_id, q.qv, s.cell
+        FROM q CROSS JOIN seeds s
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY q.query_id
+            ORDER BY list_dot_product(q.qv, s.v)
+                         / sqrt(list_dot_product(s.v, s.v)) DESC, s.cell)
+            <= {n_probe}
+    ),
+    hits AS (
+        SELECT query_id, neighbor_id, cosine, rank FROM (
+            SELECT scored.*, CAST(ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, neighbor_id)
+                AS BIGINT) AS rank
+            FROM (
+                SELECT p.query_id, a.neighbor_id,
+                       list_dot_product(p.qv, a.cv)
+                           / (sqrt(list_dot_product(p.qv, p.qv))
+                              * sqrt(list_dot_product(a.cv, a.cv))) AS cosine
+                FROM probes p JOIN assign a USING (cell)
+                WHERE a.neighbor_id != p.query_id
+            ) scored
+        ) t WHERE rank <= {k}
+    )
+    SELECT h.query_id, h.rank, h.neighbor_id,
+           c.doc_id AS hit_doc_id, c.chunk_id AS hit_chunk_id, h.cosine
+    FROM hits h JOIN ch c ON c.vec_id = h.neighbor_id
+    """
+
+
 @register(
     "pipeline_rag_index",
-    None,  # IVF cell assignment (MLlib k-means) is engine-specific -> rows-only
+    _rag_oracle_sql(),
     tags=("similarity", "pipeline", "iterative", "tiny-bnlj"),
     doc="End-to-end retrieval-index build: chunk documents (size 200 "
     "/ stride 150), encode each chunk (deterministic hash encoder — "
     "the slot a model-inference stage fills in production), build an "
-    "IVF index (sampled k-means cells), run held-out chunk queries "
-    "through the n_probe cell scan, and join provenance back "
-    "(doc_id, chunk_id per hit) — the full RAG-corpus prep pipeline "
-    "as one declared composition.  Every stage is the already-"
-    "verified operator (chunk_documents / ivf_topk); at scale the "
-    "corpus is written partitioned by cell and a query touches "
-    "n_probe/n_centroids of the data.  Pytest pins verbatim-text "
-    "retrieval at rank 1 with exact provenance.",
+    "IVF index, run held-out chunk queries through the n_probe cell "
+    "scan, and join provenance back (doc_id, chunk_id per hit) — the "
+    "full RAG-corpus prep pipeline as one declared composition.  "
+    "Oracle-backed since r10: the declared form composes the SEEDED "
+    "building blocks (md5-60 hash encoder + seeded-sample IVF cells, "
+    "the ann_ivf_topk quantizer), so the whole pipeline replays in "
+    "DuckDB; the MLlib k-means retriever remains as "
+    "similarity.ivf_topk (rag_index_and_query(seeded=False)) with "
+    "pytest recall pins.  At scale the corpus is written partitioned "
+    "by cell and a query touches n_probe/n_centroids of the data.  "
+    "Pytest pins verbatim-text retrieval at rank 1 with exact "
+    "provenance on BOTH retriever variants.",
 )
 def pipeline_rag_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
-    return rag_index_and_query(docs)
+    return rag_index_and_query(docs, seeded=True)
 
 
 def rag_index_and_query(
@@ -782,34 +896,43 @@ def rag_index_and_query(
     k: int = 5,
     n_centroids: int = 8,
     n_probe: int = 3,
+    seeded: bool = False,
 ) -> DataFrame:
-    from ..extensions.similarity import ivf_topk
+    from ..extensions.similarity import ivf_topk, ivf_topk_seeded
     from ..extensions.textstats import chunk_documents
 
+    embed = hash_embed_seeded if seeded else hash_embed
     # 2^20 chunks per doc (a ~150 MB doc at stride 150) before ids
     # could collide; doc_id then has 2^43 headroom in the BIGINT
     chunks = chunk_documents(docs).withColumn(
         "vec_id", F.col("doc_id") * F.lit(1 << 20) + F.col("chunk_id")
     )
-    corpus = chunks.select("vec_id", hash_embed(F.col("chunk_text")).alias("embedding"))
+    corpus = chunks.select("vec_id", embed(F.col("chunk_text")).alias("embedding"))
     # held-out probes: the first chunk of the n_queries lowest-id docs
     queries = (
         chunks.filter(F.col("chunk_id") == 0)
         .orderBy("doc_id")
         .limit(n_queries)
-        .select("vec_id", hash_embed(F.col("chunk_text")).alias("embedding"))
+        .select("vec_id", embed(F.col("chunk_text")).alias("embedding"))
     )
-    # cap the k-means fit at ~50k chunks: the coarse quantizer needs a
-    # representative sample, not the corpus — fitting on every chunk
-    # made the pipeline superlinear (2.9s -> 40.3s at 10x docs, r6
-    # measurement; the fit is an iterative full-corpus ML job while
-    # every other stage is one pass).  Seeded sample -> deterministic.
-    n_chunks = corpus.count()
-    frac = None if n_chunks <= 50_000 else 50_000 / n_chunks
-    hits = ivf_topk(
-        corpus, queries, k=k, n_centroids=n_centroids, n_probe=n_probe,
-        fit_sample_fraction=frac,
-    )
+    if seeded:
+        # seeded-sample coarse quantizer: no fit job at all, and the
+        # whole pipeline is DuckDB-reproducible (the declared form)
+        hits = ivf_topk_seeded(
+            corpus, queries, k=k, n_centroids=n_centroids, n_probe=n_probe
+        )
+    else:
+        # cap the k-means fit at ~50k chunks: the coarse quantizer
+        # needs a representative sample, not the corpus — fitting on
+        # every chunk made the pipeline superlinear (2.9s -> 40.3s at
+        # 10x docs, r6 measurement; the fit is an iterative full-
+        # corpus ML job while every other stage is one pass).
+        n_chunks = corpus.count()
+        frac = None if n_chunks <= 50_000 else 50_000 / n_chunks
+        hits = ivf_topk(
+            corpus, queries, k=k, n_centroids=n_centroids, n_probe=n_probe,
+            fit_sample_fraction=frac,
+        )
     prov = chunks.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("doc_id").alias("hit_doc_id"),

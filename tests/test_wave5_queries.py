@@ -326,10 +326,16 @@ def test_compression_ratio_orders_text_classes(spark):
             assert r.n_compressed > 0
 
 
-def test_rag_index_retrieves_verbatim_duplicate(spark):
+import pytest
+
+
+@pytest.mark.parametrize("seeded", [False, True])
+def test_rag_index_retrieves_verbatim_duplicate(spark, seeded):
     """End-to-end index composition: a query chunk must retrieve the
     verbatim-identical chunk of ANOTHER doc at rank 1 with cosine 1.0
-    and exact provenance (self-matches are excluded by the scorer)."""
+    and exact provenance (self-matches are excluded by the scorer) —
+    on BOTH the MLlib k-means retriever and the seeded oracle-backed
+    one (the r10 declared form)."""
     import random
 
     from pyspark.sql import Row
@@ -346,8 +352,8 @@ def test_rag_index_retrieves_verbatim_duplicate(spark):
                text=" ".join(rng.choice(words) for _ in range(60)))
            for i in range(10)]
     )
-    hits = rag_index_and_query(docs, n_queries=2, k=3,
-                               n_centroids=4, n_probe=4).collect()
+    hits = rag_index_and_query(docs, n_queries=2, k=3, n_centroids=4,
+                               n_probe=4, seeded=seeded).collect()
     top = {r.query_id: r for r in hits if r.rank == 1}
     # query = doc 0 chunk 0 (vec 0) must hit doc 1 chunk 0 (vec 2^20)
     v1 = 1 << 20
