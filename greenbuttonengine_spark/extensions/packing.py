@@ -50,6 +50,72 @@ PACKED_SCHEMA = T.StructType(
 )
 
 
+def pack_oracle_sql(budget: int = 512, n_groups: int = 8) -> str:
+    r"""DuckDB oracle for ``pack_sequences`` over the documents table:
+    first-fit-decreasing is a SEQUENTIAL FOLD over each group's
+    (n_tokens desc, doc_id) order, and a recursive CTE replays a fold
+    exactly — iteration r consumes each group's rank-r doc, carrying
+    the open-bin remaining-capacity list as state and EMITTING that
+    doc's assignment as the iteration row (the recursive CTE's result
+    is the union of all iterations, so no assignment accumulator is
+    needed).  All groups advance in lockstep; recursion depth = the
+    largest group (~n_docs/n_groups).  hash_bucket is the same
+    integer-LCG arithmetic both engines compute exactly."""
+    return f"""
+    WITH RECURSIVE d AS MATERIALIZED (
+        SELECT doc_id, n_tokens, grp,
+               ROW_NUMBER() OVER (PARTITION BY grp
+                                  ORDER BY n_tokens DESC, doc_id) AS r
+        FROM (
+            SELECT doc_id,
+                   CAST(len(regexp_split_to_array(trim(text), '\s+'))
+                        AS BIGINT) AS n_tokens,
+                   (((doc_id % 2147483648) * 1103515245 + 12345) >> 16)
+                       % {n_groups} AS grp
+            FROM documents
+        )
+    ),
+    st(grp, r, loads, doc_id, pos, n_tokens, oversize) AS (
+        SELECT grp, CAST(0 AS BIGINT), CAST([] AS BIGINT[]),
+               CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+               CAST(NULL AS BIGINT), CAST(NULL AS BOOLEAN)
+        FROM (SELECT DISTINCT grp FROM d)
+        UNION ALL
+        SELECT st.grp, st.r + 1,
+               CASE
+                   WHEN d.n_tokens > {budget}
+                       THEN list_append(st.loads, CAST(0 AS BIGINT))
+                   WHEN fit.i IS NULL
+                       THEN list_append(st.loads,
+                                        CAST({budget} - d.n_tokens AS BIGINT))
+                   ELSE [CASE WHEN gi = fit.i
+                              THEN st.loads[gi] - d.n_tokens
+                              ELSE st.loads[gi] END
+                         for gi in generate_series(1, len(st.loads))]
+               END,
+               d.doc_id,
+               CASE WHEN d.n_tokens > {budget} OR fit.i IS NULL
+                    THEN len(st.loads)
+                    ELSE fit.i - 1 END,
+               d.n_tokens,
+               d.n_tokens > {budget}
+        FROM st
+        JOIN d ON d.grp = st.grp AND d.r = st.r + 1
+        LEFT JOIN LATERAL (
+            SELECT CASE WHEN d.n_tokens > {budget} THEN NULL
+                        ELSE nullif(list_position(
+                            list_transform(st.loads,
+                                           c -> c >= d.n_tokens), true), 0)
+                   END AS i
+        ) fit ON true
+    )
+    SELECT doc_id, CAST(grp AS BIGINT) AS "group",
+           CAST(grp * 4294967296 + pos AS BIGINT) AS bin_id,
+           n_tokens, oversize
+    FROM st WHERE r >= 1
+    """
+
+
 def _pack_group(pdf: pd.DataFrame) -> pd.DataFrame:
     budget = int(pdf["__budget"].iloc[0])
     group = int(pdf["group"].iloc[0])

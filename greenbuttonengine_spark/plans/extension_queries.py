@@ -637,16 +637,27 @@ def sample_stratified_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "source")
 
 
+def _pack_oracle() -> str:
+    from ..extensions.packing import pack_oracle_sql
+
+    return pack_oracle_sql(budget=512, n_groups=8)
+
+
 @register(
     "pack_sequences_docs",
-    None,  # greedy bin packing is not SQL-expressible -> rows-only
+    _pack_oracle(),
     tags=("packing",),
     doc="Sequence packing (trainer prep): docs -> fixed token-budget "
     "bins via deterministic group bucketing + per-group first-fit-"
     "decreasing in applyInPandas (the sanctioned custom-operator "
     "shape: the FFD loop has no native equivalent; groups are the "
     "parallelism unit). pytest asserts budget, coverage, efficiency "
-    "and partition-invariance.",
+    "and partition-invariance.  Oracle-backed since r10: FFD is a "
+    "sequential fold over each group's (n_tokens desc, doc_id) order, "
+    "and a recursive CTE replays a fold exactly — iteration r places "
+    "each group's rank-r doc, carrying open-bin capacities as list "
+    "state (extensions/packing.pack_oracle_sql); the LCG group bucket "
+    "is already cross-engine integer arithmetic.",
 )
 def pack_sequences_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..extensions.packing import pack_sequences
