@@ -86,7 +86,7 @@ def main() -> None:
     from greenbuttonengine_spark.extensions import dedup
     from greenbuttonengine_spark.session import get_spark
 
-    kwargs = {}
+    kwargs = {"extra_conf": {"spark.ui.enabled": "true"}}
     if shuffle_parts:
         kwargs["shuffle_partitions"] = shuffle_parts
     spark = get_spark(app_name="scale100-minhash", **kwargs)
