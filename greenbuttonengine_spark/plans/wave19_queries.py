@@ -141,3 +141,189 @@ def approx_sketch_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+_OVL_K = 256
+
+
+@register(
+    "approx_set_overlap_kmv",
+    rf"""
+    WITH w AS MATERIALIZED (
+        SELECT DISTINCT source, word FROM (
+            SELECT source,
+                   unnest(string_split_regex(lower(trim(text)), '\s+'))
+                       AS word
+            FROM documents
+        ) WHERE word <> ''
+    ),
+    dh AS (
+        SELECT DISTINCT source,
+               CAST(concat('0x', substr(md5(word), 1, 15)) AS BIGINT) AS h
+        FROM w
+    ),
+    sk AS MATERIALIZED (
+        SELECT source, h FROM (
+            SELECT dh.*, ROW_NUMBER() OVER (PARTITION BY source
+                                            ORDER BY h) AS rn
+            FROM dh
+        ) WHERE rn <= {_OVL_K}
+    ),
+    pairs AS (
+        SELECT a.source AS source_a, b.source AS source_b
+        FROM (SELECT DISTINCT source FROM sk) a
+        JOIN (SELECT DISTINCT source FROM sk) b ON a.source < b.source
+    ),
+    m AS (
+        SELECT p.source_a, p.source_b, s.h
+        FROM pairs p JOIN sk s ON s.source = p.source_a
+        UNION ALL
+        SELECT p.source_a, p.source_b, s.h
+        FROM pairs p JOIN sk s ON s.source = p.source_b
+    ),
+    g AS (
+        SELECT source_a, source_b, h, COUNT(*) AS sides
+        FROM m GROUP BY 1, 2, 3
+    ),
+    merged AS (
+        SELECT source_a, source_b,
+               COUNT(*) AS nk, MAX(h) AS hk,
+               SUM(CASE WHEN sides = 2 THEN 1 ELSE 0 END) AS nc
+        FROM (
+            SELECT g.*, ROW_NUMBER() OVER (PARTITION BY source_a, source_b
+                                           ORDER BY h) AS rn
+            FROM g
+        ) WHERE rn <= {_OVL_K}
+        GROUP BY 1, 2
+    ),
+    ex AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               COUNT(*) AS exact_common
+        FROM w a JOIN w b ON b.word = a.word AND a.source < b.source
+        GROUP BY 1, 2
+    ),
+    sizes AS (SELECT source, COUNT(*) AS n FROM w GROUP BY source)
+    SELECT m.source_a, m.source_b,
+           CASE WHEN m.nk < {_OVL_K} THEN CAST(m.nk AS DOUBLE)
+                ELSE CAST({(_OVL_K - 1) * (1 << 60)} AS DOUBLE)
+                     / CAST(m.hk AS DOUBLE) END AS kmv_union_words,
+           CAST(m.nc AS DOUBLE) / CAST(m.nk AS DOUBLE) AS kmv_jaccard,
+           CAST(sa.n + sb.n - coalesce(ex.exact_common, 0) AS BIGINT)
+               AS exact_union,
+           CAST(coalesce(ex.exact_common, 0) AS BIGINT) AS exact_common
+    FROM merged m
+    JOIN sizes sa ON sa.source = m.source_a
+    JOIN sizes sb ON sb.source = m.source_b
+    LEFT JOIN ex ON ex.source_a = m.source_a AND ex.source_b = m.source_b
+    """,
+    tags=("agg", "approx", "dedup"),
+    doc="Cross-source corpus-overlap estimation from MERGED KMV "
+    "sketches — the sketch composition that makes bottom-k the "
+    "practical HLL alternative: per source, the 256 smallest md5-60 "
+    "word hashes; per source pair, the union sketch is the bottom-k "
+    "of the two sketches' union (mergeability by construction), "
+    "|A u B| ~ (k-1)*2^60/h_(k), and Jaccard ~ the fraction of the "
+    "merged bottom-k present in BOTH sketches (Bar-Yossef et al. "
+    "RANDOM'02; the cross-source-contamination estimate a curation "
+    "pipeline runs before mixing crawls).  Exact union/intersection "
+    "ride alongside as the gate-scale eval.  Scale shape: after the "
+    "one distinct-shuffle + WindowGroupLimit bottom-k, everything "
+    "downstream operates on O(sources * k) rows — source-pair "
+    "estimation never touches the corpus again (the exact eval "
+    "columns are what a 100 TB run drops).  pytest bounds both "
+    "estimators against the exact columns.",
+)
+def approx_set_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    k = _OVL_K
+    w = (
+        docs.select(
+            "source",
+            F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("word"),
+        )
+        .filter(F.col("word") != "")
+        .distinct()
+    )
+    dh = w.select(
+        "source",
+        F.conv(F.substring(F.md5("word"), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h"),
+    ).distinct()
+    sk = dh.withColumn(
+        "rn", F.row_number().over(W.partitionBy("source").orderBy("h"))
+    ).filter(F.col("rn") <= k).select("source", "h")
+    srcs = sk.select("source").distinct()
+    pairs = (
+        srcs.alias("a")
+        .join(srcs.alias("b"), F.col("a.source") < F.col("b.source"))
+        .select(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+    )
+    m = pairs.join(
+        sk.select(F.col("source").alias("source_a"), "h"), "source_a"
+    ).select("source_a", "source_b", "h").unionByName(
+        pairs.join(
+            sk.select(F.col("source").alias("source_b"), "h"), "source_b"
+        ).select("source_a", "source_b", "h")
+    )
+    g = m.groupBy("source_a", "source_b", "h").agg(F.count("*").alias("sides"))
+    merged = (
+        g.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("source_a", "source_b").orderBy("h")
+            ),
+        )
+        .filter(F.col("rn") <= k)
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count("*").alias("nk"),
+            F.max("h").alias("hk"),
+            F.sum(F.when(F.col("sides") == 2, 1).otherwise(0)).alias("nc"),
+        )
+    )
+    ex = (
+        w.alias("a")
+        .join(
+            w.alias("b"),
+            (F.col("b.word") == F.col("a.word"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count("*").alias("exact_common"))
+    )
+    sizes = w.groupBy("source").agg(F.count("*").alias("n"))
+    est = F.when(F.col("nk") < k, F.col("nk").cast("double")).otherwise(
+        F.lit(float((k - 1) * (1 << 60))) / F.col("hk").cast("double")
+    )
+    return (
+        merged.join(
+            sizes.select(F.col("source").alias("source_a"), F.col("n").alias("na")),
+            "source_a",
+        )
+        .join(
+            sizes.select(F.col("source").alias("source_b"), F.col("n").alias("nb")),
+            "source_b",
+        )
+        .join(ex, ["source_a", "source_b"], "left")
+        .select(
+            "source_a",
+            "source_b",
+            est.alias("kmv_union_words"),
+            (F.col("nc").cast("double") / F.col("nk").cast("double")).alias(
+                "kmv_jaccard"
+            ),
+            (
+                F.col("na") + F.col("nb") - F.coalesce("exact_common", F.lit(0))
+            )
+            .cast("long")
+            .alias("exact_union"),
+            F.coalesce("exact_common", F.lit(0)).cast("long").alias("exact_common"),
+        )
+    )

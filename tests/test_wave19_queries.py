@@ -54,3 +54,29 @@ def test_kmv_window_group_limit_plan(spark, sf_correct_dir):
         .toString()
     )
     assert "WindowGroupLimit" in plan, plan[:2000]
+
+
+def test_kmv_set_overlap_error_bounds(spark, sf_correct_dir):
+    """Merged-sketch union and Jaccard estimates must track the exact
+    columns within KMV error (~1/sqrt(k))."""
+    from greenbuttonengine_spark.plans.wave19_queries import (
+        _OVL_K,
+        approx_set_overlap_kmv,
+    )
+
+    rows = approx_set_overlap_kmv(spark, sf_correct_dir).collect()
+    assert rows, "no source pairs"
+    for r in rows:
+        exact_j = r.exact_common / r.exact_union
+        if r.exact_union >= _OVL_K:
+            assert abs(r.kmv_union_words - r.exact_union) / r.exact_union < 0.25, r
+        else:
+            assert r.kmv_union_words == float(r.exact_union)
+        assert abs(r.kmv_jaccard - exact_j) < 0.2, (r, exact_j)
+    # aggregate bias check: mean signed error should be small
+    big = [r for r in rows if r.exact_union >= _OVL_K]
+    if big:
+        mean_rel = sum(
+            (r.kmv_union_words - r.exact_union) / r.exact_union for r in big
+        ) / len(big)
+        assert abs(mean_rel) < 0.1, mean_rel
