@@ -216,7 +216,7 @@ _OVL_K = 256
     JOIN sizes sb ON sb.source = m.source_b
     LEFT JOIN ex ON ex.source_a = m.source_a AND ex.source_b = m.source_b
     """,
-    tags=("agg", "approx", "dedup"),
+    tags=("agg", "approx", "dedup", "tiny-bnlj"),
     doc="Cross-source corpus-overlap estimation from MERGED KMV "
     "sketches — the sketch composition that makes bottom-k the "
     "practical HLL alternative: per source, the 256 smallest md5-60 "
@@ -230,8 +230,10 @@ _OVL_K = 256
     "one distinct-shuffle + WindowGroupLimit bottom-k, everything "
     "downstream operates on O(sources * k) rows — source-pair "
     "estimation never touches the corpus again (the exact eval "
-    "columns are what a 100 TB run drops).  pytest bounds both "
-    "estimators against the exact columns.",
+    "columns are what a 100 TB run drops).  The tiny-bnlj tag covers "
+    "the source-pair generator (an inequality self-join over the "
+    "O(sources) distinct-source list, never the corpus).  pytest "
+    "bounds both estimators against the exact columns.",
 )
 def approx_set_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
