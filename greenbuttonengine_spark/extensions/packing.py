@@ -61,7 +61,7 @@ def pack_oracle_sql(budget: int = 512, n_groups: int = 8) -> str:
     needed).  All groups advance in lockstep; recursion depth = the
     largest group (~n_docs/n_groups).  hash_bucket is the same
     integer-LCG arithmetic both engines compute exactly."""
-    return f"""
+    return rf"""
     WITH RECURSIVE d AS MATERIALIZED (
         SELECT doc_id, n_tokens, grp,
                ROW_NUMBER() OVER (PARTITION BY grp

@@ -20,8 +20,7 @@ from pyspark.sql import functions as F
 from ..sources.catalog import load_table
 from .registry import register
 
-_KMV_K = 256
-_KMV_M = float(1 << 60)  # hash space size (md5-60)
+_KMV_K = 256  # bottom-k sketch size; hash space is 2^60 (md5-60)
 
 
 @register(
