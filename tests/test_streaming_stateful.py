@@ -461,3 +461,88 @@ def test_progress_recorder_captures_stream_metrics(spark, tmp_path):
         assert h.peak_state_rows > 0 and h.max_batch_ms >= 0
     finally:
         spark.streams.removeListener(rec)
+
+
+def test_stream_stream_interval_join_matches_batch(spark, event_stream):
+    """Watermarked stream-stream interval join: the INNER join's row
+    set must equal the identical static join, including matches whose
+    two sides arrive in different micro-batches."""
+    from greenbuttonengine_spark.streaming.joins import (
+        attribute_conversions_stream)
+
+    stream, src = event_stream
+    q = (
+        attribute_conversions_stream(stream, max_delay="60 minutes",
+                                     watermark="30 minutes")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("attrib")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.key, r.l_id, r.r_id)
+            for r in spark.sql("SELECT * FROM attrib").collect()
+        }
+        imps = src.filter(F.col("event_type") == "view").selectExpr(
+            "user_id k", "event_id l_id", "ts l_ts")
+        convs = src.filter(F.col("event_type") == "purchase").selectExpr(
+            "user_id rk", "event_id r_id", "ts r_ts")
+        batch = {
+            (r.k, r.l_id, r.r_id)
+            for r in imps.join(
+                convs,
+                (imps.k == convs.rk)
+                & (convs.r_ts >= imps.l_ts)
+                & (convs.r_ts <= F.expr("l_ts + INTERVAL 60 minutes")),
+            ).collect()
+        }
+        assert batch, "test corpus has no view->purchase pairs in window"
+        assert got == batch, (len(got), len(batch))
+        # delay accounting sanity
+        for r in spark.sql("SELECT * FROM attrib LIMIT 20").collect():
+            assert 0 <= r.delay_sec <= 3600
+    finally:
+        q.stop()
+
+
+def test_stream_stream_left_outer_join_emits_unmatched(spark, event_stream):
+    """left_outer: matched rows equal the batch inner join; NULL-right
+    rows are genuinely unmatched views whose window the watermark has
+    provably closed (the tail of a finite stream stays buffered)."""
+    from greenbuttonengine_spark.streaming.joins import (
+        attribute_conversions_stream)
+
+    stream, src = event_stream
+    q = (
+        attribute_conversions_stream(stream, max_delay="60 minutes",
+                                     watermark="30 minutes",
+                                     join_type="left_outer")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("attrib_outer")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM attrib_outer").collect()
+        nulls = {r.l_id for r in rows if r.r_id is None}
+        assert nulls, "a 30-day corpus must close some unmatched windows"
+        imps = src.filter(F.col("event_type") == "view").selectExpr(
+            "user_id k", "event_id l_id", "ts l_ts")
+        convs = src.filter(F.col("event_type") == "purchase").selectExpr(
+            "user_id rk", "event_id r_id", "ts r_ts")
+        matched_batch = {
+            r.l_id
+            for r in imps.join(
+                convs,
+                (imps.k == convs.rk)
+                & (convs.r_ts >= imps.l_ts)
+                & (convs.r_ts <= F.expr("l_ts + INTERVAL 60 minutes")),
+            ).collect()
+        }
+        leaked = nulls & matched_batch
+        assert not leaked, f"outer join emitted NULL for matched views: {list(leaked)[:3]}"
+    finally:
+        q.stop()
