@@ -184,3 +184,73 @@ def test_power_deflate_components_orthogonality():
     w /= np.linalg.norm(w, axis=1, keepdims=True)
     g = w @ w.T - np.eye(5)
     assert np.abs(g).max() < 0.02, g
+
+
+def test_bpe_oracle_replays_spark_merges_on_random_corpora(spark):
+    """The double-space literal-replace oracle must replay bpe_train's
+    merge table on RANDOM corpora — runs of repeated symbols stress
+    greedy leftmost merging, and regex metacharacters stress the two
+    escaping regimes (Java \\Q..\\E vs literal replace)."""
+    import random
+
+    import duckdb
+    import pandas as pd
+
+    from greenbuttonengine_spark.extensions.bpe import (
+        bpe_merge_table,
+        bpe_train_oracle_sql,
+    )
+
+    rng = random.Random(101)
+    alphabet = list("abc.$\\")
+    for trial in range(4):
+        rows = []
+        for i in range(30):
+            words = []
+            for _ in range(rng.randint(1, 6)):
+                unit = "".join(
+                    rng.choice(alphabet) for _ in range(rng.randint(1, 3))
+                )
+                words.append(unit * rng.randint(1, 3))  # runs
+            rows.append((i, " ".join(words)))
+        sdf = spark.createDataFrame(rows, "doc_id long, text string")
+        got = sorted(
+            (r.step, r.left, r.right, r.merged, r.weighted_count)
+            for r in bpe_merge_table(sdf, n_merges=8).collect()
+        )
+        con = duckdb.connect()
+        con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+        want = sorted(map(tuple, con.execute(
+            bpe_train_oracle_sql(n_merges=8)).fetchall()))
+        assert got == want, (trial, got[:5], want[:5])
+
+
+def test_pack_oracle_replays_spark_ffd_on_random_corpora(spark):
+    """The recursive-CTE FFD fold must replay pack_sequences bin for
+    bin on RANDOM corpora, including oversize docs and full bins."""
+    import random
+
+    import duckdb
+    import pandas as pd
+
+    from greenbuttonengine_spark.extensions.packing import (
+        pack_oracle_sql,
+        pack_sequences,
+    )
+
+    rng = random.Random(202)
+    for trial in range(3):
+        rows = [
+            (i, " ".join("w" for _ in range(rng.randint(1, 20))))
+            for i in range(60)
+        ]
+        sdf = spark.createDataFrame(rows, "doc_id long, text string")
+        got = sorted(
+            (r.doc_id, r.group, r.bin_id, r.n_tokens, r.oversize)
+            for r in pack_sequences(sdf, budget=12, n_groups=3).collect()
+        )
+        con = duckdb.connect()
+        con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+        want = sorted(map(tuple, con.execute(
+            pack_oracle_sql(budget=12, n_groups=3)).fetchall()))
+        assert got == want, (trial, got[:5], want[:5])
