@@ -167,6 +167,12 @@ _DRIVER_CHECKED = frozenset(
         "pipeline_epoch_schedule", "rlhf_bon_curve", "rlhf_preference_pairs",
         "sample_softdedup", "sft_dialogue_flatten", "sft_loss_mask_stats",
         "train_shard_assign",
+        # r10 greens (50/50 gate: 9 first-time oracle-new + 41 rotated
+        # re-checks already listed above)
+        "pack_sequences_docs", "embedding_pca_project",
+        "dedup_incremental_near", "pipeline_learned_quality",
+        "pipeline_rag_index", "lm_bpe_train", "lm_bpe_tokenize_stats",
+        "approx_sketch_aggregates", "approx_set_overlap_kmv",
     }
 )
 

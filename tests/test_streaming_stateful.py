@@ -546,3 +546,57 @@ def test_stream_stream_left_outer_join_emits_unmatched(spark, event_stream):
         assert not leaked, f"outer join emitted NULL for matched views: {list(leaked)[:3]}"
     finally:
         q.stop()
+
+
+def test_interval_join_output_schema_pinned(spark, tmp_path):
+    """The documented output contract of interval_join_streams: exactly
+    6 UNIQUELY-named columns (key, l_id, l_ts, r_id, r_ts, delay_sec).
+    A duplicate name would survive Row-attribute access in the parity
+    tests but break any parquet write or downstream join on the result
+    (VERDICT r10 item 2), so pin the schema and smoke-write it."""
+    import datetime
+
+    from pyspark.sql import Row
+
+    from greenbuttonengine_spark.streaming.joins import interval_join_streams
+
+    base = datetime.datetime(2026, 5, 1, 12, 0)
+    mk = lambda i, m, et: Row(  # noqa: E731
+        event_id=i, ts=base + datetime.timedelta(minutes=m), user_id=7,
+        event_type=et)
+    left = spark.createDataFrame([mk(1, 0, "view"), mk(2, 120, "view")])
+    right = spark.createDataFrame([mk(10, 5, "purchase"),
+                                   mk(11, 200, "purchase")])
+
+    # withWatermark is a no-op on batch frames, so the exact production
+    # plan (select -> watermark -> time-range join -> project) runs here
+    joined = interval_join_streams(left, right, max_delay="10 minutes")
+    want = ["key", "l_id", "l_ts", "r_id", "r_ts", "delay_sec"]
+    assert joined.columns == want, joined.columns
+    assert len(set(joined.columns)) == 6, "duplicate output column name"
+
+    out = tmp_path / "ij_schema_smoke"
+    joined.write.parquet(str(out))  # throws on any ambiguous/dup name
+    back = spark.read.parquet(str(out))
+    assert sorted(back.columns) == sorted(want)
+    rows = back.collect()
+    assert {(r.l_id, r.r_id) for r in rows} == {(1, 10)}
+    assert rows[0].delay_sec == 300.0
+
+    # the streaming form writes through a parquet SINK cleanly too
+    ldir, rdir = tmp_path / "ij_l", tmp_path / "ij_r"
+    left.write.parquet(str(ldir)); right.write.parquet(str(rdir))
+    ls = spark.readStream.schema(left.schema).parquet(str(ldir))
+    rs = spark.readStream.schema(right.schema).parquet(str(rdir))
+    q = (interval_join_streams(ls, rs, max_delay="10 minutes")
+         .writeStream.outputMode("append").format("parquet")
+         .option("path", str(tmp_path / "ij_sink"))
+         .option("checkpointLocation", str(tmp_path / "ij_ckpt"))
+         .start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    sunk = spark.read.parquet(str(tmp_path / "ij_sink"))
+    assert sunk.columns == want
+    assert {(r.l_id, r.r_id) for r in sunk.collect()} == {(1, 10)}
