@@ -56,6 +56,11 @@ def interval_join_streams(
         & (r["r_ts"] >= l["l_ts"])
         & (r["r_ts"] <= l["l_ts"] + F.expr(f"INTERVAL {max_delay}"))
     )
+    # delay in EXACT integer microseconds, then ONE correctly-rounded
+    # division: cast(ts as double) would round each side separately
+    # (seconds = micros/1e6), leaving the difference 1 ulp off the
+    # DuckDB oracle's (epoch_us - epoch_us)/1e6 in the declared batch
+    # form (attribution_interval_join).
     return l.join(r, cond, join_type).select(
         "key",
         "l_id",
@@ -63,7 +68,8 @@ def interval_join_streams(
         "r_id",
         "r_ts",
         (
-            F.col("r_ts").cast("double") - F.col("l_ts").cast("double")
+            (F.unix_micros("r_ts") - F.unix_micros("l_ts"))
+            / F.lit(1000000.0)
         ).alias("delay_sec"),
     )
 
