@@ -169,10 +169,13 @@ _DRIVER_CHECKED = frozenset(
         "sample_softdedup", "sft_dialogue_flatten", "sft_loss_mask_stats",
         "train_shard_assign",
         # r10 greens (50/50 gate: 9 first-time oracle-new + 41 rotated
-        # re-checks already listed above)
-        "pack_sequences_docs", "embedding_pca_project",
+        # re-checks already listed above).  pack_sequences_docs and
+        # lm_bpe_tokenize_stats stay OUT: their oracles changed in r11
+        # (pmod-exact bucket; degenerate-lang coalesce) so they must
+        # re-verify as oracle-new rows first.
+        "embedding_pca_project",
         "dedup_incremental_near", "pipeline_learned_quality",
-        "pipeline_rag_index", "lm_bpe_train", "lm_bpe_tokenize_stats",
+        "pipeline_rag_index", "lm_bpe_train",
         "approx_sketch_aggregates", "approx_set_overlap_kmv",
     }
 )

@@ -405,12 +405,19 @@ def bpe_tokenize_stats_oracle_sql(
         GROUP BY wd.doc_id
     )
     SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST(SUM(t.n_tokens) AS BIGINT) AS total_tokens,
-           CAST(SUM(d.n_chars) AS DOUBLE) / CAST(SUM(t.n_tokens) AS DOUBLE)
-               AS chars_per_token
+           CAST(COALESCE(SUM(t.n_tokens), 0) AS BIGINT) AS total_tokens,
+           CASE WHEN COALESCE(SUM(t.n_tokens), 0) > 0
+                THEN CAST(SUM(d.n_chars) AS DOUBLE)
+                     / CAST(SUM(t.n_tokens) AS DOUBLE)
+           END AS chars_per_token
     FROM documents d LEFT JOIN tok t USING (doc_id)
     GROUP BY d.lang
     """
+    # Degenerate-lang parity (r10 ADVICE): a lang whose docs ALL have
+    # zero tokens reaches tok never (no nonempty word), so SUM is NULL
+    # here but 0 on the Spark side (bpe_tokenize emits n_tokens=0 rows)
+    # — COALESCE to 0 and guard the division identically on both
+    # engines (NULL chars_per_token, never NaN/inf).
 
 
 _SPARK_LOOP_MAX_MERGES = 64

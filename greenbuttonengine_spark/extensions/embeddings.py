@@ -251,20 +251,34 @@ def _fixed_moments(qdf: DataFrame, dim: int):
     (numpy does the O(rows*d^2) flops), the O(partitions) partials are
     reduced driver-side with exact Python ints.  Integer addition
     commutes, so the result is layout-invariant — the foundation of
-    every oracle-reproducible eigensolve here."""
+    every oracle-reproducible eigensolve here.
+
+    Overflow: the numpy int64 accumulation WRAPS silently (no ANSI
+    throw), so each partition checks the exact bound
+    ``n_rows * max|q|^2 < 2^63`` with Python ints after accumulating —
+    every intermediate partial sum of S is bounded by that product, so
+    the post-hoc check proves no wrap occurred (~2^39 rows/partition at
+    the 2^12 grid); it raises OverflowError instead of corrupting."""
     import numpy as np
     import pandas as pd
 
     def partial(it):
         n = 0
+        maxabs = 0
         s = np.zeros((dim, dim), dtype=np.int64)
         m = np.zeros(dim, dtype=np.int64)
         for pdf in it:
             v = np.array(pdf["q"].tolist(), dtype=np.int64)
             if len(v):
                 n += len(v)
+                maxabs = max(maxabs, int(np.abs(v).max()))
                 s += v.T @ v
                 m += v.sum(0)
+        if n and n * maxabs * maxabs >= 2**63:
+            raise OverflowError(
+                f"_fixed_moments int64 bound exceeded: {n} rows x "
+                f"max|q|={maxabs} in one partition; repartition finer"
+            )
         yield pd.DataFrame(
             {"n": [n], "s": [s.ravel().tolist()], "m": [m.tolist()]}
         )

@@ -70,7 +70,8 @@ def pack_oracle_sql(budget: int = 512, n_groups: int = 8) -> str:
             SELECT doc_id,
                    CAST(len(regexp_split_to_array(trim(text), '\s+'))
                         AS BIGINT) AS n_tokens,
-                   (((doc_id % 2147483648) * 1103515245 + 12345) >> 16)
+                   (((((doc_id % 2147483648) + 2147483648) % 2147483648)
+                     * 1103515245 + 12345) >> 16)
                        % {n_groups} AS grp
             FROM documents
         )

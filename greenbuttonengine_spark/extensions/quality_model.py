@@ -300,10 +300,11 @@ def fixed_point_quality(
        with a margin in place of the production path's calibrated
        probability.
 
-    Overflow (ANSI throws): z <= 2^12, |w| <= epochs*n*2^12, so
-    margins stay under 2^63 for n to ~2^38 rows; the TRAINING set at
-    100 TB is a corpus-tiny sample anyway (same note as the LBFGS
-    path)."""
+    Overflow (ANSI throws): z <= 2^12 and |w| <= epochs*n*2^12, so
+    |margin| = |sum_j z_j w_j| <= n_features*epochs*n*2^24 — at 7
+    features x 8 epochs that is 56n*2^24 ~= n*2^29.8, under 2^63 for
+    n to ~2^33 rows; the TRAINING set at 100 TB is a corpus-tiny
+    sample anyway (same note as the LBFGS path)."""
     from .textstats import gopher_flags
 
     feats = quality_feature_cols(F.col(text_col))

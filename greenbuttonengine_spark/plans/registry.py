@@ -32,6 +32,12 @@ Hard-won refinements (each found as a real oracle mismatch):
 * Spark decimal multiplication silently reduces scale when the exact
   result exceeds precision 38; keep operand precision low enough that
   products fit exactly, or the engines keep different digits.
+* Modulo signedness: Spark-side seeded hashing uses F.pmod, but most
+  oracles write plain DuckDB ``%`` (signed, sign-of-dividend).  The two
+  agree only because every synthetic key (doc_id/user_id/event_id/
+  vec_id) is NONNEGATIVE — that precondition is load-bearing.  For a
+  key that may go negative, write the pmod-exact form
+  ``((k % m) + m) % m`` (as pack_sequences_docs' oracle does).
 """
 
 from __future__ import annotations

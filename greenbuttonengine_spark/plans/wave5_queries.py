@@ -1224,9 +1224,12 @@ def lm_bpe_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").cast("long").alias("n_docs"),
             F.sum("n_tokens").cast("long").alias("total_tokens"),
-            (
+            # guarded division: a lang whose docs all tokenize empty
+            # yields NULL (not NaN/inf), matching the oracle's CASE
+            F.when(
+                F.sum("n_tokens") > 0,
                 F.sum("n_chars").cast("double")
-                / F.sum("n_tokens").cast("double")
+                / F.sum("n_tokens").cast("double"),
             ).alias("chars_per_token"),
         )
     )
