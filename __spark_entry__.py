@@ -160,7 +160,10 @@ _DRIVER_CHECKED = frozenset(
         "ann_pq_adc_topk", "ann_pq_codes", "code_fim_transform",
         "corpus_prefix_sharing", "curriculum_interleave", "decontam_bloom",
         "embedding_kmeans_fixed", "embedding_pca_power",
-        "eval_pairwise_winrate", "eval_pq_recall", "eval_pq_recall_trained",
+        "eval_pairwise_winrate", "eval_pq_recall",
+        # eval_pq_recall_trained re-queued for r11: its shortlist
+        # widened 50 -> 100 (recall 0.65 -> 0.79 at sf0.1), so the
+        # changed oracle must re-verify as an oracle-new row
         "graph_label_propagation", "graph_pagerank_knn",
         "multimodal_audio_features", "multimodal_phash_pairs",
         "ops_compaction_plan", "ops_file_layout_report",
