@@ -35,6 +35,57 @@ def _single_file_from_dir(tmp_dir: str, pattern: str, out: str | None) -> None:
                     shutil.copyfileobj(src, dst)
 
 
+# Above this size the parse itself dominates and the distributed path
+# is competitive anyway; the fast path targets the reference CLI's
+# single-small-export latency (main.rs:15-57 converts in milliseconds).
+_FASTPATH_MAX_BYTES = 64 * 1024 * 1024
+
+
+def _use_fastpath(args: argparse.Namespace) -> bool:
+    if args.engine == "spark" or args.out_dir:
+        return False
+    single_file = len(args.paths) == 1 and os.path.isfile(args.paths[0])
+    if args.engine == "local":
+        if not single_file:
+            raise SystemExit(
+                "error: --engine=local handles exactly one input FILE "
+                "(directories/globs/multi-file need the Spark engine)"
+            )
+        return True
+    return single_file and os.path.getsize(args.paths[0]) <= _FASTPATH_MAX_BYTES
+
+
+def _run_fastpath(args: argparse.Namespace) -> int:
+    """Driver-side conversion: pure-Python parse + denormalize
+    (espi/fastpath.py, value parity with the Spark pipeline is
+    pytest-pinned) — no JVM, <200 ms for a small export."""
+    from .espi import fastpath as fp
+
+    path = args.paths[0]
+    rows, errors = fp.convert_file(path)
+    for err in errors:  # per-file tolerance: log and continue
+        print(f"error: {path}: {err}", file=sys.stderr)
+
+    if args.filetype == "parquet":
+        if args.out is None:
+            print("error: parquet output requires --out or --out-dir", file=sys.stderr)
+            return 2
+        fp.write_parquet_local(rows, args.out, sort=args.sort)
+        return 0
+    lines = (
+        fp.csv_lines(rows, sort=args.sort)
+        if args.filetype == "csv"
+        else fp.influx_lines(rows, sort=args.sort)
+    )
+    text = "".join(line + "\n" for line in lines)
+    if args.out is None:
+        sys.stdout.write(text)
+    else:
+        with open(args.out, "w") as fh:
+            fh.write(text)
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="gbcli", description=__doc__)
     ap.add_argument("--filetype", required=True, choices=["csv", "influxdb", "parquet"])
@@ -44,8 +95,19 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument(
         "--partition-by-title", action="store_true", help="parquet only: one dir per series"
     )
+    ap.add_argument(
+        "--engine",
+        choices=["auto", "spark", "local"],
+        default="auto",
+        help="auto (default): single small file converts driver-side with no "
+        "Spark job (reference-CLI latency); directories/globs/multi-file "
+        "inputs use Spark.  'spark'/'local' force a path.",
+    )
     ap.add_argument("paths", nargs="+")
     args = ap.parse_args(argv)
+
+    if _use_fastpath(args):
+        return _run_fastpath(args)
 
     from .session import get_spark
     from .espi import timeseries_from_files

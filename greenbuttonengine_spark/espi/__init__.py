@@ -12,16 +12,21 @@ lib/personalgreenbutton/src/lib.rs:32-233):
     pipeline  denormalize_and_link as declarative joins + projections
 """
 
-from .pipeline import (
-    denormalize_and_link,
-    denormalize_with_errors,
-    espi_ingest,
-    timeseries_from_files,
-)
-
 __all__ = [
     "denormalize_and_link",
     "denormalize_with_errors",
     "espi_ingest",
     "timeseries_from_files",
 ]
+
+
+def __getattr__(name: str):
+    # Lazy re-exports (PEP 562): the pipeline module imports pyspark,
+    # but the pure-Python submodules (parser, fastpath) must stay
+    # importable without it — the CLI fast path converts a single
+    # small file in <200 ms, far less than a pyspark import.
+    if name in __all__:
+        from . import pipeline
+
+        return getattr(pipeline, name)
+    raise AttributeError(name)

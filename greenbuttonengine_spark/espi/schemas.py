@@ -11,15 +11,30 @@ reading_types (reading_type.rs:9-22), local_time_parameters
 
 from __future__ import annotations
 
-from pyspark.sql import types as T
-
 KIND_ENTRY = "entry"
 KIND_INTERVAL_READING = "interval_reading"
 KIND_READING_TYPE = "reading_type"
 KIND_LOCAL_TIME_PARAMETERS = "local_time_parameters"
 KIND_ERROR = "error"
 
-PARSED_SCHEMA = T.StructType(
+
+def __getattr__(name: str):
+    # PARSED_SCHEMA is built lazily so importing this module (and the
+    # pure-Python parser that needs only the KIND_* constants) never
+    # pulls pyspark — the CLI fast path (fastpath.py) converts a
+    # single small file in <200 ms, which a JVM-gateway import would
+    # dwarf on its own.
+    if name == "PARSED_SCHEMA":
+        schema = _build_parsed_schema()
+        globals()[name] = schema
+        return schema
+    raise AttributeError(name)
+
+
+def _build_parsed_schema():
+    from pyspark.sql import types as T
+
+    return T.StructType(
     [
         T.StructField("source_file", T.StringType(), False),
         T.StructField("row_kind", T.StringType(), False),

@@ -126,6 +126,20 @@ def main() -> None:
     )
     pq.write_table(table, out_path, compression="snappy")
     print(f"wrote {len(rows)} enum rows -> {out_path}")
+    # JSON twin for the pyspark-/pyarrow-free CLI fast path
+    # (espi/fastpath.py): stdlib json loads in ~1 ms vs ~300 ms for a
+    # pyarrow import, which matters under the <200 ms single-file bar.
+    import json
+
+    json_path = out_path.with_suffix(".json")
+    with open(json_path, "w") as fh:
+        json.dump(
+            [[r[0], r[1], r[2], r[3]] for r in rows],
+            fh,
+            ensure_ascii=False,
+            separators=(",", ":"),
+        )
+    print(f"wrote JSON twin -> {json_path}")
 
 
 if __name__ == "__main__":
