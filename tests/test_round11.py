@@ -221,3 +221,123 @@ def test_cli_fastpath_latency_and_routing(tmp_path, capsys):
     r = subprocess.run([_sys.executable, "-c", code], cwd="/root/repo",
                        capture_output=True, text=True, timeout=60)
     assert r.returncode == 0, r.stderr
+
+
+def test_md5_60_hash_family_cross_engine_property(spark):
+    """The seeded md5-60/md5-32 hash family underpins 7+ oracles
+    (minhash bands, incremental-near admission, shard assign, RAG
+    encoder): hypothesis-generated strings — including regex
+    metacharacters, unicode, whitespace runs, and the empty string —
+    must hash identically in Spark and DuckDB."""
+    import duckdb
+    import pandas as pd
+    from hypothesis import given, settings, strategies as st
+
+    from greenbuttonengine_spark.extensions.dedup import (
+        md5_hash32, md5_hash60)
+    from pyspark.sql import functions as F
+
+    alphabet = st.sampled_from(list("abc .$\\^|()[]{}*+?\"'é中\n\t0"))
+    texts: list[str] = [""]  # always include the empty string
+
+    @settings(max_examples=120, deadline=None)
+    @given(st.text(alphabet=alphabet, max_size=24))
+    def collect(s):
+        texts.append(s)
+
+    collect()
+    # evaluate the whole batch in ONE Spark job + ONE DuckDB query
+    # (the repo's hypothesis pattern, cf. test_dst_rules.py: Spark
+    # inside @given is slow and trips hypothesis' stackframe guard)
+    sdf = spark.createDataFrame(
+        list(enumerate(texts)), "i long, s string")
+    got = {
+        (r.i, r.h60, r.h32)
+        for r in sdf.select(
+            "i",
+            md5_hash60(F.col("s")).alias("h60"),
+            md5_hash32(F.col("s")).alias("h32"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"i": range(len(texts)), "s": texts}))
+    want = set(map(tuple, con.execute(
+        "SELECT i, CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT),"
+        "       CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT)"
+        " FROM t").fetchall()))
+    assert got == want
+
+
+def test_minhash_band_membership_cross_engine_property(spark):
+    """Band membership (doc_id, band_idx, band_hash) — the unit the LSH
+    bucket join and the persistent band store key on — must be
+    SET-EQUAL between minhash_signatures_seeded/band_buckets_seeded and
+    the DuckDB CTE chain built from the same LCG literals, on
+    hypothesis-generated corpora (short docs stress the
+    greatest(len-k+1, 1) single-shingle edge; repeated-run docs stress
+    duplicate shingles under the distinct=False fast path)."""
+    import duckdb
+    import pandas as pd
+    from hypothesis import given, settings, strategies as st
+
+    from greenbuttonengine_spark.extensions.dedup import (
+        _MH_P, band_buckets_seeded, lcg_perm_params,
+        minhash_signatures_seeded, _BAND_BASE)
+
+    num_perm, bands, k = 16, 4, 4
+    rows = num_perm // bands
+    params = lcg_perm_params(num_perm)
+    values = ", ".join(
+        f"({j}, {a}, {b}, {_BAND_BASE ** (j % rows)}, {j // rows})"
+        for j, (a, b) in enumerate(params)
+    )
+    oracle = f"""
+    WITH params(j, a, b, w, band) AS (VALUES {values}),
+    ex AS (
+        SELECT DISTINCT doc_id,
+               CAST(concat('0x', substr(md5(sh), 1, 8)) AS BIGINT)
+                   % {_MH_P} AS h0
+        FROM (
+            SELECT doc_id, unnest([substring(text, i, {k})
+                       for i in generate_series(1,
+                           greatest(length(text) - {k - 1}, 1))]) AS sh
+            FROM documents
+        )
+    ),
+    sigv AS (
+        SELECT doc_id, j, MIN((a * h0 + b) % {_MH_P}) AS m
+        FROM ex CROSS JOIN params GROUP BY doc_id, j
+    )
+    SELECT s.doc_id, p.band AS band_idx, SUM(s.m * p.w) AS band_hash
+    FROM sigv s JOIN params p USING (j)
+    GROUP BY s.doc_id, p.band
+    """
+
+    unit = st.text(alphabet=st.sampled_from(list("ab c.$\\n")),
+                   min_size=1, max_size=6)
+    doc = st.builds(lambda u, r: u * r, unit, st.integers(1, 4))
+
+    texts: list[str] = []
+
+    @settings(max_examples=80, deadline=None)
+    @given(doc)
+    def collect(t):
+        texts.append(t)
+
+    collect()
+    # band membership is a per-doc function, so all generated docs
+    # evaluate as ONE corpus in one Spark job + one DuckDB query
+    sdf = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string")
+    sig = minhash_signatures_seeded(sdf, num_perm=num_perm, k=k)
+    got = {
+        (r.doc_id, r.band_idx, r.band_hash)
+        for r in band_buckets_seeded(
+            sig, num_perm=num_perm, bands=bands).collect()
+    }
+    con = duckdb.connect()
+    con.register("documents",
+                 pd.DataFrame({"doc_id": range(len(texts)), "text": texts}))
+    want = set(map(tuple, con.execute(oracle).fetchall()))
+    assert len(got) == len(texts) * bands
+    assert got == want
