@@ -341,3 +341,138 @@ def test_minhash_band_membership_cross_engine_property(spark):
     want = set(map(tuple, con.execute(oracle).fetchall()))
     assert len(got) == len(texts) * bands
     assert got == want
+
+
+def test_kneser_ney_bigram_planted(spark, tmp_path):
+    """p_kn must equal the textbook interpolated-KN computation (same
+    op order, exact float compare) on a planted corpus, and smoothed
+    probabilities must dominate the discounted MLE term."""
+    from pyspark.sql import Row
+
+    from greenbuttonengine_spark.plans import wave21_queries  # noqa: F401
+    from greenbuttonengine_spark.plans.registry import QUERIES
+
+    texts = ["a b a b a b x", "a b a c", "b c b c b a"]
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=t, lang="en", source="s", n_chars=len(t))
+         for i, t in enumerate(texts)]
+    )
+    d = str(tmp_path / "sfkn")
+    docs.write.parquet(f"{d}/documents.parquet")
+    got = {
+        (r.w1, r.w2): r
+        for r in QUERIES["lm_kneser_ney_bigram"].fn(spark, d).collect()
+    }
+
+    # brute-force reference
+    from collections import Counter
+
+    bg = Counter()
+    for t in texts:
+        ws = t.split()
+        for x, y in zip(ws, ws[1:]):
+            bg[(x, y)] += 1
+    c1 = Counter()
+    nf = Counter()
+    np_ = Counter()
+    for (x, y), c in bg.items():
+        c1[x] += c
+        nf[x] += 1
+        np_[y] += 1
+    tt = len(bg)
+    D = 0.75
+    want = {}
+    for (x, y), c in bg.items():
+        if c1[x] >= 5:
+            want[(x, y)] = (c - D) / c1[x] + (D * nf[x]) / c1[x] * (np_[y] / tt)
+    # only contexts with c1 >= 5 appear; top-3 per context
+    assert all(c1[w1] >= 5 for w1, _ in got)
+    for key, r in got.items():
+        assert r.p_kn == want[key], (key, r.p_kn, want[key])
+        assert r.c12 == bg[key]
+        # discounted MLE alone underestimates: continuation mass is added
+        assert r.p_kn > (bg[key] - D) / c1[key[0]]
+
+
+def test_graph_triangle_count_matches_bruteforce(spark, sf_dir):
+    """Degree-oriented counting == brute-force set-intersection
+    triangle counting on the same symmetrized kNN graph."""
+    import numpy as np
+
+    from greenbuttonengine_spark.plans import wave21_queries  # noqa: F401
+    from greenbuttonengine_spark.plans.registry import QUERIES
+    from greenbuttonengine_spark.sources.catalog import load_table
+
+    got = {
+        r.node: (r.degree, r.n_triangles, r.clustering_coeff)
+        for r in QUERIES["graph_triangle_count"].fn(spark, sf_dir).collect()
+    }
+
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in emb])
+    v = np.array([r.embedding for r in emb])
+    cos = (v @ v.T) / (
+        np.linalg.norm(v, axis=1)[:, None] * np.linalg.norm(v, axis=1)[None, :]
+    )
+    np.fill_diagonal(cos, -np.inf)
+    adj: dict[int, set[int]] = {int(i): set() for i in ids}
+    for r in range(len(ids)):
+        order = np.lexsort((ids, -cos[r]))[:5]
+        for j in order:
+            a, b = int(ids[r]), int(ids[j])
+            adj[a].add(b)
+            adj[b].add(a)
+    tri = {n: 0 for n in adj}
+    for a_ in adj:
+        for b_ in adj[a_]:
+            if b_ <= a_:
+                continue
+            common = adj[a_] & adj[b_]
+            for c_ in common:
+                if c_ > b_:
+                    tri[a_] += 1
+                    tri[b_] += 1
+                    tri[c_] += 1
+    for n, neigh in adj.items():
+        deg = len(neigh)
+        want_cc = (2.0 * tri[n]) / (deg * (deg - 1.0))
+        assert got[n] == (deg, tri[n], want_cc), (n, got[n], (deg, tri[n]))
+
+
+def test_corpus_heaps_curve_planted(spark, tmp_path):
+    """Checkpoints, cumulative counts and vocab growth on a corpus
+    built to saturate (later docs add no new types): the curve must
+    flatten exactly, and totals must reconcile with the corpus."""
+    from pyspark.sql import Row
+
+    from greenbuttonengine_spark.plans import wave21_queries  # noqa: F401
+    from greenbuttonengine_spark.plans.registry import QUERIES
+
+    # docs 0-1: new types; docs 2-7: pure repeats
+    texts = {0: "a b", 1: "c a", 2: "a a", 3: "b c",
+             4: "a b c", 5: "c", 6: "a", 7: "b c a"}
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=t, lang="en", source="s", n_chars=len(t))
+         for i, t in texts.items()]
+    )
+    d = str(tmp_path / "sfheaps")
+    docs.write.parquet(f"{d}/documents.parquet")
+    rows = sorted(
+        QUERIES["corpus_heaps_curve"].fn(spark, d).collect(),
+        key=lambda r: r.j,
+    )
+    # buckets: j=0 (doc 0), j=1 (doc 1), j=2 (docs 2-3), j=3 (docs 4-7)
+    assert [(r.j, r.n_docs, r.n_tokens, r.vocab_size) for r in rows] == [
+        (0, 1, 2, 2),       # doc 0: 2 tokens, types {a,b}
+        (1, 2, 4, 3),       # +doc 1: type c is new
+        (2, 4, 8, 3),       # repeats only: vocab flat
+        (3, 8, 16, 3),      # still flat; tokens keep growing
+    ]
+    # monotone + reconciliation properties
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_docs >= a.n_docs and b.vocab_size >= a.vocab_size
+    total_tokens = sum(len(t.split()) for t in texts.values())
+    assert rows[-1].n_tokens == total_tokens
+    assert rows[-1].vocab_size == len({w for t in texts.values()
+                                       for w in t.split()})
