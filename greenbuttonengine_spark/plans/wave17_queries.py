@@ -30,9 +30,10 @@ _KM_D = 64
 _KM_ITERS = 2  # centroid updates; assignments run ITERS+1 times
 
 
-def _km_oracle_sql() -> str:
-    """c0 = quantized seeded sample -> (assign -> update) x ITERS ->
-    final assign with dist2.  Every CTE is O(n*k) rows at most."""
+def _km_ctes() -> str:
+    """The shared training chain (c0 = quantized seeded sample ->
+    (assign -> update) x ITERS), ending in ``c{_KM_ITERS}`` — reused by
+    the silhouette eval (wave22).  Every CTE is O(n*k) rows at most."""
     head = f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     {_seeded_cells_cte(_KM_K)},
@@ -73,9 +74,13 @@ def _km_oracle_sql() -> str:
         FROM c{t - 1} p
         LEFT JOIN s{t} s ON s.c = p.c AND s.d = p.d
     )""")
+    return head + "".join(steps)
+
+
+def _km_oracle_sql() -> str:
+    """Training chain + final assignment with dist2."""
     return (
-        head
-        + "".join(steps)
+        _km_ctes()
         + f"""
     SELECT vec_id, CAST(c AS BIGINT) AS cluster,
            CAST(d2 AS BIGINT) AS dist2

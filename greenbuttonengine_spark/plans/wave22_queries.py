@@ -1,0 +1,141 @@
+"""Round-11 extension wave (second batch): clustering quality
+evaluation — the simplified (centroid-based) silhouette over the
+fixed-point k-means of wave 17, closing the train -> assign -> EVALUATE
+arc the way eval_pq_recall_trained closed it for the PQ retriever.
+
+The classic silhouette needs all pairwise distances (O(n^2)); the
+simplified silhouette (Hruschka et al. 2004) replaces mean
+within/between-cluster distances with distances to the centroids —
+O(n*k), the form production clustering evals actually run at scale.
+Per point it is a pure function of the k exact BIGINT distances the
+k-means assignment already computes, so the whole eval unrolls into
+the same oracle chain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+from .registry import register
+from .wave17_queries import (
+    _KM_ITERS,
+    _km_ctes,
+    _km_dd_expr,
+    _km_partial_cols,
+)
+
+
+def _silhouette_oracle_sql() -> str:
+    return (
+        _km_ctes()
+        + f""",
+    dists AS MATERIALIZED (
+        SELECT z.vec_id, cc.c,
+               SUM((z.q - cc.cv) * (z.q - cc.cv)) AS d2,
+               ROW_NUMBER() OVER (PARTITION BY z.vec_id
+                   ORDER BY SUM((z.q - cc.cv) * (z.q - cc.cv)), cc.c) AS rn
+        FROM qz z JOIN c{_KM_ITERS} cc ON cc.d = z.d
+        GROUP BY z.vec_id, cc.c
+    )
+    SELECT a.vec_id, CAST(a.c AS BIGINT) AS cluster,
+           CAST(a.d2 AS BIGINT) AS dist2_own,
+           CAST(b.d2 AS BIGINT) AS dist2_next,
+           CASE WHEN b.d2 = 0 THEN 0.0
+                ELSE (sqrt(CAST(b.d2 AS DOUBLE)) - sqrt(CAST(a.d2 AS DOUBLE)))
+                     / sqrt(CAST(b.d2 AS DOUBLE))
+           END AS silhouette
+    FROM dists a
+    JOIN dists b ON b.vec_id = a.vec_id AND b.rn = 2
+    WHERE a.rn = 1
+    """
+    )
+
+
+@register(
+    "eval_kmeans_silhouette",
+    _silhouette_oracle_sql(),
+    tags=("embeddings", "eval", "iterative"),
+    doc="Simplified silhouette of the trained fixed-point k-means "
+    "(wave 17): per vector, a = distance to its own centroid, b = "
+    "distance to the nearest OTHER centroid, s = (b - a) / b (b >= a "
+    "by construction, so max(a,b) = b).  s near 1 = tight, "
+    "well-separated clusters; s near 0 = boundary points; the "
+    "distribution is the go/no-go read before trusting cluster-based "
+    "curation (SemDeDup cells, IVF lists, diversity sampling).  Both "
+    "a2/b2 are the exact BIGINT distances the assignment already "
+    "computes (dd array min and second-min — second-min VALUE equals "
+    "the rn=2 row under ties on both engines); sqrt and one "
+    "division/subtraction are single correctly-rounded IEEE ops on "
+    "identical inputs, so silhouette is bit-equal cross-engine.  "
+    "Spark plan: the same unrolled-literal scan stage as "
+    "embedding_kmeans_fixed plus array_sort(dd)[1] — no extra "
+    "shuffle, no join, no Python; per-point rows, no fp aggregation "
+    "(a double mean would be partition-order-dependent).",
+)
+def eval_kmeans_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    from ..extensions.similarity import seeded_centroids
+    from .wave9_queries import _PQ_GRID
+    from .wave17_queries import _KM_D, _KM_K
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    qdf = emb.select(
+        "vec_id",
+        *[
+            F.expr(
+                f"CAST(floor(CAST(embedding[{i}] AS DOUBLE) * "
+                f"{float(_PQ_GRID)!r}D) AS BIGINT)"
+            ).alias(f"q{i}")
+            for i in range(_KM_D)
+        ],
+    )
+    cents = [
+        [int(math.floor(x * float(_PQ_GRID))) for x in sv]
+        for _, sv, _ in seeded_centroids(emb, _KM_K)
+    ]
+    for _ in range(_KM_ITERS):
+        assign = (
+            qdf.select("*", *_km_partial_cols(cents))
+            .withColumn("dd", F.expr(_km_dd_expr()))
+            .select(
+                "*",
+                (F.expr("array_position(dd, array_min(dd))") - 1)
+                .cast("int")
+                .alias("cluster"),
+            )
+        )
+        sums = (
+            assign.groupBy("cluster")
+            .agg(
+                F.count("*").alias("n"),
+                *[F.sum(f"q{d}").alias(f"s{d}") for d in range(_KM_D)],
+            )
+            .collect()
+        )
+        new = [list(c) for c in cents]
+        for r in sums:
+            for d in range(_KM_D):
+                s, n = r[f"s{d}"], r["n"]
+                new[r["cluster"]][d] = -((-s) // n) if s < 0 else s // n
+        cents = new
+    final = qdf.select("*", *_km_partial_cols(cents)).withColumn(
+        "dd", F.expr(_km_dd_expr())
+    )
+    a2 = F.expr("array_min(dd)").cast("long")
+    b2 = F.expr("array_sort(dd)[1]").cast("long")
+    a2d = a2.cast("double")
+    b2d = b2.cast("double")
+    return final.select(
+        "vec_id",
+        (F.expr("array_position(dd, array_min(dd))") - 1)
+        .cast("long")
+        .alias("cluster"),
+        a2.alias("dist2_own"),
+        b2.alias("dist2_next"),
+        F.when(b2 == 0, F.lit(0.0))
+        .otherwise((F.sqrt(b2d) - F.sqrt(a2d)) / F.sqrt(b2d))
+        .alias("silhouette"),
+    )

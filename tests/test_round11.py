@@ -476,3 +476,56 @@ def test_corpus_heaps_curve_planted(spark, tmp_path):
     assert rows[-1].n_tokens == total_tokens
     assert rows[-1].vocab_size == len({w for t in texts.values()
                                        for w in t.split()})
+
+
+def test_eval_kmeans_silhouette_replay(spark, sf_dir):
+    """Silhouette rows must replay a pure-Python recomputation: same
+    trained centroids (the wave-17 replay machinery), own/second-min
+    exact distances, and the (b-a)/b formula with identical IEEE ops;
+    plus sanity: b >= a, s in [0, 1), boundary points exist."""
+    import math
+
+    from greenbuttonengine_spark.extensions.similarity import seeded_centroids
+    from greenbuttonengine_spark.plans.wave22_queries import (
+        eval_kmeans_silhouette)
+
+    rows = {r.vec_id: r for r in eval_kmeans_silhouette(spark, sf_dir).collect()}
+    emb_df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = {
+        r.vec_id: [int(math.floor(float(u) * 4096.0)) for u in r.embedding]
+        for r in emb_df.collect()
+    }
+    cents = [
+        [int(math.floor(x * 4096.0)) for x in sv]
+        for _, sv, _ in seeded_centroids(emb_df, 16)
+    ]
+
+    def dists(q):
+        return [sum((q[d] - c[d]) ** 2 for d in range(64)) for c in cents]
+
+    for _ in range(2):
+        clusters: dict[int, list[list[int]]] = {}
+        for q in emb.values():
+            d2 = dists(q)
+            c = min(range(16), key=lambda s: (d2[s], s))
+            clusters.setdefault(c, []).append(q)
+        new = [list(c) for c in cents]
+        for c, members in clusters.items():
+            n = len(members)
+            for d in range(64):
+                s = sum(m[d] for m in members)
+                new[c][d] = -((-s) // n) if s < 0 else s // n
+        cents = new
+
+    for v, q in emb.items():
+        d2 = sorted(dists(q))
+        a2, b2 = d2[0], d2[1]
+        r = rows[v]
+        assert (r.dist2_own, r.dist2_next) == (a2, b2), v
+        want_s = 0.0 if b2 == 0 else (
+            (math.sqrt(float(b2)) - math.sqrt(float(a2)))
+            / math.sqrt(float(b2)))
+        assert r.silhouette == want_s, (v, r.silhouette, want_s)
+        assert 0.0 <= r.silhouette < 1.0
+    # the corpus is near-isotropic: plenty of boundary points
+    assert any(r.silhouette < 0.5 for r in rows.values())
