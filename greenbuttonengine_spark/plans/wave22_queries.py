@@ -139,3 +139,89 @@ def eval_kmeans_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise((F.sqrt(b2d) - F.sqrt(a2d)) / F.sqrt(b2d))
         .alias("silhouette"),
     )
+
+
+_CC_BUDGET = 2048
+_CC_BUCKET = 4096  # docs per offset bucket (order-consistent doc_id prefix)
+
+
+@register(
+    "pack_concat_chunks",
+    rf"""
+    WITH d AS (
+        SELECT doc_id,
+               CAST(len(regexp_split_to_array(trim(text), '\s+'))
+                    AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    o AS (
+        SELECT doc_id, n_tokens,
+               COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS tok_offset
+        FROM d
+    )
+    SELECT doc_id, n_tokens, tok_offset,
+           tok_offset // {_CC_BUDGET} AS first_chunk,
+           (tok_offset + n_tokens - 1) // {_CC_BUDGET} AS last_chunk,
+           (tok_offset + n_tokens - 1) // {_CC_BUDGET}
+               - tok_offset // {_CC_BUDGET} + 1 AS n_chunks
+    FROM o
+    """,
+    tags=("lm", "packing"),
+    doc="Concat-and-chunk sequence packing — the GPT-style trainer "
+    "layout (concatenate all docs in a deterministic order, slice "
+    "into fixed context windows) that complements the FFD bin packer "
+    "(pack_sequences: no doc ever splits; this: zero padding ever).  "
+    "Per doc: its exclusive global token offset and the first/last "
+    f"context chunk (budget {_CC_BUDGET}) it lands in — the manifest "
+    "a dataloader needs to map chunks back to documents and the "
+    "boundary-fragmentation audit (n_chunks > 1 = doc crosses a "
+    "window).  Scale shape: the global running sum is NOT a "
+    "single-partition window — doc_ids bucket by an order-consistent "
+    f"prefix (DIV {_CC_BUCKET}), per-bucket totals aggregate "
+    "map-side (O(n_docs/bucket) rows), their exclusive running sum "
+    "over the tiny bucket frame broadcasts back, and the heavy "
+    "window runs partitioned by bucket — the o1_multikey_sort_rank "
+    "bucket-offset machinery applied to prefix sums.  All integer "
+    "arithmetic; both engines truncate identical nonnegative "
+    "divisions.",
+)
+def pack_concat_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..extensions.textstats import token_count_cols
+
+    docs = load_table(spark, "documents", sf_dir)
+    d = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        token_count_cols(F.col("text"))["n_tokens"].alias("n_tokens"),
+        F.expr(f"doc_id DIV {_CC_BUCKET}").alias("__b"),
+    )
+    # exclusive running offset of each BUCKET over the tiny bucket frame
+    bucket_tot = d.groupBy("__b").agg(F.sum("n_tokens").alias("__bt"))
+    wb = W.orderBy("__b").rowsBetween(W.unboundedPreceding, -1)
+    bucket_off = bucket_tot.select(
+        "__b", F.coalesce(F.sum("__bt").over(wb), F.lit(0)).alias("__boff")
+    )
+    # within-bucket exclusive running sum: parallel across buckets
+    ww = W.partitionBy("__b").orderBy("doc_id").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    o = (
+        d.join(F.broadcast(bucket_off), "__b")
+        .withColumn(
+            "tok_offset",
+            F.col("__boff") + F.coalesce(F.sum("n_tokens").over(ww), F.lit(0)),
+        )
+    )
+    first = F.expr(f"tok_offset DIV {_CC_BUDGET}")
+    last = F.expr(f"(tok_offset + n_tokens - 1) DIV {_CC_BUDGET}")
+    return o.select(
+        "doc_id",
+        "n_tokens",
+        F.col("tok_offset").cast("long").alias("tok_offset"),
+        first.cast("long").alias("first_chunk"),
+        last.cast("long").alias("last_chunk"),
+        (last - first + 1).cast("long").alias("n_chunks"),
+    )

@@ -529,3 +529,40 @@ def test_eval_kmeans_silhouette_replay(spark, sf_dir):
         assert 0.0 <= r.silhouette < 1.0
     # the corpus is near-isotropic: plenty of boundary points
     assert any(r.silhouette < 0.5 for r in rows.values())
+
+
+def test_pack_concat_chunks_replay(spark, tmp_path):
+    """Bucket-offset prefix sums == a sequential Python replay on a
+    planted corpus spanning multiple offset buckets (sparse,
+    non-contiguous doc_ids), and chunk identities hold: every token
+    position is covered exactly once, fragmentation flags are right."""
+    from pyspark.sql import Row
+
+    from greenbuttonengine_spark.plans import wave22_queries as w22
+    from greenbuttonengine_spark.plans.registry import QUERIES
+
+    # doc_ids straddle three DIV-4096 buckets, with gaps
+    ids = [0, 1, 5, 4095, 4096, 4097, 9000, 12288]
+    texts = {i: " ".join("w" for _ in range((i % 7) * 900 + 1)) for i in ids}
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=t, lang="en", source="s", n_chars=len(t))
+         for i, t in texts.items()]
+    )
+    d = str(tmp_path / "sfcc")
+    docs.write.parquet(f"{d}/documents.parquet")
+    got = {r.doc_id: r for r in
+           QUERIES["pack_concat_chunks"].fn(spark, d).collect()}
+
+    B = w22._CC_BUDGET
+    off = 0
+    for i in sorted(ids):
+        n = len(texts[i].split())
+        r = got[i]
+        assert (r.n_tokens, r.tok_offset) == (n, off), (i, r)
+        assert r.first_chunk == off // B
+        assert r.last_chunk == (off + n - 1) // B
+        assert r.n_chunks == r.last_chunk - r.first_chunk + 1
+        off += n
+    # exact coverage: offsets tile [0, total) with no gap or overlap
+    assert sorted(r.tok_offset for r in got.values())[0] == 0
+    assert sum(r.n_tokens for r in got.values()) == off
