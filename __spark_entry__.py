@@ -52,6 +52,7 @@ def _registry():
     from greenbuttonengine_spark.plans import wave20_queries  # noqa: F401
     from greenbuttonengine_spark.plans import wave21_queries  # noqa: F401
     from greenbuttonengine_spark.plans import wave22_queries  # noqa: F401
+    from greenbuttonengine_spark.plans import wave23_queries  # noqa: F401
 
     return registry
 

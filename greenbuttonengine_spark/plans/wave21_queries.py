@@ -297,7 +297,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     WINDOW ord AS (ORDER BY j ROWS BETWEEN UNBOUNDED PRECEDING
                    AND CURRENT ROW)
     """,
-    tags=("textstats", "corpus"),
+    tags=("textstats", "corpus", "tiny-global-window"),
     doc="Heaps-law vocabulary-growth curve: for doc-id checkpoints "
     "2^j, the cumulative (docs, tokens, DISTINCT vocabulary) seen so "
     "far — the curve V(N) ~ K*N^beta a tokenizer team reads before "

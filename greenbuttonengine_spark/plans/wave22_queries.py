@@ -161,14 +161,16 @@ _CC_BUCKET = 4096  # docs per offset bucket (order-consistent doc_id prefix)
                    AS tok_offset
         FROM d
     )
-    SELECT doc_id, n_tokens, tok_offset,
-           tok_offset // {_CC_BUDGET} AS first_chunk,
-           (tok_offset + n_tokens - 1) // {_CC_BUDGET} AS last_chunk,
-           (tok_offset + n_tokens - 1) // {_CC_BUDGET}
-               - tok_offset // {_CC_BUDGET} + 1 AS n_chunks
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(tok_offset AS BIGINT) AS tok_offset,
+           CAST(tok_offset // {_CC_BUDGET} AS BIGINT) AS first_chunk,
+           CAST((tok_offset + n_tokens - 1) // {_CC_BUDGET} AS BIGINT)
+               AS last_chunk,
+           CAST((tok_offset + n_tokens - 1) // {_CC_BUDGET}
+               - tok_offset // {_CC_BUDGET} + 1 AS BIGINT) AS n_chunks
     FROM o
     """,
-    tags=("lm", "packing"),
+    tags=("lm", "packing", "tiny-global-window"),
     doc="Concat-and-chunk sequence packing — the GPT-style trainer "
     "layout (concatenate all docs in a deterministic order, slice "
     "into fixed context windows) that complements the FFD bin packer "
