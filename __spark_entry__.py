@@ -53,6 +53,7 @@ def _registry():
     from greenbuttonengine_spark.plans import wave21_queries  # noqa: F401
     from greenbuttonengine_spark.plans import wave22_queries  # noqa: F401
     from greenbuttonengine_spark.plans import wave23_queries  # noqa: F401
+    from greenbuttonengine_spark.plans import wave24_queries  # noqa: F401
 
     return registry
 
