@@ -7,9 +7,9 @@ Corpora:
   /tmp/scale100_minhash  500k docs (bijective char substitution; the
                          char-shingle-safe corpus) built by
                          scale100_minhash.py
-  /tmp/scale100_events   6M events / 1M users (fresh event_id + user_id
-                         per replica so per-user fan-out stays constant)
-                         built here
+  /tmp/scale100_events   10M events / 150k users (fresh event_id +
+                         user_id per replica so per-user fan-out stays
+                         constant) built here
 
 Usage: python tools/scale100_round11.py
 """
@@ -102,10 +102,10 @@ def main() -> None:
           run_query("eval_split_leakage", CHARS))
     timed("eval_minhash_precision @500k docs (Caesar corpus)",
           run_query("eval_minhash_precision", CHARS))
-    # event-stream ops on the 6M-event / 1M-user replica corpus
-    timed("assoc_rules_events @6M events / 1M users",
+    # event-stream ops on the 10M-event / 150k-user replica corpus
+    timed("assoc_rules_events @10M events / 150k users",
           run_query("assoc_rules_events", str(EVENTS)))
-    timed("ts3_ohlc_daily @6M events",
+    timed("ts3_ohlc_daily @10M events",
           run_query("ts3_ohlc_daily", str(EVENTS)))
 
 
