@@ -55,6 +55,7 @@ def _registry():
     from greenbuttonengine_spark.plans import wave23_queries  # noqa: F401
     from greenbuttonengine_spark.plans import wave24_queries  # noqa: F401
     from greenbuttonengine_spark.plans import wave25_queries  # noqa: F401
+    from greenbuttonengine_spark.plans import wave26_queries  # noqa: F401
 
     return registry
 
