@@ -56,6 +56,7 @@ def _registry():
     from greenbuttonengine_spark.plans import wave24_queries  # noqa: F401
     from greenbuttonengine_spark.plans import wave25_queries  # noqa: F401
     from greenbuttonengine_spark.plans import wave26_queries  # noqa: F401
+    from greenbuttonengine_spark.plans import wave27_queries  # noqa: F401
 
     return registry
 
@@ -107,7 +108,11 @@ _DRIVER_CHECKED = frozenset(
         "text_bigram_topk", "dedup_keeper_decisions", "text_chunk_docs",
         "text_pii_scan", "corpus_length_histogram", "corpus_source_report",
         "decontam_ngram_overlap", "sample_temperature_lang", "dedup_incremental",
-        "pipeline_training_mix", "sample_train_val_test", "sample_eval_per_lang",
+        "pipeline_training_mix", "sample_eval_per_lang",
+        # sample_train_val_test moved OUT in r12: its oracle now comes
+        # from the shared split_case_oracle_sql builder (pmod-exact key
+        # reduction), so the changed oracle re-verifies as oracle-new
+        # alongside eval_split_leakage / lm_heldout_surprisal
         "embedding_label_centroids", "multimodal_hist_verify",
         "text_postings_stats", "text_tfidf_topk", "search_bm25_topk",
         "search_hybrid_rrf", "arr1_array_functions", "arr2_posexplode",
@@ -186,6 +191,23 @@ _DRIVER_CHECKED = frozenset(
         "dedup_incremental_near", "pipeline_learned_quality",
         "pipeline_rag_index", "lm_bpe_train",
         "approx_sketch_aggregates", "approx_set_overlap_kmv",
+        # r11 greens (50/50 gate: 23 first-time waves 20-26 + 27 rotated
+        # re-checks already listed above).  Six r11 greens stay OUT
+        # because their oracles changed in r12 and must re-verify as
+        # oracle-new rows first: eval_minhash_precision (sampled
+        # candidate set is now the declared form), eval_quality_
+        # calibration (bin 0 reserved for margin 0), drift_tvd_sources
+        # + corpus_diversity_indices (degenerate 0/0 guards),
+        # eval_split_leakage + lm_heldout_surprisal (shared pmod-exact
+        # split-CASE builder).
+        "pack_sequences_docs", "lm_bpe_tokenize_stats",
+        "eval_pq_recall_trained", "attribution_interval_join",
+        "lm_kneser_ney_bigram", "graph_triangle_count",
+        "corpus_heaps_curve", "eval_kmeans_silhouette",
+        "pack_concat_chunks", "approx_cms_heavy_hitters",
+        "sample_systematic_pps", "assoc_rules_events",
+        "lm_stupid_backoff_trigram", "eval_retrieval_ndcg",
+        "ts3_ohlc_daily", "graph_link_prediction", "text_readability",
     }
 )
 

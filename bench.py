@@ -50,7 +50,35 @@ HEADLINE = [
 ]
 
 
+def _load_stamp() -> dict:
+    """Machine-load snapshot (/proc/loadavg + cumulative steal/total
+    jiffies).  This box's single-shot timings swing 1.1-2.6x with
+    ambient load (BASELINE.md), and three separate rounds have burned
+    an investigation proving an apparent regression was interference —
+    stamping load into the bench JSON makes the driver artifact
+    self-diagnosing (r11 VERDICT)."""
+    out: dict = {}
+    try:
+        with open("/proc/loadavg") as fh:
+            la = fh.read().split()
+        out["loadavg_1m"] = float(la[0])
+        out["loadavg_5m"] = float(la[1])
+    except (OSError, ValueError, IndexError):
+        pass
+    try:
+        with open("/proc/stat") as fh:
+            cpu = fh.readline().split()
+        vals = [int(x) for x in cpu[1:]]
+        out["cpu_total_jiffies"] = sum(vals)
+        if len(vals) > 7:
+            out["cpu_steal_jiffies"] = vals[7]
+    except (OSError, ValueError):
+        pass
+    return out
+
+
 def main() -> None:
+    load_start = _load_stamp()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     n_trials = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "5")))
@@ -159,6 +187,19 @@ def main() -> None:
         out["espi_files_per_sec"] = espi_files_per_sec
         out["espi_files_per_sec_median"] = espi_files_per_sec_median
         out["espi_multifile_n"] = n_files
+    load_end = _load_stamp()
+    if "loadavg_1m" in load_start:
+        out["loadavg_start"] = [load_start["loadavg_1m"], load_start["loadavg_5m"]]
+    if "loadavg_1m" in load_end:
+        out["loadavg_end"] = [load_end["loadavg_1m"], load_end["loadavg_5m"]]
+    dt = load_end.get("cpu_total_jiffies", 0) - load_start.get(
+        "cpu_total_jiffies", 0
+    )
+    if dt > 0 and "cpu_steal_jiffies" in load_end:
+        ds = load_end["cpu_steal_jiffies"] - load_start.get(
+            "cpu_steal_jiffies", 0
+        )
+        out["cpu_steal_pct"] = round(100.0 * ds / dt, 3)
     print(json.dumps(out))
     spark.stop()
 

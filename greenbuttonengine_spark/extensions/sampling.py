@@ -38,6 +38,39 @@ def hash_bucket(key: Column, buckets: int = _BUCKETS) -> Column:
     return F.pmod(F.shiftright(mixed, 16), F.lit(buckets).cast("long"))
 
 
+def split_case_oracle_sql(
+    key_expr: str = "doc_id",
+    val_rate: float = 0.05,
+    test_rate: float = 0.05,
+    buckets: int = _BUCKETS,
+    indent: int = 15,
+) -> str:
+    """DuckDB fragment of :func:`assign_splits`' split CASE, generated
+    from the SAME val_rate/test_rate/buckets literals the Spark
+    assigner uses — one source of truth, so a rate or bucket-count
+    change can never silently leave an oracle encoding the old split
+    (r11 ADVICE).  The key reduction uses the pmod-exact form
+    ``((k % m) + m) % m``: DuckDB's ``%`` truncates toward zero while
+    :func:`hash_bucket` uses ``F.pmod``, so a negative key would
+    otherwise diverge (synthetic keys are non-negative today, but the
+    shared fragment must not depend on that).  ``indent`` aligns the
+    continuation lines with the embedding oracle's layout."""
+    val_hi = int(round(val_rate * buckets))
+    test_hi = val_hi + int(round(test_rate * buckets))
+    pad = " " * indent
+    b = (
+        f"(((({key_expr} % 2147483648) + 2147483648) % 2147483648)"
+        f" * 1103515245 + 12345) // 65536 % {buckets}"
+    )
+    return (
+        f"CASE WHEN {b}\n"
+        f"{pad}          < {val_hi} THEN 'val'\n"
+        f"{pad}     WHEN {b}\n"
+        f"{pad}          < {test_hi} THEN 'test'\n"
+        f"{pad}     ELSE 'train' END AS split"
+    )
+
+
 def sample_stratified(
     df: DataFrame,
     rates: dict[str, float],

@@ -1403,27 +1403,33 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "sample_train_val_test",
-    """
+def _split_summary_oracle_sql() -> str:
+    from ..extensions.sampling import split_case_oracle_sql
+
+    return f"""
     SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(MIN(doc_id) AS BIGINT) AS min_id,
            CAST(MAX(doc_id) AS BIGINT) AS max_id
     FROM (
         SELECT doc_id,
-               CASE WHEN ((doc_id % 2147483648) * 1103515245 + 12345)
-                         // 65536 % 10000 < 500 THEN 'val'
-                    WHEN ((doc_id % 2147483648) * 1103515245 + 12345)
-                         // 65536 % 10000 < 1000 THEN 'test'
-                    ELSE 'train' END AS split
+               {split_case_oracle_sql(indent=15)}
         FROM documents
     ) GROUP BY split
-    """,
+    """
+
+
+@register(
+    "sample_train_val_test",
+    _split_summary_oracle_sql(),
     tags=("sampling",),
     doc="Deterministic train/val/test assignment (90/5/5 by LCG bucket "
     "ranges of doc_id): same row -> same split on every engine, retry "
     "and backfill — no RNG leakage between splits. Scan-stage CASE; "
-    "the summary here is one tiny aggregate.",
+    "the summary here is one tiny aggregate.  The oracle's split CASE "
+    "is GENERATED from assign_splits' own rate/bucket literals "
+    "(sampling.split_case_oracle_sql) — shared with eval_split_leakage "
+    "and lm_heldout_surprisal so the three oracles can never drift "
+    "from the assigner or from each other.",
 )
 def sample_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..extensions.sampling import assign_splits

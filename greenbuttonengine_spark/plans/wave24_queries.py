@@ -335,9 +335,11 @@ _DIV_TOPK = 100
     SELECT agg.lang, agg.n_tokens, agg.vocab_size,
            CAST(agg.vocab_size AS DOUBLE) / CAST(agg.n_tokens AS DOUBLE)
                AS ttr,
-           CAST(agg.simpson_num AS DOUBLE)
-               / (CAST(agg.n_tokens AS DOUBLE)
-                  * CAST(agg.n_tokens - 1 AS DOUBLE)) AS simpson_repeat,
+           CASE WHEN agg.n_tokens <= 1 THEN 0.0
+                ELSE CAST(agg.simpson_num AS DOUBLE)
+                    / (CAST(agg.n_tokens AS DOUBLE)
+                       * CAST(agg.n_tokens - 1 AS DOUBLE))
+                END AS simpson_repeat,
            CAST(top.top_n AS DOUBLE) / CAST(agg.n_tokens AS DOUBLE)
                AS top100_share,
            CAST(herf.h_num AS DOUBLE)
@@ -352,7 +354,8 @@ _DIV_TOPK = 100
     "Simpson repeat probability sum n(n-1)/(N(N-1)) (chance two "
     "random token draws are the same type — the concentration dual "
     "of entropy, computable EXACTLY from integer counts where "
-    "Shannon entropy's p*log p is not cross-engine-stable), top-100 "
+    "Shannon entropy's p*log p is not cross-engine-stable; a 1-token "
+    "language's 0/0 is guarded to 0.0 on both engines), top-100 "
     "token mass share, and a Herfindahl concentration index of "
     "char mass across sources (near 1 = the language is effectively "
     "single-source — a diversity red flag no per-source row count "
@@ -397,10 +400,14 @@ def corpus_diversity_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_tokens",
             "vocab_size",
             (F.col("vocab_size").cast("double") / nt).alias("ttr"),
-            (
+            # a 1-token language makes N(N-1) = 0 and the numerator 0:
+            # guard the 0/0 (same class of edge as drift_tvd_sources)
+            F.when(F.col("n_tokens") <= 1, F.lit(0.0))
+            .otherwise(
                 F.col("simpson_num").cast("double")
                 / (nt * (F.col("n_tokens") - 1).cast("double"))
-            ).alias("simpson_repeat"),
+            )
+            .alias("simpson_repeat"),
             (F.col("top_n").cast("double") / nt).alias("top100_share"),
             (F.col("h_num").cast("double") / (cl * cl)).alias("src_herfindahl"),
         )
@@ -414,16 +421,13 @@ def corpus_diversity_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _leakage_oracle_sql() -> str:
     from ..extensions.dedup import minhash_seeded_pair_ctes
+    from ..extensions.sampling import split_case_oracle_sql
 
     return f"""
     WITH {minhash_seeded_pair_ctes(threshold=0.0)},
     s AS (
         SELECT doc_id,
-               CASE WHEN ((doc_id % 2147483648) * 1103515245 + 12345)
-                         // 65536 % 10000 < 500 THEN 'val'
-                    WHEN ((doc_id % 2147483648) * 1103515245 + 12345)
-                         // 65536 % 10000 < 1000 THEN 'test'
-                    ELSE 'train' END AS split
+               {split_case_oracle_sql(indent=15)}
         FROM documents
     )
     SELECT sa.split AS split_a, sb.split AS split_b,

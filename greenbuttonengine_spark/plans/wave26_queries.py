@@ -20,16 +20,13 @@ from ..sources.catalog import load_table
 from .registry import register
 
 
-@register(
-    "lm_heldout_surprisal",
-    r"""
+def _heldout_oracle_sql() -> str:
+    from ..extensions.sampling import split_case_oracle_sql
+
+    return rf"""
     WITH s AS (
         SELECT doc_id, text,
-               CASE WHEN ((doc_id % 2147483648) * 1103515245 + 12345)
-                         // 65536 % 10000 < 500 THEN 'val'
-                    WHEN ((doc_id % 2147483648) * 1103515245 + 12345)
-                         // 65536 % 10000 < 1000 THEN 'test'
-                    ELSE 'train' END AS split
+               {split_case_oracle_sql(indent=15)}
         FROM documents
     ),
     w AS (
@@ -57,7 +54,12 @@ from .registry import register
     CROSS JOIN n
     WHERE v.split = 'val' AND v.w <> ''
     GROUP BY v.doc_id
-    """,
+    """
+
+
+@register(
+    "lm_heldout_surprisal",
+    _heldout_oracle_sql(),
     tags=("textstats", "lm", "eval", "tiny-bnlj"),
     doc="Held-out unigram surprisal: validation-split docs scored "
     "under counts estimated ONLY from the train split (LCG doc-level "

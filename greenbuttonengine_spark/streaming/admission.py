@@ -55,6 +55,40 @@ def _read_store(
     return spark.createDataFrame([], schema)
 
 
+def admission_decision(
+    batch: DataFrame, store: DataFrame, materialize: bool = False
+) -> tuple[DataFrame, DataFrame]:
+    """The per-micro-batch admission decision of
+    :func:`start_admission_stream`, as a pure frame transform:
+    ``(accepted_ids, accepted_rows)`` for a new batch against the
+    persistent fingerprint store.
+
+    ``accepted_ids`` is (doc_id, fingerprint) of the admitted docs —
+    what the stream appends to the store; ``accepted_rows`` is the
+    batch rows that may land in the corpus.  The (doc_id, fingerprint)
+    semi-join (not doc_id alone) matters when a batch carries two
+    different texts under one doc_id: only the row whose fingerprint
+    was actually accepted may land.
+
+    ``materialize=True`` localCheckpoints the verdict ids — the stream
+    passes it because the ids feed two writes (otherwise each write
+    re-reads the store and re-runs the join/window); the batch-parity
+    oracle query leaves the plan lazy."""
+    from ..extensions.textstats import fingerprint_col
+
+    verdicts = incremental_dedup(batch, store)
+    accepted_ids = verdicts.filter(F.col("verdict") == "accept").select(
+        "doc_id", "fingerprint"
+    )
+    if materialize:
+        accepted_ids = accepted_ids.localCheckpoint()
+    keyed = batch.withColumn("fingerprint", fingerprint_col(F.col("text")))
+    accepted = keyed.join(
+        accepted_ids, ["doc_id", "fingerprint"], "left_semi"
+    ).drop("fingerprint")
+    return accepted_ids, accepted
+
+
 def start_admission_stream(
     spark: SparkSession,
     drop_dir: str,
@@ -71,24 +105,11 @@ def start_admission_stream(
     def admit(batch: DataFrame, epoch_id: int) -> None:
         if not batch.columns:
             return
-        from ..extensions.textstats import fingerprint_col
-
         sess = batch.sparkSession
-        # incremental_dedup distincts its store side itself; the verdict
-        # pipeline feeds two writes, so materialize it ONCE (otherwise
-        # each write re-reads the store and re-runs the join/window)
         store = _read_store(sess, store_dir)
-        verdicts = incremental_dedup(batch, store)
-        accepted_ids = verdicts.filter(F.col("verdict") == "accept").select(
-            "doc_id", "fingerprint"
-        ).localCheckpoint()
-        # join on (doc_id, fingerprint), not doc_id alone: if a batch
-        # carries two different texts under one doc_id, only the row
-        # whose fingerprint was actually accepted may land
-        keyed = batch.withColumn("fingerprint", fingerprint_col(F.col("text")))
-        accepted = keyed.join(
-            accepted_ids, ["doc_id", "fingerprint"], "left_semi"
-        ).drop("fingerprint")
+        accepted_ids, accepted = admission_decision(
+            batch, store, materialize=True
+        )
         accepted.write.mode("append").parquet(accepted_dir)
         accepted_ids.select("fingerprint").write.mode("append").parquet(store_dir)
 

@@ -186,6 +186,81 @@ def read_current(spark: SparkSession, table_dir: str, schema) -> DataFrame:
     )
 
 
+def cdc_merge_keepers(
+    batch_b: DataFrame,
+    current: DataFrame,
+    data_cols: list[str],
+    key_cols: list[str],
+    seq_col: str,
+    epoch_id: int,
+    op_col: str | None = None,
+    tombstone_retention_epochs: int | None = None,
+) -> DataFrame:
+    """The per-key keeper election at the heart of the silver MERGE —
+    a pure frame transform so the SAME code runs under the streaming
+    foreachBatch (:func:`apply_cdc_batch`) and under the batch-parity
+    oracle gate (plans/wave27_queries.py streaming_silver_upsert).
+
+    ``batch_b`` is the incoming micro-batch (data columns + __bucket +
+    optional ``op_col``); ``current`` is the stored state of the
+    affected buckets (data columns + __bucket + __deleted +
+    __del_epoch).  Returns the merged bucket contents: per key the
+    winning row under (seq desc, batch-beats-stored, delete-beats-
+    update), with tombstones carried as ``__deleted``/``__del_epoch``.
+    """
+    from pyspark.sql.window import Window
+
+    # NULL / missing op defaults to UPDATE explicitly (CDC feeds
+    # commonly omit the op on plain upserts).  Without the
+    # coalesce, a NULL-op winner stored __deleted = (NULL == 'd')
+    # = NULL — an undefined state the r5 form happened to drop and
+    # the r6 tombstone path would have read back as live.
+    op = F.coalesce(F.col(op_col), F.lit("u")) if op_col else F.lit("u")
+    b_norm = batch_b.withColumn("__op", op).select(
+        *data_cols, "__bucket", "__op", F.lit(1).alias("__prio"),
+        F.when(F.col("__op") == "d", F.lit(epoch_id))
+        .otherwise(F.lit(None)).cast("long").alias("__del_epoch"),
+    )
+    stored_deleted = F.coalesce(F.col("__deleted"), F.lit(False))
+    c_norm = current.select(
+        *data_cols, "__bucket",
+        F.when(stored_deleted, F.lit("d")).otherwise(F.lit("u")).alias("__op"),
+        F.lit(0).alias("__prio"), F.col("__del_epoch"),
+    )
+    if tombstone_retention_epochs is not None:
+        # an expired tombstone stops shielding its key: drop it
+        # BEFORE the merge window so state stays bounded
+        c_norm = c_norm.filter(
+            ~(
+                (F.col("__op") == "d")
+                & (F.col("__del_epoch")
+                   <= F.lit(epoch_id - tombstone_retention_epochs))
+            )
+        )
+    # total order: highest seq wins; at equal seq the batch beats
+    # stored state (__prio); a batch carrying BOTH an update and a
+    # delete at the same seq resolves deterministically to the
+    # DELETE ('d' < 'u', ascending puts it first) — the
+    # conservative read of an ambiguous producer, and immune to
+    # partition-order / task-retry nondeterminism.
+    rn = F.row_number().over(
+        Window.partitionBy(*key_cols).orderBy(
+            F.col(seq_col).desc(), F.col("__prio").desc(),
+            F.col("__op").asc(),
+        )
+    )
+    return (
+        b_norm.unionByName(c_norm)
+        .withColumn("__rn", rn)
+        .filter(F.col("__rn") == 1)
+        .select(
+            *data_cols, "__bucket",
+            (F.col("__op") == "d").alias("__deleted"),
+            "__del_epoch",
+        )
+    )
+
+
 def apply_cdc_batch(
     batch: DataFrame,
     table_dir: str,
@@ -207,59 +282,13 @@ def apply_cdc_batch(
     shielding once it is that many epochs old (bounded state, same
     trade as Delta's tombstone retention); the default ``None`` keeps
     tombstones forever (one skinny row per deleted key)."""
-    from pyspark.sql.window import Window
-
     data_cols = [f.name for f in schema.fields]
 
     def merge(batch_b: DataFrame, current: DataFrame) -> DataFrame:
-        # NULL / missing op defaults to UPDATE explicitly (CDC feeds
-        # commonly omit the op on plain upserts).  Without the
-        # coalesce, a NULL-op winner stored __deleted = (NULL == 'd')
-        # = NULL — an undefined state the r5 form happened to drop and
-        # the r6 tombstone path would have read back as live.
-        op = F.coalesce(F.col(op_col), F.lit("u")) if op_col else F.lit("u")
-        b_norm = batch_b.withColumn("__op", op).select(
-            *data_cols, "__bucket", "__op", F.lit(1).alias("__prio"),
-            F.when(F.col("__op") == "d", F.lit(epoch_id))
-            .otherwise(F.lit(None)).cast("long").alias("__del_epoch"),
-        )
-        stored_deleted = F.coalesce(F.col("__deleted"), F.lit(False))
-        c_norm = current.select(
-            *data_cols, "__bucket",
-            F.when(stored_deleted, F.lit("d")).otherwise(F.lit("u")).alias("__op"),
-            F.lit(0).alias("__prio"), F.col("__del_epoch"),
-        )
-        if tombstone_retention_epochs is not None:
-            # an expired tombstone stops shielding its key: drop it
-            # BEFORE the merge window so state stays bounded
-            c_norm = c_norm.filter(
-                ~(
-                    (F.col("__op") == "d")
-                    & (F.col("__del_epoch")
-                       <= F.lit(epoch_id - tombstone_retention_epochs))
-                )
-            )
-        # total order: highest seq wins; at equal seq the batch beats
-        # stored state (__prio); a batch carrying BOTH an update and a
-        # delete at the same seq resolves deterministically to the
-        # DELETE ('d' < 'u', ascending puts it first) — the
-        # conservative read of an ambiguous producer, and immune to
-        # partition-order / task-retry nondeterminism.
-        rn = F.row_number().over(
-            Window.partitionBy(*key_cols).orderBy(
-                F.col(seq_col).desc(), F.col("__prio").desc(),
-                F.col("__op").asc(),
-            )
-        )
-        return (
-            b_norm.unionByName(c_norm)
-            .withColumn("__rn", rn)
-            .filter(F.col("__rn") == 1)
-            .select(
-                *data_cols, "__bucket",
-                (F.col("__op") == "d").alias("__deleted"),
-                "__del_epoch",
-            )
+        return cdc_merge_keepers(
+            batch_b, current, data_cols, key_cols, seq_col, epoch_id,
+            op_col=op_col,
+            tombstone_retention_epochs=tombstone_retention_epochs,
         )
 
     cow_apply_batch(

@@ -115,11 +115,15 @@ def test_minhash_precision_exact_jaccard_planted(spark, tmp_path):
     from greenbuttonengine_spark.plans.registry import QUERIES
 
     base = "the quick brown fox jumps over the lazy dog " * 8
+    # the near-dup is planted at ids (0, 3): the declared query keeps a
+    # deterministic LCG sample of candidate PAIRS, and (0, 3) is in the
+    # kept set while e.g. (0, 1) is not — the planted pair must both
+    # band-collide AND survive the sample to appear
     texts = [
         base,
-        base + "tail",  # near-identical to doc 0
         "completely different content about spark engines " * 8,
         "unrelated third document with its own words " * 8,
+        base + "tail",  # near-identical to doc 0
     ]
     docs = spark.createDataFrame(
         [Row(doc_id=i, text=t, lang="en", source="s", n_chars=len(t))
@@ -134,17 +138,23 @@ def test_minhash_precision_exact_jaccard_planted(spark, tmp_path):
         k = w23._MP_K
         return {_md5_32(t[i:i + k]) for i in range(max(len(t) - k + 1, 1))}
 
+    def pair_sampled(ia: int, ib: int) -> bool:
+        mixed = ((ia * 100003 + ib) % 2147483648) * 1103515245 + 12345
+        return (mixed >> 16) % 10000 < w23._MP_SAMPLE_BP
+
+    assert pair_sampled(0, 3) and not pair_sampled(0, 1)
     sets = [hset(t) for t in texts]
     got = {(r.id_a, r.id_b): r for r in rows}
-    assert (0, 1) in got, "planted near-dup pair not a candidate"
+    assert (0, 3) in got, "planted near-dup pair not a candidate"
     for (ia, ib), r in got.items():
+        assert pair_sampled(ia, ib), "unsampled pair leaked into the eval"
         inter = len(sets[ia] & sets[ib])
         union = len(sets[ia] | sets[ib])
         assert r.n_inter == inter
         assert r.n_union == union
         assert r.exact_jaccard == inter / union
         assert r.is_true_dup == (inter / union >= w23._MP_TRUE_J)
-    assert got[(0, 1)].is_true_dup
+    assert got[(0, 3)].is_true_dup
 
 
 def test_assoc_rules_match_bruteforce(spark, sf_dir):
@@ -197,9 +207,11 @@ def test_quality_calibration_partitions_corpus(spark, sf_dir):
         load_table(spark, "documents", sf_dir)).collect()
 
     def mbin(m: int) -> int:
+        # sign(m) * (ilog2(|m|) + 1); bin 0 reserved for margin 0, so
+        # margins -1 / +1 land in bins -1 / +1 (sign preserved)
         if m == 0:
             return 0
-        return m.bit_length() - 1 if m > 0 else -((-m).bit_length() - 1)
+        return m.bit_length() if m > 0 else -((-m).bit_length())
 
     want: dict[int, list] = {}
     for r in scored:
