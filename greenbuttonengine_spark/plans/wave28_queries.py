@@ -1,0 +1,224 @@
+"""Round-12 wave: cross-lingual bitext mining — the margin-based
+parallel-pair miner (Artetxe & Schwenk 2019, the CCMatrix/LASER
+recipe) and its hubness audit, the one curation family the inventory
+did not yet cover.  A multilingual training mix needs aligned pairs
+mined from comparable corpora; raw cosine over-selects "hub" vectors
+that are near everything, and the margin score (pair cosine divided by
+the mean cosine of each side's k-nearest neighborhood) is the standard
+correction.
+
+Cross-engine determinism: pair cosines come from the validated
+k-ordered kernel (bitwise-equal to DuckDB ``list_dot_product`` — see
+``dedup.embedding_cosine_pairs_blocked``); everything downstream is
+exact integer arithmetic.  Cosines are shifted by +2 and floored to
+1e-9 grid (``u_e9 = floor((cos + 2) * 1e9)``, always positive, so
+Spark's truncating ``div`` and DuckDB's flooring ``//`` agree), and
+the margin is the integer ratio ``u_e9 * 2k * 1e6 // (sum_topk_src +
+sum_topk_tgt)`` — a shifted-ratio margin: > 1e6 means the pair is
+closer than the average of its two k-neighborhoods, the hub-corrected
+acceptance test.  Ranking keys are total orders (u_e9 desc, id asc).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..extensions import dedup
+from ..sources.catalog import load_table
+from .registry import register
+
+_K = 4  # neighborhood size for the margin denominator
+_SHIFT_SQL = "CAST(floor((cosine + 2) * 1000000000) AS BIGINT)"
+
+
+def _cross_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(src_id even, tgt_id odd, u_e9) for every cross-parity vector
+    pair — the bipartite cosine table both wave-28 queries score.
+
+    The exact tier reuses the triangle block kernel (threshold -1
+    keeps every pair) and filters to cross-parity rows after the
+    Arrow stage; same-parity pairs are computed and dropped — a 2x
+    FLOP overhead the docstrings trade for reusing the validated
+    bitwise-stable kernel.  At 100 TB the pair table comes from the
+    ANN candidate generators instead (cell-pruned ``ann_ivf_topk`` /
+    banded ``ann_lsh_topk``) — margin scoring is oblivious to how
+    candidates were produced; this is the same exact-tier/scale-tier
+    split dedup_ngram_jaccard vs dedup_minhash_lsh documents.
+    """
+    emb = load_table(spark, "embeddings", sf_dir)
+    pairs = dedup.embedding_cosine_pairs_blocked(emb, threshold=-1.0)
+    a_even = F.pmod(F.col("id_a"), F.lit(2)) == 0
+    b_even = F.pmod(F.col("id_b"), F.lit(2)) == 0
+    return (
+        pairs.filter(a_even != b_even)
+        .select(
+            F.when(a_even, F.col("id_a")).otherwise(F.col("id_b")).alias("src_id"),
+            F.when(a_even, F.col("id_b")).otherwise(F.col("id_a")).alias("tgt_id"),
+            F.floor((F.col("cosine") + F.lit(2.0)) * F.lit(1000000000.0))
+            .cast("long")
+            .alias("u_e9"),
+        )
+    )
+
+
+_PAIRS_CTE = f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    p AS (
+        SELECT a.vec_id AS src_id, b.vec_id AS tgt_id,
+               list_dot_product(a.v, b.v)
+                   / (sqrt(list_dot_product(a.v, a.v))
+                      * sqrt(list_dot_product(b.v, b.v))) AS cosine
+        FROM e a JOIN e b
+          ON a.vec_id % 2 = 0 AND b.vec_id % 2 = 1
+    ),
+    u AS (SELECT src_id, tgt_id, {_SHIFT_SQL} AS u_e9 FROM p),
+    rk AS (
+        SELECT *,
+               ROW_NUMBER() OVER (PARTITION BY src_id
+                                  ORDER BY u_e9 DESC, tgt_id) AS rk_src,
+               ROW_NUMBER() OVER (PARTITION BY tgt_id
+                                  ORDER BY u_e9 DESC, src_id) AS rk_tgt
+        FROM u
+    )
+"""
+
+
+@register(
+    "mine_bitext_margin",
+    _PAIRS_CTE
+    + f""",
+    sa AS (SELECT src_id, SUM(u_e9) AS sum_src FROM rk
+           WHERE rk_src <= {_K} GROUP BY src_id),
+    sb AS (SELECT tgt_id, SUM(u_e9) AS sum_tgt FROM rk
+           WHERE rk_tgt <= {_K} GROUP BY tgt_id),
+    m AS (
+        SELECT u.src_id, u.tgt_id, u.u_e9,
+               (u.u_e9 * {2 * _K * 1000000}) // (sa.sum_src + sb.sum_tgt)
+                   AS margin_ppm
+        FROM u JOIN sa USING (src_id) JOIN sb USING (tgt_id)
+    ),
+    best AS (
+        SELECT *,
+               ROW_NUMBER() OVER (PARTITION BY src_id
+                   ORDER BY margin_ppm DESC, u_e9 DESC, tgt_id) AS rn_src,
+               ROW_NUMBER() OVER (PARTITION BY tgt_id
+                   ORDER BY margin_ppm DESC, u_e9 DESC, src_id) AS rn_tgt
+        FROM m
+    ),
+    tgt_best AS (SELECT tgt_id, src_id AS back_src FROM best WHERE rn_tgt = 1)
+    SELECT b.src_id, b.tgt_id,
+           CAST(b.u_e9 AS BIGINT) AS cos_shift_e9,
+           CAST(b.margin_ppm AS BIGINT) AS margin_ppm,
+           (tb.back_src = b.src_id) AS mutual,
+           (b.margin_ppm >= 1000000) AS above_mean
+    FROM best b JOIN tgt_best tb ON tb.tgt_id = b.tgt_id
+    WHERE b.rn_src = 1
+    """,
+    tags=("xlingual", "similarity", "all-pairs"),
+    doc="Margin-based bitext mining (Artetxe & Schwenk 2019 'ratio' "
+    "margin, the CCMatrix/LASER parallel-corpus recipe): even vec_ids "
+    "play the source-language side, odd the target side; each source "
+    "vector nominates its best target by margin = pair-similarity / "
+    "mean(top-4 neighborhood similarity of both endpoints), with "
+    "`mutual` marking pairs where the target's best source points "
+    "back (the paper's intersection strategy) and `above_mean` the "
+    "margin>1 acceptance test that suppresses hub matches raw cosine "
+    "would emit.  All scoring downstream of the bitwise-stable pair "
+    "cosines is exact integer arithmetic (shifted 1e-9-grid "
+    "similarities, integer-ratio margin in ppm).  Scale shape: pair "
+    "generation is the blocked triangle kernel at the exact tier "
+    "(Theta(n^2 d) spread over uniform hash-block tasks); the two "
+    "neighborhood sums are window ranks over the pair table "
+    "partitioned by each endpoint; sums join back by key.  At 100 TB "
+    "the pair table comes from the ANN candidate generators "
+    "(cell-pruned IVF / banded LSH) and everything after is "
+    "unchanged — margin scoring never needs the full cross product.",
+)
+def mine_bitext_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    u = _cross_pairs(spark, sf_dir)
+    w_src = W.partitionBy("src_id").orderBy(F.desc("u_e9"), "tgt_id")
+    w_tgt = W.partitionBy("tgt_id").orderBy(F.desc("u_e9"), "src_id")
+    rk = u.withColumn("rk_src", F.row_number().over(w_src)).withColumn(
+        "rk_tgt", F.row_number().over(w_tgt)
+    )
+    sa = (
+        rk.filter(F.col("rk_src") <= _K)
+        .groupBy("src_id")
+        .agg(F.sum("u_e9").alias("sum_src"))
+    )
+    sb = (
+        rk.filter(F.col("rk_tgt") <= _K)
+        .groupBy("tgt_id")
+        .agg(F.sum("u_e9").alias("sum_tgt"))
+    )
+    m = (
+        u.join(F.broadcast(sa), "src_id")
+        .join(F.broadcast(sb), "tgt_id")
+        .withColumn(
+            "margin_ppm",
+            F.expr(f"(u_e9 * {2 * _K * 1000000}L) div (sum_src + sum_tgt)"),
+        )
+    )
+    wb_src = W.partitionBy("src_id").orderBy(
+        F.desc("margin_ppm"), F.desc("u_e9"), "tgt_id"
+    )
+    wb_tgt = W.partitionBy("tgt_id").orderBy(
+        F.desc("margin_ppm"), F.desc("u_e9"), "src_id"
+    )
+    best = m.withColumn("rn_src", F.row_number().over(wb_src)).withColumn(
+        "rn_tgt", F.row_number().over(wb_tgt)
+    )
+    tgt_best = best.filter(F.col("rn_tgt") == 1).select(
+        "tgt_id", F.col("src_id").alias("back_src")
+    )
+    return (
+        best.filter(F.col("rn_src") == 1)
+        .join(F.broadcast(tgt_best), "tgt_id")
+        .select(
+            "src_id",
+            "tgt_id",
+            F.col("u_e9").cast("long").alias("cos_shift_e9"),
+            F.col("margin_ppm").cast("long").alias("margin_ppm"),
+            (F.col("back_src") == F.col("src_id")).alias("mutual"),
+            (F.col("margin_ppm") >= 1000000).alias("above_mean"),
+        )
+    )
+
+
+@register(
+    "xlingual_hubness_audit",
+    _PAIRS_CTE
+    + f"""
+    SELECT tgt_id,
+           CAST(COUNT(*) AS BIGINT) AS hub_count,
+           CAST(MAX(u_e9) AS BIGINT) AS max_cos_shift_e9
+    FROM rk WHERE rk_src <= {_K}
+    GROUP BY tgt_id
+    """,
+    tags=("xlingual", "similarity", "eval", "all-pairs"),
+    doc="Hubness audit for the bitext miner: for every target vector, "
+    "how many sources hold it in their raw-cosine top-4 (`hub_count`; "
+    "uniform expectation is k * |src| / |tgt| = 4) and its best "
+    "shifted similarity.  High-degree rows are the hub vectors — the "
+    "known high-dimensional pathology that makes raw-cosine mining "
+    "precision collapse and that mine_bitext_margin's denominator "
+    "normalizes away; this is the measurement query that says whether "
+    "the corpus needs margin correction at all (the eval-next-to-"
+    "approximation convention of eval_minhash_precision / "
+    "eval_pq_recall).  Same pair table and scale shape as the miner: "
+    "one window rank partitioned by source, one aggregate by target.",
+)
+def xlingual_hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    u = _cross_pairs(spark, sf_dir)
+    w_src = W.partitionBy("src_id").orderBy(F.desc("u_e9"), "tgt_id")
+    return (
+        u.withColumn("rk_src", F.row_number().over(w_src))
+        .filter(F.col("rk_src") <= _K)
+        .groupBy("tgt_id")
+        .agg(
+            F.count("*").cast("long").alias("hub_count"),
+            F.max("u_e9").cast("long").alias("max_cos_shift_e9"),
+        )
+    )

@@ -1,0 +1,118 @@
+"""Round-12 wave 28: margin-based bitext mining + hubness audit must
+agree with an independent brute-force numpy recompute (same shifted-
+integer arithmetic), not just the DuckDB oracle."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.usefixtures("spark")
+
+SF = "/root/testdata/sf0.001"
+K = 4
+
+
+def _queries():
+    import __spark_entry__
+
+    __spark_entry__._registry()
+
+    from greenbuttonengine_spark.plans.registry import QUERIES
+
+    return QUERIES
+
+
+@pytest.fixture(scope="module")
+def brute(spark):
+    """Brute-force margin table: {src: (tgt, u_e9, margin_ppm)} plus
+    the per-target best-source map and per-target hub counts."""
+    from greenbuttonengine_spark.sources.catalog import load_table
+
+    rows = load_table(spark, "embeddings", SF).select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    mat = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in rows])
+    # k-ordered accumulation to match the kernel's IEEE op sequence
+    d = mat.shape[1]
+    dots = np.zeros((len(ids), len(ids)))
+    for k in range(d):
+        dots += np.outer(mat[:, k], mat[:, k])
+    norms = np.sqrt(np.diag(dots).copy())
+    cos = dots / np.outer(norms, norms)
+    src_ids = ids[ids % 2 == 0]
+    tgt_ids = ids[ids % 2 == 1]
+    u = {}
+    for s in src_ids:
+        si = np.where(ids == s)[0][0]
+        for t in tgt_ids:
+            ti = np.where(ids == t)[0][0]
+            u[(s, t)] = int(math.floor((cos[si, ti] + 2.0) * 1e9))
+    sum_src = {
+        s: sum(sorted((u[(s, t)] for t in tgt_ids), reverse=True)[:K])
+        for s in src_ids
+    }
+    sum_tgt = {
+        t: sum(sorted((u[(s, t)] for s in src_ids), reverse=True)[:K])
+        for t in tgt_ids
+    }
+    margin = {
+        (s, t): (u[(s, t)] * 2 * K * 1000000) // (sum_src[s] + sum_tgt[t])
+        for (s, t) in u
+    }
+    best_src = {
+        s: max(tgt_ids, key=lambda t: (margin[(s, t)], u[(s, t)], -t))
+        for s in src_ids
+    }
+    best_tgt = {
+        t: max(src_ids, key=lambda s: (margin[(s, t)], u[(s, t)], -s))
+        for t in tgt_ids
+    }
+    hub: dict[int, int] = {}
+    for s in src_ids:
+        for t in sorted(tgt_ids, key=lambda t: (-u[(s, t)], t))[:K]:
+            hub[t] = hub.get(t, 0) + 1
+    return {
+        "u": u,
+        "margin": margin,
+        "best_src": best_src,
+        "best_tgt": best_tgt,
+        "hub": hub,
+        "n_src": len(src_ids),
+    }
+
+
+def test_miner_matches_bruteforce(spark, brute):
+    got = {r.src_id: r for r in _queries()["mine_bitext_margin"].fn(spark, SF).collect()}
+    assert set(got) == set(brute["best_src"])  # one row per even vec_id
+    for s, r in got.items():
+        assert r.src_id % 2 == 0 and r.tgt_id % 2 == 1
+        assert r.tgt_id == brute["best_src"][s]
+        assert r.cos_shift_e9 == brute["u"][(s, r.tgt_id)]
+        assert r.margin_ppm == brute["margin"][(s, r.tgt_id)]
+        assert r.mutual == (brute["best_tgt"][r.tgt_id] == s)
+        assert r.above_mean == (r.margin_ppm >= 1000000)
+
+
+def test_miner_margin_suppresses_hubs(spark, brute):
+    """The margin of a pair is bounded by 2k*1e6 * u / (u + ...): a
+    pair where BOTH endpoints have it as their sole strong neighbor
+    scores high; a hub target inflates sum_tgt and drags every margin
+    involving it down — check the arithmetic identity that implies."""
+    for (s, t), m in brute["margin"].items():
+        u = brute["u"][(s, t)]
+        # denominator contains u at most twice (once per side's top-k)
+        assert m <= (u * 2 * K * 1000000) // (2 * u)  # = k * 1e6
+
+
+def test_hubness_audit_matches_bruteforce(spark, brute):
+    got = {
+        r.tgt_id: r
+        for r in _queries()["xlingual_hubness_audit"].fn(spark, SF).collect()
+    }
+    assert set(got) == set(brute["hub"])
+    for t, r in got.items():
+        assert r.hub_count == brute["hub"][t]
+    # every source contributes exactly K nominations
+    assert sum(r.hub_count for r in got.values()) == K * brute["n_src"]
