@@ -157,14 +157,25 @@ _MP_TRUE_J = 0.8  # exact-Jaccard threshold defining a true duplicate
 # estimate stays unbiased (membership is a pure hash of (id_a, id_b),
 # independent of the Jaccard values being audited).
 _MP_SAMPLE_BP = 2500
+# Literal cap on sampled pairs: the exact-Jaccard leg is O(cap) FOREVER
+# — a rate alone still grows linearly with the candidate count (the
+# 100x re-measure of the rate-only form read ~117s, unchanged from the
+# all-candidates form, because candidates grow with the corpus).  The
+# cap is a seeded top-N (LCG key, then (id_a, id_b) tiebreak): a
+# uniform without-replacement sample whose membership both engines
+# replay exactly.
+_MP_SAMPLE_CAP = 8192
+
+
+def _pair_key_sql() -> str:
+    return (
+        "(((((id_a % 2147483648) * 100003 + (id_b % 2147483648))"
+        " % 2147483648) * 1103515245 + 12345) // 65536) % 10000"
+    )
 
 
 def _pair_sample_sql(rate_bp: int = _MP_SAMPLE_BP) -> str:
-    return (
-        f"(((((id_a % 2147483648) * 100003 + (id_b % 2147483648))"
-        f" % 2147483648) * 1103515245 + 12345) // 65536) % 10000"
-        f" < {rate_bp}"
-    )
+    return f"{_pair_key_sql()} < {rate_bp}"
 
 
 def _minhash_precision_oracle_sql() -> str:
@@ -173,7 +184,13 @@ def _minhash_precision_oracle_sql() -> str:
     )
     return f"""
     WITH {ctes},
-    sp AS (SELECT * FROM mh_pairs WHERE {_pair_sample_sql()}),
+    sp AS (
+        SELECT id_a, id_b, est_jaccard FROM (
+            SELECT mh.*, ROW_NUMBER() OVER (
+                ORDER BY {_pair_key_sql()}, id_a, id_b) AS srn
+            FROM mh_pairs mh WHERE {_pair_sample_sql()}
+        ) WHERE srn <= {_MP_SAMPLE_CAP}
+    ),
     sz AS (SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY doc_id),
     itx AS (
         SELECT p.id_a, p.id_b, COUNT(*) AS n_inter
@@ -212,12 +229,13 @@ def _minhash_precision_oracle_sql() -> str:
     "est-vs-exact error and false-positive rate are driver-visible "
     "before anyone deletes a document.  Scale shape: candidates come "
     "from the capped band join (never all-pairs), then a DETERMINISTIC "
-    f"{_MP_SAMPLE_BP / 100:.0f}% sample of candidate PAIRS (seeded LCG "
-    "of the (id_a, id_b) mix — the declared form now keeps the "
-    "docstring's 100 TB promise in code: the exact-Jaccard leg is a "
-    "bounded, tunable fraction of candidates, and the sampled pair "
-    "list stays broadcast-safe); the exact leg joins shingles ONLY "
-    "for sampled pairs — it is the eval, not the dedup path.",
+    f"{_MP_SAMPLE_BP / 100:.0f}% seeded-LCG sample of candidate PAIRS "
+    f"capped at a LITERAL {_MP_SAMPLE_CAP} pairs (seeded top-N on the "
+    "(id_a, id_b) mix — a without-replacement uniform sample, so the "
+    "exact-Jaccard leg is O(cap) at ANY corpus size and the pair list "
+    "is always broadcast-safe); only documents appearing in a sampled "
+    "pair are shingled (semi-join prune) — the eval leg never scans "
+    "the corpus the dedup path already processed.",
 )
 def eval_minhash_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..extensions.sampling import hash_bucket
@@ -230,9 +248,32 @@ def eval_minhash_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.pmod(F.col("id_a"), F.lit(2147483648)) * F.lit(100003)
         + F.pmod(F.col("id_b"), F.lit(2147483648))
     )
-    cand = cand.filter(hash_bucket(pairkey) < _MP_SAMPLE_BP)
+    # rate sample -> literal top-N cap (TakeOrderedAndProject: map-side
+    # partial top-N, no global sort), then an EAGER checkpoint: the
+    # <=cap-row sample feeds three consumers, two of them broadcast
+    # exchanges whose jobs Spark submits concurrently — a lazy
+    # checkpoint lets both race to compute the LSH generator (measured
+    # 2x the generator wall at 100x); eager materializes the tiny
+    # sample once, synchronously, before either broadcast starts.
+    cand = (
+        cand.withColumn("__sk", hash_bucket(pairkey))
+        .filter(F.col("__sk") < _MP_SAMPLE_BP)
+        .orderBy("__sk", "id_a", "id_b")
+        .limit(_MP_SAMPLE_CAP)
+        .drop("__sk")
+        .localCheckpoint(eager=True)
+    )
+    # shingle ONLY documents that appear in a sampled pair: the full-
+    # corpus distinct was the other half of the 117s (135M rows at
+    # 100x; the pruned set is O(cap) documents).
+    pair_ids = (
+        cand.select(F.col("id_a").alias("doc_id"))
+        .unionAll(cand.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
     sh = (
-        docs.select(
+        docs.join(F.broadcast(pair_ids), "doc_id", "left_semi")
+        .select(
             "doc_id", F.explode(_shingles("text", _MP_K, distinct=True)).alias("sh")
         )
         .select("doc_id", (md5_hash32(F.col("sh")) % F.lit(_MH_P)).alias("h0"))
