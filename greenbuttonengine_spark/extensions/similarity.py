@@ -38,6 +38,27 @@ def _norm(v):
     return F.sqrt(F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
 
 
+def _dot_unrolled(a, b, dim: int):
+    """Unrolled dot product for a dimension known at plan time: the
+    EXACT IEEE op sequence of the ``_dot`` HOF fold and of DuckDB's
+    ``list_dot_product`` — ((0.0 + a1*b1) + a2*b2) + ... — so values
+    are bitwise identical, but as a plain arithmetic chain the JVM
+    executes natively instead of the interpreted per-element lambda
+    binding of HigherOrderFunction evaluation (the ann_pq_adc lesson,
+    measured 52x there)."""
+    acc = F.lit(0.0)
+    for i in range(1, dim + 1):
+        acc = acc + F.element_at(a, i) * F.element_at(b, i)
+    return acc
+
+
+def _norm_unrolled(v, dim: int):
+    acc = F.lit(0.0)
+    for i in range(1, dim + 1):
+        acc = acc + F.element_at(v, i) * F.element_at(v, i)
+    return F.sqrt(acc)
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -227,6 +248,7 @@ def ivf_topk_seeded(
     n_probe: int = 4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """IVF approximate top-k with the seeded-sample coarse quantizer
     (``seeded_centroids``): assignment and probing rank by
@@ -239,7 +261,13 @@ def ivf_topk_seeded(
     whole query is deterministic integer+double arithmetic both
     engines reproduce bit-for-bit, so it carries a full DuckDB oracle
     instead of a rows-only row.  Same recall contract (pytest bounds
-    both against brute force)."""
+    both against brute force).
+
+    ``broadcast_queries=False`` lets the planner pick the cell-join
+    strategy instead of forcing a broadcast of the exploded probe
+    side — the right setting when queries ~ corpus (e.g. the bitext
+    miner at scale: probe side is n_queries x n_probe rows and no
+    longer driver-sized); values are identical either way."""
     seeds = seeded_centroids(corpus, n_centroids, vec_col, id_col)
     cell_scores = seeded_cell_scores(seeds)
 
@@ -255,7 +283,171 @@ def ivf_topk_seeded(
             )
         ).alias("cell"),
     )
-    return _score_and_rank(c.join(F.broadcast(q), "cell"), k)
+    # Per-ROW norms hoisted above the join (each was being re-folded
+    # per PAIR inside _score_and_rank), and the per-pair dot unrolled
+    # over the dim known from the collected seeds: same IEEE op
+    # sequence, so every cosine — and the oracle — is bit-identical,
+    # but the hot path is a codegen-able chain instead of three
+    # interpreted HOF folds per candidate pair.
+    dim = len(seeds[0][1])
+    c = c.withColumn("cnrm", _norm_unrolled(F.col("cv"), dim))
+    q = q.withColumn("qnrm", _norm_unrolled(F.col("qv"), dim))
+    probe_side = F.broadcast(q) if broadcast_queries else q
+    cos = _dot_unrolled(F.col("qv"), F.col("cv"), dim) / (
+        F.col("qnrm") * F.col("cnrm")
+    )
+    scored = (
+        c.join(probe_side, "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def ivf_topk_blocked(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """``ivf_topk_seeded`` re-expressed as an Arrow cell-matrix kernel
+    — bitwise-identical output, built for LARGE cell counts.
+
+    The expression form embeds every seed vector as plan literals
+    (n_centroids x dim terms per row expression); that is optimal for
+    the small-sf oracle operating point (16 cells: ~1k literals) but
+    the plan TREE grows linearly in cells and Catalyst optimization
+    superlinearly in tree size — at the hundreds-to-thousands of cells
+    a real corpus needs (cells ~ sqrt(n)), plan compilation itself
+    becomes the bottleneck (observed: 256 cells did not compile within
+    minutes).  Here the seeds live in a closure ndarray instead:
+
+    * assignment / probing: ``mapInPandas`` — per Arrow batch, one
+      k-ordered (dim-major) numpy accumulation against the seed
+      matrix, argmax (ties -> lowest cell, numpy's first-max) for the
+      corpus, stable top-``n_probe`` for queries — the exact IEEE op
+      sequence and tie order of the literal expressions;
+    * scoring: cogrouped ``applyInPandas`` per cell — the bipartite
+      block-matrix trick of ``embedding_cosine_pairs_blocked``: each
+      cell's query x corpus cosine matrix in one k-ordered numpy
+      accumulation, per-query top-k WITHIN the cell emitted (rows out
+      = queries x n_probe x k, linear — candidate pairs are never
+      materialized as rows);
+    * one final per-query window over the n_probe * k survivors.
+
+    Shuffle volume is corpus + queries x n_probe rows in, queries x
+    n_probe x k rows out.  pytest pins bitwise equality against the
+    expression form; the shared DuckDB oracle covers both."""
+    import numpy as np
+    import pandas as pd
+
+    seeds = seeded_centroids(corpus, n_centroids, vec_col, id_col)
+    seed_mat = np.array([v for _, v, _ in seeds], dtype=np.float64)  # (C, d)
+    seed_nrm = np.array([nrm for _, _, nrm in seeds], dtype=np.float64)
+    d = seed_mat.shape[1]
+
+    def _seq_norm(m):
+        acc = np.zeros(m.shape[0])
+        for j in range(d):
+            acc += m[:, j] * m[:, j]
+        return np.sqrt(acc)
+
+    def _seq_scores(m):  # (n, d) -> (n, C), k-ordered like the fold
+        acc = np.zeros((m.shape[0], seed_mat.shape[0]))
+        for j in range(d):
+            acc += np.outer(m[:, j], seed_mat[:, j])
+        return acc / seed_nrm
+
+    def _mat(pdf_col):
+        return np.stack([np.asarray(v, dtype=np.float64) for v in pdf_col])
+
+    def _assign(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            m = _mat(pdf["cv"])
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": pdf["neighbor_id"].astype("int64"),
+                    "cv": [list(v) for v in m],
+                    "cnrm": _seq_norm(m),
+                    # ties -> lowest cell: argmax returns the FIRST max
+                    "cell": np.argmax(_seq_scores(m), axis=1).astype("int32"),
+                }
+            )
+
+    def _probe(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            m = _mat(pdf["qv"])
+            # stable argsort of -score: score desc, ties -> lowest cell
+            order = np.argsort(-_seq_scores(m), axis=1, kind="stable")
+            top = order[:, :n_probe]
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(
+                        pdf["query_id"].to_numpy().astype("int64"), n_probe
+                    ),
+                    "qv": [list(v) for v in np.repeat(m, n_probe, axis=0)],
+                    "qnrm": np.repeat(_seq_norm(m), n_probe),
+                    "cell": top.reshape(-1).astype("int32"),
+                }
+            )
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv")
+    ).mapInPandas(_assign, "neighbor_id long, cv array<double>, cnrm double, cell int")
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
+    ).mapInPandas(_probe, "query_id long, qv array<double>, qnrm double, cell int")
+
+    def _score_cell(key, qpdf, cpdf):
+        if not len(qpdf) or not len(cpdf):
+            return pd.DataFrame(
+                {"query_id": [], "neighbor_id": [], "cosine": []}
+            ).astype({"query_id": "int64", "neighbor_id": "int64", "cosine": "float64"})
+        qm, cm = _mat(qpdf["qv"]), _mat(cpdf["cv"])
+        acc = np.zeros((len(qpdf), len(cpdf)))
+        for j in range(d):
+            acc += np.outer(qm[:, j], cm[:, j])
+        cos = acc / np.outer(qpdf["qnrm"].to_numpy(), cpdf["cnrm"].to_numpy())
+        qid = qpdf["query_id"].to_numpy().astype("int64")
+        nid = cpdf["neighbor_id"].to_numpy().astype("int64")
+        out_q, out_n, out_c = [], [], []
+        for i in range(len(qpdf)):
+            keep = nid != qid[i]
+            row_n, row_c = nid[keep], cos[i][keep]
+            order = np.lexsort((row_n, -row_c))[:k]  # cos desc, id asc
+            out_q.append(np.full(len(order), qid[i]))
+            out_n.append(row_n[order])
+            out_c.append(row_c[order])
+        return pd.DataFrame(
+            {
+                "query_id": np.concatenate(out_q),
+                "neighbor_id": np.concatenate(out_n),
+                "cosine": np.concatenate(out_c),
+            }
+        )
+
+    survivors = (
+        q.groupBy("cell")
+        .cogroup(c.groupBy("cell"))
+        .applyInPandas(_score_cell, "query_id long, neighbor_id long, cosine double")
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
+    return (
+        survivors.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )
 
 
 def lsh_topk(

@@ -7,10 +7,26 @@ that are near everything, and the margin score (pair cosine divided by
 the mean cosine of each side's k-nearest neighborhood) is the standard
 correction.
 
-Cross-engine determinism: pair cosines come from the validated
-k-ordered kernel (bitwise-equal to DuckDB ``list_dot_product`` — see
-``dedup.embedding_cosine_pairs_blocked``); everything downstream is
-exact integer arithmetic.  Cosines are shifted by +2 and floored to
+Three queries share one scoring tail (``_margin_select`` /
+``_margin_tail_sql``), differing only in where candidate pairs come
+from:
+
+* ``mine_bitext_margin`` — the EXACT tier: every cross-parity pair
+  from the blocked triangle kernel (the oracle-defining form).
+* ``mine_bitext_margin_ann`` — the SCALE tier: candidates from the
+  seeded-IVF retriever (``similarity.ivf_topk_seeded``), neighborhoods
+  computed within the retrieved candidate set (standard practice when
+  mining with ANN).  This makes the exact tier's "at 100 TB the pair
+  table comes from the ANN candidate generators" claim real, declared,
+  oracle-checked code — the same promise-into-code move as
+  eval_minhash_precision's literal sample cap.
+* ``xlingual_hubness_audit`` — the measurement query for the hub
+  pathology the margin corrects.
+
+Cross-engine determinism: pair cosines come from validated kernels
+(the k-ordered blocked kernel / the IVF retriever's fold — both
+bitwise-equal to DuckDB ``list_dot_product``); everything downstream
+is exact integer arithmetic.  Cosines are shifted by +2 and floored to
 1e-9 grid (``u_e9 = floor((cos + 2) * 1e9)``, always positive, so
 Spark's truncating ``div`` and DuckDB's flooring ``//`` agree), and
 the margin is the integer ratio ``u_e9 * 2k * 1e6 // (sum_topk_src +
@@ -25,27 +41,29 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..extensions import dedup
+from ..extensions import dedup, similarity
 from ..sources.catalog import load_table
 from .registry import register
 
 _K = 4  # neighborhood size for the margin denominator
+_ANN_CAND_K = 16  # candidates retrieved per source in the ANN tier
+_ANN_CELLS = 16  # seeded-IVF cells at the declared (small-sf) scale
+_ANN_PROBE = 4
 _SHIFT_SQL = "CAST(floor((cosine + 2) * 1000000000) AS BIGINT)"
 
 
 def _cross_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(src_id even, tgt_id odd, u_e9) for every cross-parity vector
-    pair — the bipartite cosine table both wave-28 queries score.
+    pair — the bipartite cosine table the exact tier scores.
 
     The exact tier reuses the triangle block kernel (threshold -1
     keeps every pair) and filters to cross-parity rows after the
     Arrow stage; same-parity pairs are computed and dropped — a 2x
     FLOP overhead the docstrings trade for reusing the validated
-    bitwise-stable kernel.  At 100 TB the pair table comes from the
-    ANN candidate generators instead (cell-pruned ``ann_ivf_topk`` /
-    banded ``ann_lsh_topk``) — margin scoring is oblivious to how
-    candidates were produced; this is the same exact-tier/scale-tier
-    split dedup_ngram_jaccard vs dedup_minhash_lsh documents.
+    bitwise-stable kernel.  At 100 TB use ``mine_bitext_margin_ann``:
+    margin scoring is oblivious to how candidates were produced; this
+    is the same exact-tier/scale-tier split dedup_ngram_jaccard vs
+    dedup_minhash_lsh documents.
     """
     emb = load_table(spark, "embeddings", sf_dir)
     pairs = dedup.embedding_cosine_pairs_blocked(emb, threshold=-1.0)
@@ -63,81 +81,12 @@ def _cross_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_PAIRS_CTE = f"""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    p AS (
-        SELECT a.vec_id AS src_id, b.vec_id AS tgt_id,
-               list_dot_product(a.v, b.v)
-                   / (sqrt(list_dot_product(a.v, a.v))
-                      * sqrt(list_dot_product(b.v, b.v))) AS cosine
-        FROM e a JOIN e b
-          ON a.vec_id % 2 = 0 AND b.vec_id % 2 = 1
-    ),
-    u AS (SELECT src_id, tgt_id, {_SHIFT_SQL} AS u_e9 FROM p),
-    rk AS (
-        SELECT *,
-               ROW_NUMBER() OVER (PARTITION BY src_id
-                                  ORDER BY u_e9 DESC, tgt_id) AS rk_src,
-               ROW_NUMBER() OVER (PARTITION BY tgt_id
-                                  ORDER BY u_e9 DESC, src_id) AS rk_tgt
-        FROM u
-    )
-"""
-
-
-@register(
-    "mine_bitext_margin",
-    _PAIRS_CTE
-    + f""",
-    sa AS (SELECT src_id, SUM(u_e9) AS sum_src FROM rk
-           WHERE rk_src <= {_K} GROUP BY src_id),
-    sb AS (SELECT tgt_id, SUM(u_e9) AS sum_tgt FROM rk
-           WHERE rk_tgt <= {_K} GROUP BY tgt_id),
-    m AS (
-        SELECT u.src_id, u.tgt_id, u.u_e9,
-               (u.u_e9 * {2 * _K * 1000000}) // (sa.sum_src + sb.sum_tgt)
-                   AS margin_ppm
-        FROM u JOIN sa USING (src_id) JOIN sb USING (tgt_id)
-    ),
-    best AS (
-        SELECT *,
-               ROW_NUMBER() OVER (PARTITION BY src_id
-                   ORDER BY margin_ppm DESC, u_e9 DESC, tgt_id) AS rn_src,
-               ROW_NUMBER() OVER (PARTITION BY tgt_id
-                   ORDER BY margin_ppm DESC, u_e9 DESC, src_id) AS rn_tgt
-        FROM m
-    ),
-    tgt_best AS (SELECT tgt_id, src_id AS back_src FROM best WHERE rn_tgt = 1)
-    SELECT b.src_id, b.tgt_id,
-           CAST(b.u_e9 AS BIGINT) AS cos_shift_e9,
-           CAST(b.margin_ppm AS BIGINT) AS margin_ppm,
-           (tb.back_src = b.src_id) AS mutual,
-           (b.margin_ppm >= 1000000) AS above_mean
-    FROM best b JOIN tgt_best tb ON tb.tgt_id = b.tgt_id
-    WHERE b.rn_src = 1
-    """,
-    tags=("xlingual", "similarity", "all-pairs"),
-    doc="Margin-based bitext mining (Artetxe & Schwenk 2019 'ratio' "
-    "margin, the CCMatrix/LASER parallel-corpus recipe): even vec_ids "
-    "play the source-language side, odd the target side; each source "
-    "vector nominates its best target by margin = pair-similarity / "
-    "mean(top-4 neighborhood similarity of both endpoints), with "
-    "`mutual` marking pairs where the target's best source points "
-    "back (the paper's intersection strategy) and `above_mean` the "
-    "margin>1 acceptance test that suppresses hub matches raw cosine "
-    "would emit.  All scoring downstream of the bitwise-stable pair "
-    "cosines is exact integer arithmetic (shifted 1e-9-grid "
-    "similarities, integer-ratio margin in ppm).  Scale shape: pair "
-    "generation is the blocked triangle kernel at the exact tier "
-    "(Theta(n^2 d) spread over uniform hash-block tasks); the two "
-    "neighborhood sums are window ranks over the pair table "
-    "partitioned by each endpoint; sums join back by key.  At 100 TB "
-    "the pair table comes from the ANN candidate generators "
-    "(cell-pruned IVF / banded LSH) and everything after is "
-    "unchanged — margin scoring never needs the full cross product.",
-)
-def mine_bitext_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
-    u = _cross_pairs(spark, sf_dir)
+def _margin_select(u: DataFrame) -> DataFrame:
+    """Shared scoring tail: (src_id, tgt_id, u_e9) candidate pairs ->
+    per-source best pair by integer ratio margin, with mutual-best and
+    margin>1 flags.  Two window ranks (one per endpoint), two tiny
+    per-endpoint sum tables joined back by key (broadcast: one row per
+    distinct endpoint), one best-of window per side."""
     w_src = W.partitionBy("src_id").orderBy(F.desc("u_e9"), "tgt_id")
     w_tgt = W.partitionBy("tgt_id").orderBy(F.desc("u_e9"), "src_id")
     rk = u.withColumn("rk_src", F.row_number().over(w_src)).withColumn(
@@ -187,10 +136,191 @@ def mine_bitext_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RK_SQL = """
+    rk AS (
+        SELECT *,
+               ROW_NUMBER() OVER (PARTITION BY src_id
+                                  ORDER BY u_e9 DESC, tgt_id) AS rk_src,
+               ROW_NUMBER() OVER (PARTITION BY tgt_id
+                                  ORDER BY u_e9 DESC, src_id) AS rk_tgt
+        FROM u
+    )
+"""
+
+
+def _margin_tail_sql() -> str:
+    """DuckDB mirror of :func:`_margin_select`, appended after a CTE
+    chain that defines ``u(src_id, tgt_id, u_e9)``."""
+    return f""",
+    {_RK_SQL},
+    sa AS (SELECT src_id, SUM(u_e9) AS sum_src FROM rk
+           WHERE rk_src <= {_K} GROUP BY src_id),
+    sb AS (SELECT tgt_id, SUM(u_e9) AS sum_tgt FROM rk
+           WHERE rk_tgt <= {_K} GROUP BY tgt_id),
+    m AS (
+        SELECT u.src_id, u.tgt_id, u.u_e9,
+               (u.u_e9 * {2 * _K * 1000000}) // (sa.sum_src + sb.sum_tgt)
+                   AS margin_ppm
+        FROM u JOIN sa USING (src_id) JOIN sb USING (tgt_id)
+    ),
+    best AS (
+        SELECT *,
+               ROW_NUMBER() OVER (PARTITION BY src_id
+                   ORDER BY margin_ppm DESC, u_e9 DESC, tgt_id) AS rn_src,
+               ROW_NUMBER() OVER (PARTITION BY tgt_id
+                   ORDER BY margin_ppm DESC, u_e9 DESC, src_id) AS rn_tgt
+        FROM m
+    ),
+    tgt_best AS (SELECT tgt_id, src_id AS back_src FROM best WHERE rn_tgt = 1)
+    SELECT b.src_id, b.tgt_id,
+           CAST(b.u_e9 AS BIGINT) AS cos_shift_e9,
+           CAST(b.margin_ppm AS BIGINT) AS margin_ppm,
+           (tb.back_src = b.src_id) AS mutual,
+           (b.margin_ppm >= 1000000) AS above_mean
+    FROM best b JOIN tgt_best tb ON tb.tgt_id = b.tgt_id
+    WHERE b.rn_src = 1
+    """
+
+
+_PAIRS_CTE = f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    p AS (
+        SELECT a.vec_id AS src_id, b.vec_id AS tgt_id,
+               list_dot_product(a.v, b.v)
+                   / (sqrt(list_dot_product(a.v, a.v))
+                      * sqrt(list_dot_product(b.v, b.v))) AS cosine
+        FROM e a JOIN e b
+          ON a.vec_id % 2 = 0 AND b.vec_id % 2 = 1
+    ),
+    u AS (SELECT src_id, tgt_id, {_SHIFT_SQL} AS u_e9 FROM p)
+"""
+
+
+# Seeded-IVF candidate CTE chain: the odd side plays the corpus (seeds
+# come from IT), the even side the queries; mirrors
+# similarity.ivf_topk_seeded / _ivf_seeded_oracle_sql restricted by
+# parity, ending in the same u(src_id, tgt_id, u_e9) contract.
+_ANN_PAIRS_CTE = f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    eb AS (SELECT * FROM e WHERE vec_id % 2 = 1),
+    seeds AS (
+        SELECT ROW_NUMBER() OVER (
+                   ORDER BY ((vec_id % 2147483648) * 1103515245 + 12345)
+                            % 2147483648, vec_id) - 1 AS cell, v
+        FROM eb
+        QUALIFY cell < {_ANN_CELLS}
+    ),
+    assign AS (
+        SELECT eb.vec_id AS tgt_id, eb.v AS cv, s.cell
+        FROM eb CROSS JOIN seeds s
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY eb.vec_id
+            ORDER BY list_dot_product(eb.v, s.v)
+                         / sqrt(list_dot_product(s.v, s.v)) DESC, s.cell) = 1
+    ),
+    q AS (SELECT vec_id AS src_id, v AS qv FROM e WHERE vec_id % 2 = 0),
+    probes AS (
+        SELECT q.src_id, q.qv, s.cell
+        FROM q CROSS JOIN seeds s
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY q.src_id
+            ORDER BY list_dot_product(q.qv, s.v)
+                         / sqrt(list_dot_product(s.v, s.v)) DESC, s.cell)
+            <= {_ANN_PROBE}
+    ),
+    p AS (
+        SELECT src_id, tgt_id, cosine FROM (
+            SELECT pr.src_id, a.tgt_id,
+                   list_dot_product(pr.qv, a.cv)
+                       / (sqrt(list_dot_product(pr.qv, pr.qv))
+                          * sqrt(list_dot_product(a.cv, a.cv))) AS cosine,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY pr.src_id
+                       ORDER BY list_dot_product(pr.qv, a.cv)
+                           / (sqrt(list_dot_product(pr.qv, pr.qv))
+                              * sqrt(list_dot_product(a.cv, a.cv))) DESC,
+                           a.tgt_id) AS rnk
+            FROM probes pr JOIN assign a USING (cell)
+        ) t WHERE rnk <= {_ANN_CAND_K}
+    ),
+    u AS (SELECT src_id, tgt_id, {_SHIFT_SQL} AS u_e9 FROM p)
+"""
+
+
+@register(
+    "mine_bitext_margin",
+    _PAIRS_CTE + _margin_tail_sql(),
+    tags=("xlingual", "similarity", "all-pairs"),
+    doc="Margin-based bitext mining (Artetxe & Schwenk 2019 'ratio' "
+    "margin, the CCMatrix/LASER parallel-corpus recipe): even vec_ids "
+    "play the source-language side, odd the target side; each source "
+    "vector nominates its best target by margin = pair-similarity / "
+    "mean(top-4 neighborhood similarity of both endpoints), with "
+    "`mutual` marking pairs where the target's best source points "
+    "back (the paper's intersection strategy) and `above_mean` the "
+    "margin>1 acceptance test that suppresses hub matches raw cosine "
+    "would emit.  All scoring downstream of the bitwise-stable pair "
+    "cosines is exact integer arithmetic (shifted 1e-9-grid "
+    "similarities, integer-ratio margin in ppm).  Scale shape: pair "
+    "generation is the blocked triangle kernel at the exact tier "
+    "(Theta(n^2 d) spread over uniform hash-block tasks); the two "
+    "neighborhood sums are window ranks over the pair table "
+    "partitioned by each endpoint; sums join back by key.  At 100 TB "
+    "use mine_bitext_margin_ann — same scoring tail, subquadratic "
+    "candidate generation.",
+)
+def mine_bitext_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _margin_select(_cross_pairs(spark, sf_dir))
+
+
+@register(
+    "mine_bitext_margin_ann",
+    _ANN_PAIRS_CTE + _margin_tail_sql(),
+    tags=("xlingual", "similarity", "approx"),
+    doc="The SCALE tier of mine_bitext_margin: candidate pairs come "
+    "from the seeded-IVF retriever (every even vector queries the odd "
+    f"side's {_ANN_CELLS}-cell/{_ANN_PROBE}-probe index for its top-"
+    f"{_ANN_CAND_K} candidates — similarity.ivf_topk_seeded, the "
+    "oracle-reproducible quantizer), and the margin neighborhoods are "
+    "computed WITHIN the retrieved candidate set, the standard "
+    "practice when mining with ANN (the src neighborhood is its "
+    "retrieved list; the tgt neighborhood is the sources that "
+    "retrieved it — exactly the hub evidence).  Identical scoring "
+    "tail and output schema as the exact tier.  The retriever is the "
+    "BLOCKED kernel (similarity.ivf_topk_blocked): Arrow cell-matrix "
+    "scoring, pytest-pinned bitwise-equal to the literal-expression "
+    "form — every-vector-is-a-query workloads need cells ~ "
+    "sqrt(corpus), where the expression form's n_cells x dim plan "
+    "literals stop compiling.  Scale: compute is O(n_src * corpus * "
+    "n_probe / cells) cosines inside per-cell numpy blocks; shuffle "
+    "is corpus + n_src*n_probe rows in, n_src*n_probe*k_cand rows "
+    f"out — candidate pairs never materialize.  Declared literals "
+    f"({_ANN_CELLS} cells) are the oracle-checkable small-sf "
+    "operating point; SCALING.md measures the sqrt(n) configuration "
+    "at 800k vectors.",
+)
+def mine_bitext_margin_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    even = emb.filter(F.pmod(F.col("vec_id"), F.lit(2)) == 0)
+    odd = emb.filter(F.pmod(F.col("vec_id"), F.lit(2)) == 1)
+    cand = similarity.ivf_topk_blocked(
+        odd, even, k=_ANN_CAND_K, n_centroids=_ANN_CELLS, n_probe=_ANN_PROBE
+    )
+    u = cand.select(
+        F.col("query_id").alias("src_id"),
+        F.col("neighbor_id").alias("tgt_id"),
+        F.floor((F.col("cosine") + F.lit(2.0)) * F.lit(1000000000.0))
+        .cast("long")
+        .alias("u_e9"),
+    )
+    return _margin_select(u)
+
+
 @register(
     "xlingual_hubness_audit",
     _PAIRS_CTE
-    + f"""
+    + f""",
+    {_RK_SQL}
     SELECT tgt_id,
            CAST(COUNT(*) AS BIGINT) AS hub_count,
            CAST(MAX(u_e9) AS BIGINT) AS max_cos_shift_e9

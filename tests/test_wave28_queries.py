@@ -116,3 +116,49 @@ def test_hubness_audit_matches_bruteforce(spark, brute):
         assert r.hub_count == brute["hub"][t]
     # every source contributes exactly K nominations
     assert sum(r.hub_count for r in got.values()) == K * brute["n_src"]
+
+
+def test_ann_miner_consistent_with_exact_cosines(spark, brute):
+    """The ANN tier retrieves candidates approximately but scores
+    them EXACTLY: every emitted pair's shifted similarity must equal
+    the brute-force value for that pair, parities must hold, and the
+    flags must be internally consistent."""
+    rows = _queries()["mine_bitext_margin_ann"].fn(spark, SF).collect()
+    assert rows
+    srcs = [r.src_id for r in rows]
+    assert len(srcs) == len(set(srcs))  # one row per source
+    for r in rows:
+        assert r.src_id % 2 == 0 and r.tgt_id % 2 == 1
+        assert r.cos_shift_e9 == brute["u"][(r.src_id, r.tgt_id)]
+        assert r.above_mean == (r.margin_ppm >= 1000000)
+        # candidate-set neighborhoods are a subset of the full ones,
+        # so the ANN denominator can only shrink: the ANN margin for
+        # the SAME pair is >= the exact-tier margin
+        assert r.margin_ppm >= brute["margin"][(r.src_id, r.tgt_id)]
+
+
+def test_blocked_ivf_bitwise_equals_expression_form(spark):
+    """The Arrow cell-matrix retriever (ivf_topk_blocked) must be
+    bitwise-identical to the literal-expression form it replaces at
+    scale — same seeds, same IEEE fold order, same tie-breaks."""
+    from pyspark.sql import functions as F
+
+    from greenbuttonengine_spark.extensions import similarity
+    from greenbuttonengine_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "embeddings", SF)
+    even = emb.filter(F.pmod(F.col("vec_id"), F.lit(2)) == 0)
+    odd = emb.filter(F.pmod(F.col("vec_id"), F.lit(2)) == 1)
+    expr = {
+        (r.query_id, r.neighbor_id): (r.cosine, r.rank)
+        for r in similarity.ivf_topk_seeded(
+            odd, even, k=16, n_centroids=16, n_probe=4
+        ).collect()
+    }
+    blocked = {
+        (r.query_id, r.neighbor_id): (r.cosine, r.rank)
+        for r in similarity.ivf_topk_blocked(
+            odd, even, k=16, n_centroids=16, n_probe=4
+        ).collect()
+    }
+    assert expr == blocked  # keys, exact double cosines, ranks

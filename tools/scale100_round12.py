@@ -93,5 +93,48 @@ def main() -> None:
     )
 
 
+def measure_ann_miner_scale() -> None:
+    """100x measurement of the ANN bitext miner at the SCALE
+    configuration (cells ~ sqrt(corpus), probe side not broadcast):
+    800k vectors (400k per side) from the wave9 replica corpus.
+    Invoked separately because the declared literals (16 cells) are
+    the small-sf oracle operating point, not the 800k one — the same
+    split as the seeded minhash generator re-measure."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from greenbuttonengine_spark.extensions import similarity
+    from greenbuttonengine_spark.plans.wave28_queries import (
+        _ANN_CAND_K,
+        _margin_select,
+    )
+    from greenbuttonengine_spark.session import get_spark
+
+    spark = get_spark(app_name="scale100-bitext", shuffle_partitions=64)
+    spark.sparkContext.setLogLevel("ERROR")
+    emb = spark.read.parquet(str(WORDS / "embeddings.parquet"))
+    even = emb.filter(F.pmod(F.col("vec_id"), F.lit(2)) == 0)
+    odd = emb.filter(F.pmod(F.col("vec_id"), F.lit(2)) == 1)
+    for run in range(2):
+        t0 = time.time()
+        cand = similarity.ivf_topk_blocked(
+            odd, even, k=_ANN_CAND_K, n_centroids=1024, n_probe=4,
+        )
+        u = cand.select(
+            F.col("query_id").alias("src_id"),
+            F.col("neighbor_id").alias("tgt_id"),
+            F.floor((F.col("cosine") + F.lit(2.0)) * F.lit(1000000000.0))
+            .cast("long")
+            .alias("u_e9"),
+        )
+        _margin_select(u).write.format("noop").mode("overwrite").save()
+        print(f"mine_bitext_margin_ann @800k vecs (1024 cells) run {run}: "
+              f"{time.time() - t0:.1f}s", flush=True)
+
+
 if __name__ == "__main__":
-    main()
+    if "--ann" in sys.argv:
+        measure_ann_miner_scale()
+    else:
+        main()
