@@ -415,6 +415,13 @@ def ivf_topk_blocked(
             return pd.DataFrame(
                 {"query_id": [], "neighbor_id": [], "cosine": []}
             ).astype({"query_id": "int64", "neighbor_id": "int64", "cosine": "float64"})
+        # columns in ascending-id order, so the STABLE argsort below
+        # breaks exact cosine ties by neighbor_id asc — the expression
+        # form's total order — with no per-query Python loop (the loop
+        # was ~2/3 of the 800k-vector wall).  Row order is free: each
+        # cosine is an independent j-ordered sum, so permuting corpus
+        # rows only permutes matrix rows, bitwise.
+        cpdf = cpdf.sort_values("neighbor_id")
         qm, cm = _mat(qpdf["qv"]), _mat(cpdf["cv"])
         acc = np.zeros((len(qpdf), len(cpdf)))
         for j in range(d):
@@ -422,20 +429,15 @@ def ivf_topk_blocked(
         cos = acc / np.outer(qpdf["qnrm"].to_numpy(), cpdf["cnrm"].to_numpy())
         qid = qpdf["query_id"].to_numpy().astype("int64")
         nid = cpdf["neighbor_id"].to_numpy().astype("int64")
-        out_q, out_n, out_c = [], [], []
-        for i in range(len(qpdf)):
-            keep = nid != qid[i]
-            row_n, row_c = nid[keep], cos[i][keep]
-            order = np.lexsort((row_n, -row_c))[:k]  # cos desc, id asc
-            out_q.append(np.full(len(order), qid[i]))
-            out_n.append(row_n[order])
-            out_c.append(row_c[order])
+        masked = np.where(nid[None, :] == qid[:, None], -np.inf, cos)
+        order = np.argsort(-masked, axis=1, kind="stable")[:, :k]
+        take_c = np.take_along_axis(masked, order, axis=1)
+        keep = take_c > -np.inf  # drops self-matches that slid into top-k
+        out_q = np.repeat(qid, order.shape[1])[keep.ravel()]
+        out_n = nid[order.ravel()][keep.ravel()]
+        out_c = take_c.ravel()[keep.ravel()]
         return pd.DataFrame(
-            {
-                "query_id": np.concatenate(out_q),
-                "neighbor_id": np.concatenate(out_n),
-                "cosine": np.concatenate(out_c),
-            }
+            {"query_id": out_q, "neighbor_id": out_n, "cosine": out_c}
         )
 
     survivors = (
