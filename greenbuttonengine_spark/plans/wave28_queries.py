@@ -7,14 +7,14 @@ that are near everything, and the margin score (pair cosine divided by
 the mean cosine of each side's k-nearest neighborhood) is the standard
 correction.
 
-Three queries share one scoring tail (``_margin_select`` /
+The queries share one scoring tail (``_margin_select`` /
 ``_margin_tail_sql``), differing only in where candidate pairs come
 from:
 
 * ``mine_bitext_margin`` — the EXACT tier: every cross-parity pair
   from the blocked triangle kernel (the oracle-defining form).
 * ``mine_bitext_margin_ann`` — the SCALE tier: candidates from the
-  seeded-IVF retriever (``similarity.ivf_topk_seeded``), neighborhoods
+  seeded-IVF retriever (``similarity.ivf_topk_blocked``), neighborhoods
   computed within the retrieved candidate set (standard practice when
   mining with ANN).  This makes the exact tier's "at 100 TB the pair
   table comes from the ANN candidate generators" claim real, declared,
@@ -22,6 +22,8 @@ from:
   eval_minhash_precision's literal sample cap.
 * ``xlingual_hubness_audit`` — the measurement query for the hub
   pathology the margin corrects.
+* ``eval_bitext_ann_agreement`` — the eval next to the approximation:
+  per-source agreement between the two tiers' decisions.
 
 Cross-engine determinism: pair cosines come from validated kernels
 (the k-ordered blocked kernel / the IVF retriever's fold — both
@@ -351,4 +353,90 @@ def xlingual_hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("long").alias("hub_count"),
             F.max("u_e9").cast("long").alias("max_cos_shift_e9"),
         )
+    )
+
+
+@register(
+    "eval_bitext_ann_agreement",
+    f"""
+    WITH exact AS (
+        SELECT * FROM ({{exact_sql}}) t_exact
+    ),
+    ann AS (
+        SELECT * FROM ({{ann_sql}}) t_ann
+    ),
+    j AS (
+        SELECT e.src_id,
+               (a.src_id IS NOT NULL) AS covered,
+               COALESCE(a.tgt_id = e.tgt_id, FALSE) AS same_best,
+               e.above_mean AS exact_above,
+               COALESCE(a.above_mean, FALSE) AS ann_above,
+               e.mutual AS exact_mutual,
+               COALESCE(a.mutual, FALSE) AS ann_mutual
+        FROM exact e LEFT JOIN ann a USING (src_id)
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_src,
+           CAST(SUM(CASE WHEN covered THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_covered,
+           CAST(SUM(CASE WHEN same_best THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_same_best,
+           CAST(SUM(CASE WHEN exact_above THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_exact_above_mean,
+           CAST(SUM(CASE WHEN ann_above THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_ann_above_mean,
+           CAST(SUM(CASE WHEN exact_mutual THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_exact_mutual,
+           CAST(SUM(CASE WHEN ann_mutual THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_ann_mutual,
+           CAST(SUM(CASE WHEN same_best THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT) AS agree_ppm
+    FROM j
+    """.format(
+        exact_sql=_PAIRS_CTE + _margin_tail_sql(),
+        ann_sql=_ANN_PAIRS_CTE + _margin_tail_sql(),
+    ),
+    tags=("xlingual", "eval", "all-pairs"),
+    doc="Agreement eval for the ANN bitext tier — the eval-next-to-"
+    "approximation convention (eval_pq_recall / eval_minhash_"
+    "precision) applied to mine_bitext_margin_ann: per-source, does "
+    "the IVF-candidate miner nominate the SAME best target the exact "
+    "all-pairs tier does, and do the margin>1 / mutual-best "
+    "acceptance decisions survive the approximation?  One integer "
+    "row: sources, ANN coverage, same-best agreement (and as ppm), "
+    "above-mean and mutual counts under both tiers — the go/no-go "
+    "read on the (cells, probes, k_cand) operating point before a "
+    "100 TB mining run trusts it.  Composes the two declared queries "
+    "unchanged (both oracle-green individually); one left join on "
+    "src_id + one aggregate on top.",
+)
+def eval_bitext_ann_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = mine_bitext_margin(spark, sf_dir)
+    ann = mine_bitext_margin_ann(spark, sf_dir).select(
+        "src_id",
+        F.col("tgt_id").alias("a_tgt"),
+        F.col("mutual").alias("a_mutual"),
+        F.col("above_mean").alias("a_above"),
+    )
+    j = exact.join(ann, "src_id", "left").select(
+        F.col("a_tgt").isNotNull().alias("covered"),
+        F.coalesce(F.col("a_tgt") == F.col("tgt_id"), F.lit(False)).alias(
+            "same_best"
+        ),
+        F.col("above_mean").alias("exact_above"),
+        F.coalesce(F.col("a_above"), F.lit(False)).alias("ann_above"),
+        F.col("mutual").alias("exact_mutual"),
+        F.coalesce(F.col("a_mutual"), F.lit(False)).alias("ann_mutual"),
+    )
+    cnt = lambda c: F.sum(F.when(F.col(c), 1).otherwise(0)).cast("long")  # noqa: E731
+    return j.agg(
+        F.count("*").cast("long").alias("n_src"),
+        cnt("covered").alias("n_covered"),
+        cnt("same_best").alias("n_same_best"),
+        cnt("exact_above").alias("n_exact_above_mean"),
+        cnt("ann_above").alias("n_ann_above_mean"),
+        cnt("exact_mutual").alias("n_exact_mutual"),
+        cnt("ann_mutual").alias("n_ann_mutual"),
+        F.expr("sum(CASE WHEN same_best THEN 1 ELSE 0 END) * 1000000L div count(*)")
+        .cast("long")
+        .alias("agree_ppm"),
     )

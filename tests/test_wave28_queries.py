@@ -162,3 +162,23 @@ def test_blocked_ivf_bitwise_equals_expression_form(spark):
         ).collect()
     }
     assert expr == blocked  # keys, exact double cosines, ranks
+
+
+def test_agreement_eval_composes_the_two_miners(spark):
+    """The one-row agreement eval must equal recomputing the counters
+    from the two declared miners' own outputs."""
+    qs = _queries()
+    exact = {r.src_id: r for r in qs["mine_bitext_margin"].fn(spark, SF).collect()}
+    ann = {r.src_id: r for r in qs["mine_bitext_margin_ann"].fn(spark, SF).collect()}
+    got = qs["eval_bitext_ann_agreement"].fn(spark, SF).collect()[0]
+    assert got.n_src == len(exact)
+    assert got.n_covered == sum(1 for s in exact if s in ann)
+    same = sum(1 for s, r in exact.items() if s in ann and ann[s].tgt_id == r.tgt_id)
+    assert got.n_same_best == same
+    assert got.n_exact_above_mean == sum(r.above_mean for r in exact.values())
+    assert got.n_ann_above_mean == sum(
+        ann[s].above_mean for s in exact if s in ann
+    )
+    assert got.n_exact_mutual == sum(r.mutual for r in exact.values())
+    assert got.n_ann_mutual == sum(ann[s].mutual for s in exact if s in ann)
+    assert got.agree_ppm == same * 1000000 // len(exact)
