@@ -240,6 +240,14 @@ def seeded_cell_scores(seeds):
     return cell_scores
 
 
+def _empty_topk(spark) -> DataFrame:
+    """Schema-stable empty result for the degenerate empty-corpus case
+    (``seeded_centroids`` returns no seeds -> nothing to probe)."""
+    return spark.createDataFrame(
+        [], "query_id long, neighbor_id long, cosine double, rank bigint"
+    )
+
+
 def ivf_topk_seeded(
     corpus: DataFrame,
     queries: DataFrame,
@@ -269,6 +277,8 @@ def ivf_topk_seeded(
     miner at scale: probe side is n_queries x n_probe rows and no
     longer driver-sized); values are identical either way."""
     seeds = seeded_centroids(corpus, n_centroids, vec_col, id_col)
+    if not seeds:
+        return _empty_topk(corpus.sparkSession)
     cell_scores = seeded_cell_scores(seeds)
 
     c = corpus.select(F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv"))
@@ -308,6 +318,15 @@ def ivf_topk_seeded(
     )
 
 
+# Literal per-task memory bound for the blocked IVF scorer: one active
+# score block is at most _Q_BLOCK x _C_BLOCK doubles (64 MB) no matter
+# how large a cell grows — the _cap_buckets lesson applied to IVF.  The
+# per-(query, corpus) cosine is an independent dim-ordered sum, so
+# tiling the matrix changes NOTHING bitwise (see _score_cell).
+_Q_BLOCK = 1024
+_C_BLOCK = 8192
+
+
 def ivf_topk_blocked(
     corpus: DataFrame,
     queries: DataFrame,
@@ -316,6 +335,7 @@ def ivf_topk_blocked(
     n_probe: int = 4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    cell_split: int = 1,
 ) -> DataFrame:
     """``ivf_topk_seeded`` re-expressed as an Arrow cell-matrix kernel
     — bitwise-identical output, built for LARGE cell counts.
@@ -335,23 +355,51 @@ def ivf_topk_blocked(
       corpus, stable top-``n_probe`` for queries — the exact IEEE op
       sequence and tie order of the literal expressions;
     * scoring: cogrouped ``applyInPandas`` per cell — the bipartite
-      block-matrix trick of ``embedding_cosine_pairs_blocked``: each
-      cell's query x corpus cosine matrix in one k-ordered numpy
-      accumulation, per-query top-k WITHIN the cell emitted (rows out
-      = queries x n_probe x k, linear — candidate pairs are never
+      block-matrix trick of ``embedding_cosine_pairs_blocked``, TILED:
+      the cell's query x corpus cosine matrix is computed in
+      _Q_BLOCK x _C_BLOCK tiles (a LITERAL 64 MB peak per task — at
+      the sqrt(n)-cells operating point the untiled matrix is ~4n
+      entries per task, linear in the corpus, an OOM near 1e9
+      vectors), per-query top-k within the cell emitted (rows out =
+      queries x n_probe x k, linear — candidate pairs are never
       materialized as rows);
     * one final per-query window over the n_probe * k survivors.
 
-    Shuffle volume is corpus + queries x n_probe rows in, queries x
-    n_probe x k rows out.  pytest pins bitwise equality against the
-    expression form; the shared DuckDB oracle covers both."""
+    ``cell_split > 1`` additionally splits each cell's CORPUS side
+    into that many hash sub-cells (queries probe every sub-cell): a
+    hub cell that attracts a disproportionate share of both sides
+    becomes ``cell_split`` smaller tasks instead of one straggler.
+    Output is identical for any split: sub-cells partition the cell's
+    neighbor set, per-sub-cell top-k uses the same total order
+    (cosine desc, neighbor_id asc), and the final window takes the
+    global top-k over the union — the knn_graph argument.
+
+    Tiling preserves bitwise equality because each cosine is an
+    independent dim-ordered accumulation (tile membership never enters
+    the arithmetic) and the merge re-sorts each row's tile candidates
+    into neighbor-id-ascending order before the same stable
+    cosine-descending argsort the full matrix used — identical values,
+    identical tie order.
+
+    Zero-norm embeddings are OUT OF CONTRACT for every IVF form here
+    (cosine is NaN; the expression form ranks NaN first, numpy's
+    stable sort ranks it last) — callers own the invariant, as
+    documented for the dedup cosine kernels.
+
+    Shuffle volume is corpus + queries x n_probe x cell_split rows in,
+    queries x n_probe x cell_split x k rows out.  pytest pins bitwise
+    equality against the expression form (and across splits); the
+    shared DuckDB oracle covers both."""
     import numpy as np
     import pandas as pd
 
     seeds = seeded_centroids(corpus, n_centroids, vec_col, id_col)
+    if not seeds:
+        return _empty_topk(corpus.sparkSession)
     seed_mat = np.array([v for _, v, _ in seeds], dtype=np.float64)  # (C, d)
     seed_nrm = np.array([nrm for _, _, nrm in seeds], dtype=np.float64)
     d = seed_mat.shape[1]
+    npr = min(n_probe, seed_mat.shape[0])  # fewer seeds than probes
 
     def _seq_norm(m):
         acc = np.zeros(m.shape[0])
@@ -390,15 +438,14 @@ def ivf_topk_blocked(
             m = _mat(pdf["qv"])
             # stable argsort of -score: score desc, ties -> lowest cell
             order = np.argsort(-_seq_scores(m), axis=1, kind="stable")
-            top = order[:, :n_probe]
-            n = len(pdf)
+            top = order[:, :npr]
             yield pd.DataFrame(
                 {
                     "query_id": np.repeat(
-                        pdf["query_id"].to_numpy().astype("int64"), n_probe
+                        pdf["query_id"].to_numpy().astype("int64"), npr
                     ),
-                    "qv": [list(v) for v in np.repeat(m, n_probe, axis=0)],
-                    "qnrm": np.repeat(_seq_norm(m), n_probe),
+                    "qv": [list(v) for v in np.repeat(m, npr, axis=0)],
+                    "qnrm": np.repeat(_seq_norm(m), npr),
                     "cell": top.reshape(-1).astype("int32"),
                 }
             )
@@ -410,35 +457,79 @@ def ivf_topk_blocked(
         F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
     ).mapInPandas(_probe, "query_id long, qv array<double>, qnrm double, cell int")
 
+    if cell_split > 1:
+        sub = F.pmod(F.xxhash64(F.col("neighbor_id")), F.lit(cell_split)).cast("int")
+        c = c.withColumn("cell", F.col("cell") * cell_split + sub)
+        q = q.select(
+            "query_id",
+            "qv",
+            "qnrm",
+            F.explode(
+                F.array(
+                    *[
+                        (F.col("cell") * cell_split + F.lit(s)).cast("int")
+                        for s in range(cell_split)
+                    ]
+                )
+            ).alias("cell"),
+        )
+
     def _score_cell(key, qpdf, cpdf):
         if not len(qpdf) or not len(cpdf):
             return pd.DataFrame(
                 {"query_id": [], "neighbor_id": [], "cosine": []}
             ).astype({"query_id": "int64", "neighbor_id": "int64", "cosine": "float64"})
-        # columns in ascending-id order, so the STABLE argsort below
-        # breaks exact cosine ties by neighbor_id asc — the expression
-        # form's total order — with no per-query Python loop (the loop
-        # was ~2/3 of the 800k-vector wall).  Row order is free: each
-        # cosine is an independent j-ordered sum, so permuting corpus
-        # rows only permutes matrix rows, bitwise.
+        # corpus columns in ascending-id order so a STABLE argsort on
+        # cosine desc breaks exact ties by neighbor_id asc — the
+        # expression form's total order — with no per-query Python
+        # loop.  Row order is free: each cosine is an independent
+        # j-ordered sum, so permuting corpus rows only permutes matrix
+        # rows, bitwise.
         cpdf = cpdf.sort_values("neighbor_id")
-        qm, cm = _mat(qpdf["qv"]), _mat(cpdf["cv"])
-        acc = np.zeros((len(qpdf), len(cpdf)))
-        for j in range(d):
-            acc += np.outer(qm[:, j], cm[:, j])
-        cos = acc / np.outer(qpdf["qnrm"].to_numpy(), cpdf["cnrm"].to_numpy())
-        qid = qpdf["query_id"].to_numpy().astype("int64")
+        cm = _mat(cpdf["cv"])
+        cn = cpdf["cnrm"].to_numpy()
         nid = cpdf["neighbor_id"].to_numpy().astype("int64")
-        masked = np.where(nid[None, :] == qid[:, None], -np.inf, cos)
-        order = np.argsort(-masked, axis=1, kind="stable")[:, :k]
-        take_c = np.take_along_axis(masked, order, axis=1)
-        keep = take_c > -np.inf  # drops self-matches that slid into top-k
-        out_q = np.repeat(qid, order.shape[1])[keep.ravel()]
-        out_n = nid[order.ravel()][keep.ravel()]
-        out_c = take_c.ravel()[keep.ravel()]
-        return pd.DataFrame(
-            {"query_id": out_q, "neighbor_id": out_n, "cosine": out_c}
-        )
+        frames = []
+        for q0 in range(0, len(qpdf), _Q_BLOCK):
+            qb = qpdf.iloc[q0 : q0 + _Q_BLOCK]
+            qm = _mat(qb["qv"])
+            qn = qb["qnrm"].to_numpy()
+            qid = qb["query_id"].to_numpy().astype("int64")
+            tile_c, tile_n = [], []
+            for c0 in range(0, len(cpdf), _C_BLOCK):
+                cmb = cm[c0 : c0 + _C_BLOCK]
+                nid_b = nid[c0 : c0 + _C_BLOCK]
+                acc = np.zeros((len(qb), cmb.shape[0]))
+                for j in range(d):
+                    acc += np.outer(qm[:, j], cmb[:, j])
+                cos = acc / np.outer(qn, cn[c0 : c0 + _C_BLOCK])
+                masked = np.where(nid_b[None, :] == qid[:, None], -np.inf, cos)
+                order = np.argsort(-masked, axis=1, kind="stable")[:, :k]
+                tile_c.append(np.take_along_axis(masked, order, axis=1))
+                tile_n.append(nid_b[order])
+            cand_c = np.concatenate(tile_c, axis=1)
+            cand_n = np.concatenate(tile_n, axis=1)
+            # restore neighbor-id-ascending column order across tiles,
+            # then the stable cosine sort reproduces the full-matrix
+            # tie order exactly (ids are unique, so the first sort is
+            # a total order; -inf self sentinels fall out via keep)
+            o1 = np.argsort(cand_n, axis=1, kind="stable")
+            cand_c = np.take_along_axis(cand_c, o1, axis=1)
+            cand_n = np.take_along_axis(cand_n, o1, axis=1)
+            o2 = np.argsort(-cand_c, axis=1, kind="stable")[:, :k]
+            take_c = np.take_along_axis(cand_c, o2, axis=1)
+            take_n = np.take_along_axis(cand_n, o2, axis=1)
+            keep = take_c > -np.inf  # drops self-matches in the top-k
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "query_id": np.repeat(qid, o2.shape[1])[keep.ravel()],
+                        "neighbor_id": take_n.ravel()[keep.ravel()],
+                        "cosine": take_c.ravel()[keep.ravel()],
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True)
 
     survivors = (
         q.groupBy("cell")

@@ -68,7 +68,10 @@ def _cross_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_minhash_lsh documents.
     """
     emb = load_table(spark, "embeddings", sf_dir)
-    pairs = dedup.embedding_cosine_pairs_blocked(emb, threshold=-1.0)
+    # threshold strictly below any representable cosine: IEEE rounding
+    # can land a near-antipodal pair a hair under -1.0, and the oracle's
+    # _PAIRS_CTE keeps EVERY pair unconditionally — so must the kernel
+    pairs = dedup.embedding_cosine_pairs_blocked(emb, threshold=float("-inf"))
     a_even = F.pmod(F.col("id_a"), F.lit(2)) == 0
     b_even = F.pmod(F.col("id_b"), F.lit(2)) == 0
     return (
@@ -83,12 +86,22 @@ def _cross_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _margin_select(u: DataFrame) -> DataFrame:
+def _margin_select(u: DataFrame, broadcast_small: bool = True) -> DataFrame:
     """Shared scoring tail: (src_id, tgt_id, u_e9) candidate pairs ->
     per-source best pair by integer ratio margin, with mutual-best and
-    margin>1 flags.  Two window ranks (one per endpoint), two tiny
-    per-endpoint sum tables joined back by key (broadcast: one row per
-    distinct endpoint), one best-of window per side."""
+    margin>1 flags.  Two window ranks (one per endpoint), two
+    per-endpoint sum tables joined back by key, one best-of window per
+    side.
+
+    ``broadcast_small=True`` (the declared small-sf operating point)
+    force-broadcasts the endpoint-sum tables and the per-target best
+    map.  Those tables are one row per DISTINCT endpoint — n_src /
+    n_tgt rows, NOT driver-sized at mining scale — so the scale path
+    (tools/scale_bitext.py, SCALING.md) passes False: the planner picks
+    the join strategy, and ``best`` is eagerly localCheckpoint-ed so
+    the tgt_best leg reuses it instead of recomputing the whole window
+    subtree for a second exchange (eager because two consumers race a
+    lazy checkpoint — the eval_minhash_precision lesson)."""
     w_src = W.partitionBy("src_id").orderBy(F.desc("u_e9"), "tgt_id")
     w_tgt = W.partitionBy("tgt_id").orderBy(F.desc("u_e9"), "src_id")
     rk = u.withColumn("rk_src", F.row_number().over(w_src)).withColumn(
@@ -104,9 +117,10 @@ def _margin_select(u: DataFrame) -> DataFrame:
         .groupBy("tgt_id")
         .agg(F.sum("u_e9").alias("sum_tgt"))
     )
+    hint = F.broadcast if broadcast_small else (lambda df: df)
     m = (
-        u.join(F.broadcast(sa), "src_id")
-        .join(F.broadcast(sb), "tgt_id")
+        u.join(hint(sa), "src_id")
+        .join(hint(sb), "tgt_id")
         .withColumn(
             "margin_ppm",
             F.expr(f"(u_e9 * {2 * _K * 1000000}L) div (sum_src + sum_tgt)"),
@@ -121,12 +135,14 @@ def _margin_select(u: DataFrame) -> DataFrame:
     best = m.withColumn("rn_src", F.row_number().over(wb_src)).withColumn(
         "rn_tgt", F.row_number().over(wb_tgt)
     )
+    if not broadcast_small:
+        best = best.localCheckpoint(eager=True)
     tgt_best = best.filter(F.col("rn_tgt") == 1).select(
         "tgt_id", F.col("src_id").alias("back_src")
     )
     return (
         best.filter(F.col("rn_src") == 1)
-        .join(F.broadcast(tgt_best), "tgt_id")
+        .join(hint(tgt_best), "tgt_id")
         .select(
             "src_id",
             "tgt_id",

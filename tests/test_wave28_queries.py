@@ -182,3 +182,100 @@ def test_agreement_eval_composes_the_two_miners(spark):
     assert got.n_exact_mutual == sum(r.mutual for r in exact.values())
     assert got.n_ann_mutual == sum(ann[s].mutual for s in exact if s in ann)
     assert got.agree_ppm == same * 1000000 // len(exact)
+
+
+def test_blocked_ivf_tiling_and_split_bitwise_invariant(spark, monkeypatch):
+    """The literal memory bound (r12 VERDICT item 1) must not change a
+    bit: force tiny _Q_BLOCK/_C_BLOCK tiles (so the tiled merge path is
+    actually exercised — sf0.001 cells are far below the production 64
+    MB bound) and a cell_split fan-out, and pin both against the
+    untiled single-matrix result."""
+    from pyspark.sql import functions as F
+
+    from greenbuttonengine_spark.extensions import similarity
+    from greenbuttonengine_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "embeddings", SF)
+    even = emb.filter(F.pmod(F.col("vec_id"), F.lit(2)) == 0)
+    odd = emb.filter(F.pmod(F.col("vec_id"), F.lit(2)) == 1)
+
+    def run(**kw):
+        return {
+            (r.query_id, r.neighbor_id): (r.cosine, r.rank)
+            for r in similarity.ivf_topk_blocked(
+                odd, even, k=16, n_centroids=16, n_probe=4, **kw
+            ).collect()
+        }
+
+    baseline = run()
+    monkeypatch.setattr(similarity, "_Q_BLOCK", 3)
+    monkeypatch.setattr(similarity, "_C_BLOCK", 5)
+    assert run() == baseline  # tiled == untiled, exact doubles
+    assert run(cell_split=3) == baseline  # hub-cell split == unsplit
+
+
+def test_blocked_ivf_property_matches_expression_form(spark):
+    """Randomized-configuration equivalence (r12 VERDICT item 6): the
+    blocked kernel's tie-order reasoning (stable argsort + id-sorted
+    columns) must equal the expression form across random dims, cell
+    counts, probe counts, DUPLICATE vectors (exact cosine ties) and
+    n_probe > n_cells."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from greenbuttonengine_spark.extensions import similarity
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        seed=st.integers(0, 2**31 - 1),
+        dim=st.integers(2, 8),
+        n=st.integers(6, 28),
+        n_cells=st.integers(1, 8),
+        n_probe=st.integers(1, 10),
+        k=st.integers(1, 8),
+        dup_every=st.integers(2, 5),
+    )
+    def check(seed, dim, n, n_cells, n_probe, k, dup_every):
+        import numpy as np
+
+        rng = np.random.RandomState(seed)
+        mat = rng.randint(-4, 5, size=(n, dim)).astype(float)
+        # no zero-norm vectors (documented kernel invariant)
+        mat[np.abs(mat).sum(axis=1) == 0, 0] = 1.0
+        # plant exact duplicates -> exact cosine ties across ids
+        for i in range(dup_every, n, dup_every):
+            mat[i] = mat[i - dup_every]
+        rows = [(i, [float(x) for x in mat[i]]) for i in range(n)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        corpus = df.filter("vec_id % 2 = 1")
+        queries = df.filter("vec_id % 2 = 0")
+        kw = dict(k=k, n_centroids=n_cells, n_probe=n_probe)
+        expr = {
+            (r.query_id, r.neighbor_id): (r.cosine, r.rank)
+            for r in similarity.ivf_topk_seeded(corpus, queries, **kw).collect()
+        }
+        blocked = {
+            (r.query_id, r.neighbor_id): (r.cosine, r.rank)
+            for r in similarity.ivf_topk_blocked(corpus, queries, **kw).collect()
+        }
+        assert expr == blocked
+
+    check()
+
+
+def test_ivf_empty_corpus_returns_empty(spark):
+    """ADVICE r12: an empty corpus must not raise (seeds == [])."""
+    from greenbuttonengine_spark.extensions import similarity
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    queries = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    for fn in (similarity.ivf_topk_seeded, similarity.ivf_topk_blocked):
+        out = fn(empty, queries, k=3, n_centroids=4, n_probe=2)
+        assert out.count() == 0
+        assert out.columns == ["query_id", "neighbor_id", "cosine", "rank"]
