@@ -61,6 +61,31 @@ def apply_agg_delta_batch(
     SUM, except names in ``minmax_cols`` which merge by ``"min"`` or
     ``"max"``.  ``schema`` is the full view schema (keys + values).
     """
+    def merge(delta_b: DataFrame, current: DataFrame) -> DataFrame:
+        return agg_merge_deltas(delta_b, current, schema, key_cols, minmax_cols)
+
+    cow_apply_batch(
+        delta, table_dir, schema, key_cols, epoch_id, n_buckets, merge
+    )
+
+
+def agg_merge_deltas(
+    delta_b: DataFrame,
+    current: DataFrame,
+    schema,
+    key_cols: list[str],
+    minmax_cols: dict[str, str] | None = None,
+) -> DataFrame:
+    """THE incremental-view merge: union the batch-local partial
+    aggregate with the stored per-key totals and re-aggregate — SUM for
+    additive columns, least/greatest for names in ``minmax_cols``.
+    Correctness contract: merge(partial(A), partial(B)) == partial(A+B)
+    for every decomposable aggregate, which is what the declared
+    ``streaming_matview_merge`` oracle row checks cross-engine and the
+    matview pytest pins against full recomputes across restarts.  Both
+    inputs carry ``__bucket``; the merge groups by (keys, bucket) so the
+    copy-on-write store rewrites only affected buckets — O(batch keys +
+    data in affected buckets), never O(history)."""
     minmax_cols = minmax_cols or {}
     val_cols = [f.name for f in schema.fields if f.name not in key_cols]
 
@@ -71,17 +96,12 @@ def apply_agg_delta_batch(
             return F.max(c).alias(c)
         return F.sum(c).alias(c)
 
-    def merge(delta_b: DataFrame, current: DataFrame) -> DataFrame:
-        return (
-            delta_b.select(*key_cols, *val_cols, "__bucket")
-            .unionByName(current.select(*key_cols, *val_cols, "__bucket"))
-            .groupBy(*key_cols, "__bucket")
-            .agg(*[merge_expr(c) for c in val_cols])
-            .select(*[f.name for f in schema.fields], "__bucket")
-        )
-
-    cow_apply_batch(
-        delta, table_dir, schema, key_cols, epoch_id, n_buckets, merge
+    return (
+        delta_b.select(*key_cols, *val_cols, "__bucket")
+        .unionByName(current.select(*key_cols, *val_cols, "__bucket"))
+        .groupBy(*key_cols, "__bucket")
+        .agg(*[merge_expr(c) for c in val_cols])
+        .select(*[f.name for f in schema.fields], "__bucket")
     )
 
 
