@@ -279,3 +279,39 @@ def test_ivf_empty_corpus_returns_empty(spark):
         out = fn(empty, queries, k=3, n_centroids=4, n_probe=2)
         assert out.count() == 0
         assert out.columns == ["query_id", "neighbor_id", "cosine", "rank"]
+
+
+def test_clustered_fixture_is_cross_engine_bitwise(spark):
+    """The clustered agreement fixture must be the SAME doubles in
+    both engines — every op is integer LCG arithmetic plus power-of-2
+    scaling, so equality is exact, not approximate."""
+    import duckdb
+
+    from greenbuttonengine_spark.plans.wave28_queries import (
+        _E_CLUSTERED,
+        clustered_embeddings,
+    )
+
+    got = {
+        r.vec_id: list(r.embedding)
+        for r in clustered_embeddings(spark, SF).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS FROM '{SF}/embeddings.parquet'"
+    )
+    want = {r[0]: r[1] for r in con.execute(_E_CLUSTERED).fetchall()}
+    assert got == want  # exact doubles, every vector
+
+
+def test_clustered_agreement_documents_the_trustworthy_regime(spark):
+    """r12 VERDICT item 4: on the clustered fixture the ANN tier must
+    agree with the exact tier almost always (>= 90% same-best), and
+    strictly beat the near-isotropic reading — together the two rows
+    bound the miner's operating envelope."""
+    qs = _queries()
+    clustered = qs["eval_bitext_ann_agreement_clustered"].fn(spark, SF).collect()[0]
+    iso = qs["eval_bitext_ann_agreement"].fn(spark, SF).collect()[0]
+    assert clustered.n_covered == clustered.n_src
+    assert clustered.agree_ppm >= 900000
+    assert clustered.agree_ppm > iso.agree_ppm
