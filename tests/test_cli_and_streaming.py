@@ -337,3 +337,99 @@ def test_near_dup_admission_stream_across_drops(spark, tmp_path):
     bands = spark.read.parquet(band_store)
     assert bands.count() == 3 * 8
     assert {r.doc_id for r in spark.read.parquet(sig_store).collect()} == {1, 3, 5}
+
+
+def test_admission_crash_windows_never_lose_rows(spark, tmp_path):
+    """Crash-injection for start_admission_stream's documented
+    at-least-once posture (r12 VERDICT item 7): simulate BOTH crash
+    windows by performing exactly the partial writes a killed
+    foreachBatch leaves behind (the checkpoint never commits the
+    batch, so starting the real stream afterwards IS the replay).
+
+    Window 1 — crash between the corpus append and the store append:
+    replay re-admits the batch (duplicate corpus rows, NEVER silent
+    loss; corpus-first write order is what guarantees that), the store
+    self-repairs, and the downstream exact-dedup pass removes the
+    duplicate.  Window 2 — crash after the store append but before
+    checkpoint commit: replay classifies every row dup_of_corpus and
+    appends nothing."""
+    import json
+    from collections import Counter
+
+    from greenbuttonengine_spark.sources.text_corpus import read_jsonl
+    from greenbuttonengine_spark.streaming.admission import (
+        _read_store,
+        admission_decision,
+        start_admission_stream,
+    )
+
+    drop = tmp_path / "drop"; drop.mkdir()
+    accepted = str(tmp_path / "accepted")
+    store = str(tmp_path / "store")
+    cp = str(tmp_path / "cp")
+
+    def doc(i, text):
+        return {"doc_id": i, "text": text, "lang": "en", "source": "s",
+                "n_chars": len(text)}
+
+    def shard(name, rows):
+        with open(drop / name, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    def run_stream():
+        q = start_admission_stream(spark, str(drop), accepted, store, cp,
+                                   available_now=True)
+        q.awaitTermination(120)
+
+    def partial_writes(shard_name, write_store):
+        """The exact writes admit() performs, killed mid-way."""
+        batch, _ = read_jsonl(spark, str(drop / shard_name))
+        ids, acc = admission_decision(batch, _read_store(spark, store),
+                                      materialize=True)
+        acc.write.mode("append").parquet(accepted)  # corpus append
+        if write_store:  # store append (window 2 crashes AFTER this)
+            ids.select("fingerprint").write.mode("append").parquet(store)
+        # CRASH: checkpoint never commits this batch
+
+    def corpus_counts():
+        return Counter(r.doc_id for r in spark.read.parquet(accepted).collect())
+
+    shard("a.jsonl", [doc(1, "alpha text"), doc(2, "beta text")])
+    run_stream()
+    assert corpus_counts() == {1: 1, 2: 1}
+
+    # WINDOW 1: shard b lands, admit() dies between the two appends
+    shard("b.jsonl", [doc(3, "gamma text"), doc(4, "ALPHA   TEXT")])
+    partial_writes("b.jsonl", write_store=False)
+    assert corpus_counts() == {1: 1, 2: 1, 3: 1}  # doc 4 is a corpus dup
+    run_stream()  # replay
+    counts = corpus_counts()
+    assert counts[3] == 2, "replay must re-admit (duplicate, not loss)"
+    assert counts[1] == 1 and counts[2] == 1 and 4 not in counts
+    # the downstream exact-dedup pass removes the duplicate row
+    from greenbuttonengine_spark.extensions.textstats import fingerprint_col
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    corpus = spark.read.parquet(accepted)
+    keeper = (
+        corpus.withColumn("fp", fingerprint_col(F.col("text")))
+        .withColumn("rn", F.row_number().over(
+            W.partitionBy("fp").orderBy("doc_id")))
+        .filter(F.col("rn") == 1)
+    )
+    assert Counter(r.doc_id for r in keeper.collect()) == {1: 1, 2: 1, 3: 1}
+    # the store self-repaired on replay: all three fingerprints present
+    fps = [r.fingerprint for r in spark.read.parquet(store).collect()]
+    assert len(set(fps)) == 3
+
+    # WINDOW 2: shard c lands, admit() dies after BOTH appends but
+    # before the checkpoint commit
+    shard("c.jsonl", [doc(5, "delta text")])
+    partial_writes("c.jsonl", write_store=True)
+    assert corpus_counts()[5] == 1
+    run_stream()  # replay: fingerprints already in store -> all dups
+    counts = corpus_counts()
+    assert counts[5] == 1, "window-2 replay must append nothing"
+    assert len(set(r.fingerprint for r in spark.read.parquet(store).collect())) == 4
