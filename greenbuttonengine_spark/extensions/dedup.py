@@ -1102,6 +1102,79 @@ def embedding_cosine_pairs_blocked(
     )
 
 
+def embedding_cosine_pairs_bipartite(
+    left: DataFrame,
+    right: DataFrame,
+    n_blocks: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine for EVERY (left, right) pair — the bipartite
+    variant of :func:`embedding_cosine_pairs_blocked` for two disjoint
+    sides (e.g. the bitext miner's src/tgt parity split).
+
+    The triangle kernel run over left+right computes same-side pairs
+    only to drop them — a 2x FLOP overhead when only cross pairs are
+    wanted.  Here each left block meets each right block exactly once
+    (B x B tasks; each row replicated B times, the same O(n*B) shuffle
+    and fits-one-Arrow-batch task-size contract as the triangle form),
+    so compute is exactly |left| x |right| cosines — half the
+    same-corpus triangle at an even split.  The k-ordered numpy
+    accumulation keeps every cosine bitwise-equal to the Catalyst /
+    DuckDB fold, so downstream oracles are unchanged; pytest pins this
+    kernel pair-for-pair, bit-for-bit against triangle+filter.
+
+    Output: (id_a = left id, id_b = right id, cosine), all pairs —
+    callers threshold/rank downstream.  Sides must be disjoint (no
+    self-mask is applied).
+    """
+    import numpy as np
+    import pandas as pd
+
+    g = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int")
+    other = F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias
+    lex = left.select(
+        F.col(id_col).alias("lid"), F.col(vec_col).alias("lvec"), g.alias("bi")
+    ).select("lid", "lvec", "bi", other("bj"))
+    rex = right.select(
+        F.col(id_col).alias("rid"), F.col(vec_col).alias("rvec"), g.alias("bj")
+    ).select("rid", "rvec", "bj", other("bi"))
+
+    def _score(key, lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(lpdf) or not len(rpdf):
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
+            )
+        lm = np.stack(lpdf["lvec"].to_numpy()).astype(np.float64)
+        rm = np.stack(rpdf["rvec"].to_numpy()).astype(np.float64)
+        d = lm.shape[1]
+
+        def seq_norm(m):
+            acc = np.zeros(m.shape[0])
+            for k in range(d):
+                acc += m[:, k] * m[:, k]
+            return np.sqrt(acc)
+
+        acc = np.zeros((lm.shape[0], rm.shape[0]))
+        for k in range(d):
+            acc += np.outer(lm[:, k], rm[:, k])
+        cos = acc / np.outer(seq_norm(lm), seq_norm(rm))
+        nl, nr = lm.shape[0], rm.shape[0]
+        return pd.DataFrame(
+            {
+                "id_a": np.repeat(lpdf["lid"].to_numpy().astype("int64"), nr),
+                "id_b": np.tile(rpdf["rid"].to_numpy().astype("int64"), nl),
+                "cosine": cos.ravel(),
+            }
+        )
+
+    return (
+        lex.groupBy("bi", "bj")
+        .cogroup(rex.groupBy("bi", "bj"))
+        .applyInPandas(_score, "id_a long, id_b long, cosine double")
+    )
+
+
 def duplicate_clusters(
     pairs: DataFrame,
     a_col: str = "id_a",

@@ -62,30 +62,26 @@ def _cross_pairs_from(emb: DataFrame) -> DataFrame:
     """(src_id even, tgt_id odd, u_e9) for every cross-parity vector
     pair — the bipartite cosine table the exact tier scores.
 
-    The exact tier reuses the triangle block kernel (threshold -inf
-    keeps every pair) and filters to cross-parity rows after the
-    Arrow stage; same-parity pairs are computed and dropped — a 2x
-    FLOP overhead the docstrings trade for reusing the validated
-    bitwise-stable kernel.  At 100 TB use ``mine_bitext_margin_ann``:
-    margin scoring is oblivious to how candidates were produced; this
-    is the same exact-tier/scale-tier split dedup_ngram_jaccard vs
+    The exact tier uses the BIPARTITE block kernel
+    (``dedup.embedding_cosine_pairs_bipartite``): each even block
+    meets each odd block exactly once, so compute is exactly
+    |src| x |tgt| cosines — the r12 form ran the same-corpus triangle
+    kernel and dropped same-parity pairs, a 2x FLOP overhead (pytest
+    pins the two forms pair-for-pair bitwise; the oracle is
+    unchanged).  At 100 TB use ``mine_bitext_margin_ann``: margin
+    scoring is oblivious to how candidates were produced; this is the
+    same exact-tier/scale-tier split dedup_ngram_jaccard vs
     dedup_minhash_lsh documents.
     """
-    # threshold strictly below any representable cosine: IEEE rounding
-    # can land a near-antipodal pair a hair under -1.0, and the oracle's
-    # _PAIRS_CTE keeps EVERY pair unconditionally — so must the kernel
-    pairs = dedup.embedding_cosine_pairs_blocked(emb, threshold=float("-inf"))
-    a_even = F.pmod(F.col("id_a"), F.lit(2)) == 0
-    b_even = F.pmod(F.col("id_b"), F.lit(2)) == 0
-    return (
-        pairs.filter(a_even != b_even)
-        .select(
-            F.when(a_even, F.col("id_a")).otherwise(F.col("id_b")).alias("src_id"),
-            F.when(a_even, F.col("id_b")).otherwise(F.col("id_a")).alias("tgt_id"),
-            F.floor((F.col("cosine") + F.lit(2.0)) * F.lit(1000000000.0))
-            .cast("long")
-            .alias("u_e9"),
-        )
+    even = emb.filter(F.pmod(F.col("vec_id"), F.lit(2)) == 0)
+    odd = emb.filter(F.pmod(F.col("vec_id"), F.lit(2)) == 1)
+    pairs = dedup.embedding_cosine_pairs_bipartite(even, odd)
+    return pairs.select(
+        F.col("id_a").alias("src_id"),
+        F.col("id_b").alias("tgt_id"),
+        F.floor((F.col("cosine") + F.lit(2.0)) * F.lit(1000000000.0))
+        .cast("long")
+        .alias("u_e9"),
     )
 
 
@@ -294,8 +290,9 @@ _ANN_PAIRS_CTE = _ann_pairs_cte(_E_REAL)
     "would emit.  All scoring downstream of the bitwise-stable pair "
     "cosines is exact integer arithmetic (shifted 1e-9-grid "
     "similarities, integer-ratio margin in ppm).  Scale shape: pair "
-    "generation is the blocked triangle kernel at the exact tier "
-    "(Theta(n^2 d) spread over uniform hash-block tasks); the two "
+    "generation is the bipartite block kernel at the exact tier "
+    "(exactly |src| x |tgt| cosines spread over uniform hash-block "
+    "tasks — r13 halved the r12 triangle+filter form); the two "
     "neighborhood sums are window ranks over the pair table "
     "partitioned by each endpoint; sums join back by key.  At 100 TB "
     "use mine_bitext_margin_ann — same scoring tail, subquadratic "

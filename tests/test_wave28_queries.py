@@ -315,3 +315,31 @@ def test_clustered_agreement_documents_the_trustworthy_regime(spark):
     assert clustered.n_covered == clustered.n_src
     assert clustered.agree_ppm >= 900000
     assert clustered.agree_ppm > iso.agree_ppm
+
+
+def test_bipartite_kernel_bitwise_equals_triangle_plus_filter(spark):
+    """r12 VERDICT item 8: the parity-bipartite exact kernel (half the
+    FLOPs) must reproduce the triangle+filter form pair-for-pair,
+    bit-for-bit — the precondition for swapping it under the
+    oracle-green exact tier."""
+    from pyspark.sql import functions as F
+
+    from greenbuttonengine_spark.extensions import dedup
+    from greenbuttonengine_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "embeddings", SF)
+    even = emb.filter(F.pmod(F.col("vec_id"), F.lit(2)) == 0)
+    odd = emb.filter(F.pmod(F.col("vec_id"), F.lit(2)) == 1)
+    bip = {
+        (r.id_a, r.id_b): r.cosine
+        for r in dedup.embedding_cosine_pairs_bipartite(even, odd).collect()
+    }
+    tri_pairs = dedup.embedding_cosine_pairs_blocked(
+        emb, threshold=float("-inf")
+    ).collect()
+    tri = {}
+    for r in tri_pairs:
+        if r.id_a % 2 != r.id_b % 2:
+            s, t = (r.id_a, r.id_b) if r.id_a % 2 == 0 else (r.id_b, r.id_a)
+            tri[(s, t)] = r.cosine
+    assert bip == tri  # exact doubles, every cross-parity pair
