@@ -210,6 +210,18 @@ _DRIVER_CHECKED = frozenset(
         "sample_systematic_pps", "assoc_rules_events",
         "lm_stupid_backoff_trigram", "eval_retrieval_ndcg",
         "ts3_ohlc_daily", "graph_link_prediction", "text_readability",
+        # r12 greens (50/50 gate: 13 oracle-new + 37 rotated re-checks
+        # already listed above).  The four wave-28 r12 greens
+        # (mine_bitext_margin, mine_bitext_margin_ann,
+        # xlingual_hubness_audit, eval_bitext_ann_agreement) stay OUT:
+        # their Spark implementations changed in r13 (parity-bipartite
+        # exact kernel; tiled/split blocked-IVF retriever) so they must
+        # re-verify as oracle-new rows alongside the r13 additions.
+        "sample_train_val_test", "eval_minhash_precision",
+        "eval_quality_calibration", "drift_tvd_sources",
+        "corpus_diversity_indices", "eval_split_leakage",
+        "lm_heldout_surprisal", "streaming_admission_parity",
+        "streaming_silver_upsert",
     }
 )
 
