@@ -389,7 +389,18 @@ def ivf_topk_blocked(
     Shuffle volume is corpus + queries x n_probe x cell_split rows in,
     queries x n_probe x cell_split x k rows out.  pytest pins bitwise
     equality against the expression form (and across splits); the
-    shared DuckDB oracle covers both."""
+    shared DuckDB oracle covers both.
+
+    Cost honesty at extreme cell counts: assignment/probing score
+    every vector against ALL C seeds — O(n * C * d), i.e. O(n^1.5 d)
+    at C ~ sqrt(n), the classic flat-IVF assignment bill, and the seed
+    matrix rides each task's closure (C x d doubles; ~50 MB at C=1e5,
+    d=64).  Both are fine through the measured 10^6-vector regime and
+    well past it; at 10^8+ vectors the standard next step is a
+    hierarchical coarse quantizer (assign to ~sqrt(C) super-cells,
+    then refine within) — a DIFFERENT operating point (cell membership
+    changes), so it belongs as a separate variant with its own
+    agreement eval, not a drop-in swap for this oracle-pinned form."""
     import numpy as np
     import pandas as pd
 

@@ -343,3 +343,21 @@ def test_bipartite_kernel_bitwise_equals_triangle_plus_filter(spark):
             s, t = (r.id_a, r.id_b) if r.id_a % 2 == 0 else (r.id_b, r.id_a)
             tri[(s, t)] = r.cosine
     assert bip == tri  # exact doubles, every cross-parity pair
+
+
+def test_margin_select_scale_path_matches_declared_path(spark):
+    """_margin_select(broadcast_small=False) — the mining-scale
+    configuration tools/scale_bitext.py runs (planner-chosen joins,
+    eager checkpoint of the ranked pair table) — must produce exactly
+    the declared broadcast form's rows."""
+    from greenbuttonengine_spark.plans.wave28_queries import (
+        _cross_pairs,
+        _margin_select,
+    )
+
+    u = _cross_pairs(spark, SF)
+    rows = lambda df: {  # noqa: E731
+        r.src_id: (r.tgt_id, r.cos_shift_e9, r.margin_ppm, r.mutual, r.above_mean)
+        for r in df.collect()
+    }
+    assert rows(_margin_select(u, broadcast_small=False)) == rows(_margin_select(u))
