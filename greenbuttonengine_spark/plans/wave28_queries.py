@@ -386,14 +386,23 @@ def xlingual_hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "eval_bitext_ann_agreement",
-    f"""
+def _agreement_oracle_sql(exact_sql: str, ann_sql: str) -> str:
+    """One-row agreement oracle shared by the isotropic and clustered
+    tiers (shared builder so the two oracles cannot drift — the
+    split_case_oracle_sql convention).  Beyond per-source same-best
+    agreement, it scores the ACCEPT DECISION a mining run acts on —
+    a pair is accepted when it is mutual-best AND margin>1 (the
+    paper's intersection + threshold strategy) — and reports how much
+    of the exact tier's accepted pair set the ANN tier recovers with
+    the identical pair and decisions (``accept_recall_ppm``;
+    denominator clamped to 1 so the zero-accepted corpus stays a
+    deterministic integer row in both engines)."""
+    return f"""
     WITH exact AS (
-        SELECT * FROM ({{exact_sql}}) t_exact
+        SELECT * FROM ({exact_sql}) t_exact
     ),
     ann AS (
-        SELECT * FROM ({{ann_sql}}) t_ann
+        SELECT * FROM ({ann_sql}) t_ann
     ),
     j AS (
         SELECT e.src_id,
@@ -402,7 +411,10 @@ def xlingual_hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                e.above_mean AS exact_above,
                COALESCE(a.above_mean, FALSE) AS ann_above,
                e.mutual AS exact_mutual,
-               COALESCE(a.mutual, FALSE) AS ann_mutual
+               COALESCE(a.mutual, FALSE) AS ann_mutual,
+               (e.mutual AND e.above_mean) AS exact_acc,
+               (COALESCE(a.mutual, FALSE) AND COALESCE(a.above_mean, FALSE))
+                   AS ann_acc
         FROM exact e LEFT JOIN ann a USING (src_id)
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS n_src,
@@ -419,11 +431,26 @@ def xlingual_hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CASE WHEN ann_mutual THEN 1 ELSE 0 END) AS BIGINT)
                AS n_ann_mutual,
            CAST(SUM(CASE WHEN same_best THEN 1 ELSE 0 END) * 1000000
-                // COUNT(*) AS BIGINT) AS agree_ppm
+                // COUNT(*) AS BIGINT) AS agree_ppm,
+           CAST(SUM(CASE WHEN exact_acc THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_exact_accepted,
+           CAST(SUM(CASE WHEN ann_acc THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_ann_accepted,
+           CAST(SUM(CASE WHEN same_best AND exact_acc AND ann_acc
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_accept_recovered,
+           CAST(SUM(CASE WHEN same_best AND exact_acc AND ann_acc
+                    THEN 1 ELSE 0 END) * 1000000
+                // GREATEST(SUM(CASE WHEN exact_acc THEN 1 ELSE 0 END), 1)
+                AS BIGINT) AS accept_recall_ppm
     FROM j
-    """.format(
-        exact_sql=_PAIRS_CTE + _margin_tail_sql(),
-        ann_sql=_ANN_PAIRS_CTE + _margin_tail_sql(),
+    """
+
+
+@register(
+    "eval_bitext_ann_agreement",
+    _agreement_oracle_sql(
+        _PAIRS_CTE + _margin_tail_sql(),
+        _ANN_PAIRS_CTE + _margin_tail_sql(),
     ),
     tags=("xlingual", "eval", "all-pairs"),
     doc="Agreement eval for the ANN bitext tier — the eval-next-to-"
@@ -433,11 +460,15 @@ def xlingual_hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "all-pairs tier does, and do the margin>1 / mutual-best "
     "acceptance decisions survive the approximation?  One integer "
     "row: sources, ANN coverage, same-best agreement (and as ppm), "
-    "above-mean and mutual counts under both tiers — the go/no-go "
-    "read on the (cells, probes, k_cand) operating point before a "
-    "100 TB mining run trusts it.  Composes the two declared queries "
-    "unchanged (both oracle-green individually); one left join on "
-    "src_id + one aggregate on top.",
+    "above-mean and mutual counts under both tiers, and (r13) the "
+    "ACCEPT-DECISION recovery a mining run acts on: of the exact "
+    "tier's accepted pairs (mutual-best AND margin>1, the paper's "
+    "intersection + threshold strategy), how many the ANN tier mines "
+    "with the identical pair and decisions (accept_recall_ppm) — the "
+    "go/no-go read on the (cells, probes, k_cand) operating point "
+    "before a 100 TB mining run trusts it.  Composes the two declared "
+    "queries unchanged (both oracle-green individually); one left "
+    "join on src_id + one aggregate on top.",
 )
 def eval_bitext_ann_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _agreement_frame(
@@ -461,6 +492,11 @@ def _agreement_frame(exact: DataFrame, ann: DataFrame) -> DataFrame:
         F.coalesce(F.col("a_above"), F.lit(False)).alias("ann_above"),
         F.col("mutual").alias("exact_mutual"),
         F.coalesce(F.col("a_mutual"), F.lit(False)).alias("ann_mutual"),
+        (F.col("mutual") & F.col("above_mean")).alias("exact_acc"),
+        (
+            F.coalesce(F.col("a_mutual"), F.lit(False))
+            & F.coalesce(F.col("a_above"), F.lit(False))
+        ).alias("ann_acc"),
     )
     cnt = lambda c: F.sum(F.when(F.col(c), 1).otherwise(0)).cast("long")  # noqa: E731
     return j.agg(
@@ -474,6 +510,17 @@ def _agreement_frame(exact: DataFrame, ann: DataFrame) -> DataFrame:
         F.expr("sum(CASE WHEN same_best THEN 1 ELSE 0 END) * 1000000L div count(*)")
         .cast("long")
         .alias("agree_ppm"),
+        cnt("exact_acc").alias("n_exact_accepted"),
+        cnt("ann_acc").alias("n_ann_accepted"),
+        F.expr(
+            "sum(CASE WHEN same_best AND exact_acc AND ann_acc"
+            " THEN 1 ELSE 0 END)"
+        ).cast("long").alias("n_accept_recovered"),
+        F.expr(
+            "sum(CASE WHEN same_best AND exact_acc AND ann_acc"
+            " THEN 1 ELSE 0 END) * 1000000L div"
+            " greatest(sum(CASE WHEN exact_acc THEN 1 ELSE 0 END), 1L)"
+        ).cast("long").alias("accept_recall_ppm"),
     )
 
 
@@ -524,42 +571,9 @@ def clustered_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "eval_bitext_ann_agreement_clustered",
-    f"""
-    WITH exact AS (
-        SELECT * FROM ({{exact_sql}}) t_exact
-    ),
-    ann AS (
-        SELECT * FROM ({{ann_sql}}) t_ann
-    ),
-    j AS (
-        SELECT e.src_id,
-               (a.src_id IS NOT NULL) AS covered,
-               COALESCE(a.tgt_id = e.tgt_id, FALSE) AS same_best,
-               e.above_mean AS exact_above,
-               COALESCE(a.above_mean, FALSE) AS ann_above,
-               e.mutual AS exact_mutual,
-               COALESCE(a.mutual, FALSE) AS ann_mutual
-        FROM exact e LEFT JOIN ann a USING (src_id)
-    )
-    SELECT CAST(COUNT(*) AS BIGINT) AS n_src,
-           CAST(SUM(CASE WHEN covered THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_covered,
-           CAST(SUM(CASE WHEN same_best THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_same_best,
-           CAST(SUM(CASE WHEN exact_above THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_exact_above_mean,
-           CAST(SUM(CASE WHEN ann_above THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_ann_above_mean,
-           CAST(SUM(CASE WHEN exact_mutual THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_exact_mutual,
-           CAST(SUM(CASE WHEN ann_mutual THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_ann_mutual,
-           CAST(SUM(CASE WHEN same_best THEN 1 ELSE 0 END) * 1000000
-                // COUNT(*) AS BIGINT) AS agree_ppm
-    FROM j
-    """.format(
-        exact_sql=_pairs_cte(_E_CLUSTERED) + _margin_tail_sql(),
-        ann_sql=_ann_pairs_cte(_E_CLUSTERED) + _margin_tail_sql(),
+    _agreement_oracle_sql(
+        _pairs_cte(_E_CLUSTERED) + _margin_tail_sql(),
+        _ann_pairs_cte(_E_CLUSTERED) + _margin_tail_sql(),
     ),
     tags=("xlingual", "eval", "all-pairs"),
     doc="The clustered-corpus tier of eval_bitext_ann_agreement — the "

@@ -182,6 +182,21 @@ def test_agreement_eval_composes_the_two_miners(spark):
     assert got.n_exact_mutual == sum(r.mutual for r in exact.values())
     assert got.n_ann_mutual == sum(ann[s].mutual for s in exact if s in ann)
     assert got.agree_ppm == same * 1000000 // len(exact)
+    # r13 accept-decision recovery: accepted = mutual AND above_mean
+    exact_acc = {s for s, r in exact.items() if r.mutual and r.above_mean}
+    ann_acc = {
+        s for s in exact
+        if s in ann and ann[s].mutual and ann[s].above_mean
+    }
+    recovered = {
+        s for s in exact_acc & ann_acc if ann[s].tgt_id == exact[s].tgt_id
+    }
+    assert got.n_exact_accepted == len(exact_acc)
+    assert got.n_ann_accepted == len(ann_acc)
+    assert got.n_accept_recovered == len(recovered)
+    assert got.accept_recall_ppm == (
+        len(recovered) * 1000000 // max(len(exact_acc), 1)
+    )
 
 
 def test_blocked_ivf_tiling_and_split_bitwise_invariant(spark, monkeypatch):
