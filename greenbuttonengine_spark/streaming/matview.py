@@ -88,6 +88,13 @@ def agg_merge_deltas(
     data in affected buckets), never O(history)."""
     minmax_cols = minmax_cols or {}
     val_cols = [f.name for f in schema.fields if f.name not in key_cols]
+    unknown = set(minmax_cols) - set(val_cols)
+    if unknown:
+        # a typo here would silently SUM a column meant to min/max-merge
+        raise ValueError(f"minmax_cols not in the view's value columns: {sorted(unknown)}")
+    bad_kind = {c: k for c, k in minmax_cols.items() if k not in ("min", "max")}
+    if bad_kind:
+        raise ValueError(f"minmax_cols values must be 'min' or 'max': {bad_kind}")
 
     def merge_expr(c: str):
         if minmax_cols.get(c) == "min":

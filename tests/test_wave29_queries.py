@@ -89,3 +89,22 @@ def test_gated_merge_matches_deployed_stream(spark, tmp_path):
     stream_totals = _totals(read_view(spark, d, _MV_SCHEMA).collect())
     declared = _totals(_queries()["streaming_matview_merge"].fn(spark, SF).collect())
     assert stream_totals == declared
+
+
+def test_agg_merge_rejects_misdeclared_minmax_cols(spark):
+    """A typo'd minmax_cols key would silently SUM a column meant to
+    min/max-merge — the merge must refuse instead."""
+    import pytest
+
+    from greenbuttonengine_spark.plans.wave29_queries import _MV_SCHEMA
+    from greenbuttonengine_spark.streaming.matview import agg_merge_deltas
+
+    empty = spark.createDataFrame([], _MV_SCHEMA).withColumn(
+        "__bucket", F.lit(0)
+    )
+    with pytest.raises(ValueError, match="not in the view's value columns"):
+        agg_merge_deltas(empty, empty, _MV_SCHEMA, ["user_id"],
+                         minmax_cols={"max_centz": "max"})
+    with pytest.raises(ValueError, match="must be 'min' or 'max'"):
+        agg_merge_deltas(empty, empty, _MV_SCHEMA, ["user_id"],
+                         minmax_cols={"max_cents": "greatest"})
