@@ -376,3 +376,62 @@ def test_margin_select_scale_path_matches_declared_path(spark):
         for r in df.collect()
     }
     assert rows(_margin_select(u, broadcast_small=False)) == rows(_margin_select(u))
+
+
+def test_bipartite_kernel_property_matches_bruteforce(spark):
+    """Randomized-configuration pin for the bipartite kernel: random
+    side sizes (including tiny and empty), dims, block counts, and
+    duplicate vectors must all reproduce the brute-force numpy cosine
+    table exactly."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from greenbuttonengine_spark.extensions import dedup
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        seed=st.integers(0, 2**31 - 1),
+        n_left=st.integers(0, 20),
+        n_right=st.integers(0, 20),
+        dim=st.integers(2, 6),
+        n_blocks=st.integers(1, 6),
+    )
+    def check(seed, n_left, n_right, dim, n_blocks):
+        import numpy as np
+
+        rng = np.random.RandomState(seed)
+        def side(n, base):
+            m = rng.randint(-3, 4, size=(n, dim)).astype(float)
+            if n:
+                m[np.abs(m).sum(axis=1) == 0, 0] = 1.0
+                if n >= 4:
+                    m[n - 1] = m[0]  # duplicate vector -> exact ties
+            return [(base + i, [float(x) for x in m[i]]) for i in range(n)], m
+
+        lrows, lm = side(n_left, 0)
+        rrows, rm = side(n_right, 1000)
+        schema = "vec_id long, embedding array<double>"
+        left = spark.createDataFrame(lrows, schema)
+        right = spark.createDataFrame(rrows, schema)
+        got = {
+            (r.id_a, r.id_b): r.cosine
+            for r in dedup.embedding_cosine_pairs_bipartite(
+                left, right, n_blocks=n_blocks
+            ).collect()
+        }
+        want = {}
+        for i in range(n_left):
+            for j in range(n_right):
+                acc = na = nb = 0.0
+                for d in range(dim):
+                    acc += lm[i, d] * rm[j, d]
+                    na += lm[i, d] * lm[i, d]
+                    nb += rm[j, d] * rm[j, d]
+                want[(i, 1000 + j)] = acc / (na ** 0.5 * nb ** 0.5)
+        assert got == want
+
+    check()
