@@ -59,6 +59,7 @@ def _registry():
     from greenbuttonengine_spark.plans import wave27_queries  # noqa: F401
     from greenbuttonengine_spark.plans import wave28_queries  # noqa: F401
     from greenbuttonengine_spark.plans import wave29_queries  # noqa: F401
+    from greenbuttonengine_spark.plans import wave30_queries  # noqa: F401
 
     return registry
 

@@ -468,6 +468,24 @@ def ivf_topk_blocked(
         F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
     ).mapInPandas(_probe, "query_id long, qv array<double>, qnrm double, cell int")
 
+    return _blocked_score_tail(q, c, k, d, cell_split)
+
+
+def _blocked_score_tail(q, c, k: int, d: int, cell_split: int = 1) -> DataFrame:
+    """Shared scoring tail of the blocked IVF kernels: given probe rows
+    (query_id, qv, qnrm, cell) and assigned corpus rows (neighbor_id,
+    cv, cnrm, cell), score each cell's query x corpus cosine matrix in
+    _Q_BLOCK x _C_BLOCK tiles (literal per-task memory bound; bitwise-
+    equal to the untiled matrix — see ivf_topk_blocked), emit per-query
+    top-k within the cell, and take the global per-query top-k.
+    ``cell_split`` fans a hot cell's corpus side into hash sub-cells
+    (queries probe each; output split-invariant)."""
+    import numpy as np
+    import pandas as pd
+
+    def _mat(pdf_col):
+        return np.stack([np.asarray(v, dtype=np.float64) for v in pdf_col])
+
     if cell_split > 1:
         sub = F.pmod(F.xxhash64(F.col("neighbor_id")), F.lit(cell_split)).cast("int")
         c = c.withColumn("cell", F.col("cell") * cell_split + sub)
@@ -552,6 +570,144 @@ def ivf_topk_blocked(
         survivors.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= k)
     )
+
+
+def ivf_topk_hier_blocked(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    n_super: int = 4,
+    super_probe: int = 2,
+    cells_per_super: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cell_split: int = 1,
+) -> DataFrame:
+    """Two-level (hierarchical) seeded-IVF top-k — the assignment-cost
+    fix the flat kernel's docstring flags: ``ivf_topk_blocked`` scores
+    every vector against ALL C cell seeds (O(n*C*d), O(n^1.5 d) at the
+    miner's C ~ sqrt(n) operating point).  Here vectors first pick
+    their best SUPER-cell among S = the first ``n_super`` seeds of the
+    same LCG-ordered seed list (supers are a prefix of the cells, so
+    no second selection rule exists to drift), then rank only the
+    cells MAPPED to that super — O(n*(S + C/S)*d), minimized at
+    S ~ sqrt(C) (the FAISS IMI shape).  The cell->super map is the
+    C x S argmax of seed-to-super cosine (ties -> lowest super),
+    computed once driver-side with the same sequential fold.
+
+    Probing is quota-based, the IMI convention: a query takes its top
+    ``super_probe`` supers, then its top ``cells_per_super`` cells
+    WITHIN each probed super (total probed cells = super_probe x
+    cells_per_super) — per-super quotas, unlike the flat form's global
+    n_probe, so the kernel never scores a query against cells of
+    unprobed supers.  Cell membership therefore DIFFERS from the flat
+    quantizer: this is a separate declared operating point with its
+    own oracle and recall eval (eval_ann_hier_recall), not a bitwise
+    twin.  All arithmetic is the same k-ordered fold as every kernel
+    here (DuckDB-reproducible; ties -> lowest super/cell/neighbor);
+    scoring reuses the tiled ``_blocked_score_tail`` (literal 67 MB
+    per-task bound, cell_split hub valve).
+
+    Zero-norm embeddings are out of contract (cosine NaN), as for
+    every IVF form in this module.
+    """
+    import numpy as np
+    import pandas as pd
+
+    seeds = seeded_centroids(corpus, n_cells, vec_col, id_col)
+    if not seeds:
+        return _empty_topk(corpus.sparkSession)
+    seed_mat = np.array([v for _, v, _ in seeds], dtype=np.float64)  # (C, d)
+    seed_nrm = np.array([nrm for _, _, nrm in seeds], dtype=np.float64)
+    C, d = seed_mat.shape
+    S = min(n_super, C)
+    sup_mat, sup_nrm = seed_mat[:S], seed_nrm[:S]
+    spr = min(super_probe, S)
+
+    def _fold_scores(m, mat, nrm):  # k-ordered: bitwise == the SQL fold
+        acc = np.zeros((m.shape[0], mat.shape[0]))
+        for j in range(d):
+            acc += np.outer(m[:, j], mat[:, j])
+        return acc / nrm
+
+    # cell -> super (driver-side; ties -> lowest super via first-max)
+    cell2sup = np.argmax(_fold_scores(seed_mat, sup_mat, sup_nrm), axis=1)
+    cells_of = {
+        s: np.where(cell2sup == s)[0].astype("int64") for s in range(S)
+    }  # ascending cell ids per super -> first-max == lowest cell
+
+    def _seq_norm(m):
+        acc = np.zeros(m.shape[0])
+        for j in range(d):
+            acc += m[:, j] * m[:, j]
+        return np.sqrt(acc)
+
+    def _mat(pdf_col):
+        return np.stack([np.asarray(v, dtype=np.float64) for v in pdf_col])
+
+    def _assign(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            m = _mat(pdf["cv"])
+            sup = np.argmax(_fold_scores(m, sup_mat, sup_nrm), axis=1)
+            cell = np.zeros(len(pdf), dtype="int64")
+            for s in np.unique(sup):
+                mask = sup == s
+                cl = cells_of[int(s)]
+                sc = _fold_scores(m[mask], seed_mat[cl], seed_nrm[cl])
+                cell[mask] = cl[np.argmax(sc, axis=1)]
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": pdf["neighbor_id"].astype("int64"),
+                    "cv": [list(v) for v in m],
+                    "cnrm": _seq_norm(m),
+                    "cell": cell.astype("int32"),
+                }
+            )
+
+    def _probe(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            m = _mat(pdf["qv"])
+            qn = _seq_norm(m)
+            qid = pdf["query_id"].to_numpy().astype("int64")
+            sorder = np.argsort(
+                -_fold_scores(m, sup_mat, sup_nrm), axis=1, kind="stable"
+            )[:, :spr]
+            out_q, out_v, out_n, out_c = [], [], [], []
+            for s in range(S):
+                rows = np.where((sorder == s).any(axis=1))[0]
+                cl = cells_of[s]
+                if not len(rows) or not len(cl):
+                    continue
+                sc = _fold_scores(m[rows], seed_mat[cl], seed_nrm[cl])
+                top = np.argsort(-sc, axis=1, kind="stable")[:, :cells_per_super]
+                npc = top.shape[1]
+                out_q.append(np.repeat(qid[rows], npc))
+                out_v.append(np.repeat(m[rows], npc, axis=0))
+                out_n.append(np.repeat(qn[rows], npc))
+                out_c.append(cl[top].reshape(-1))
+            if not out_q:
+                continue
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "qv": [list(v) for v in np.concatenate(out_v)],
+                    "qnrm": np.concatenate(out_n),
+                    "cell": np.concatenate(out_c).astype("int32"),
+                }
+            )
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv")
+    ).mapInPandas(_assign, "neighbor_id long, cv array<double>, cnrm double, cell int")
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
+    ).mapInPandas(_probe, "query_id long, qv array<double>, qnrm double, cell int")
+    return _blocked_score_tail(q, c, k, d, cell_split)
 
 
 def lsh_topk(

@@ -1,0 +1,201 @@
+"""Round-13 wave: the two-level (hierarchical) coarse quantizer — the
+assignment-cost fix `similarity.ivf_topk_blocked`'s docstring flags for
+the 10^8+-vector regime, declared with its own oracle and its own
+recall eval (the eval-next-to-approximation convention).
+
+Flat seeded IVF scores every vector against ALL C cell seeds:
+O(n*C*d), which is O(n^1.5 d) at the miner's C ~ sqrt(n) operating
+point.  The hierarchical form (`similarity.ivf_topk_hier_blocked`,
+the FAISS IMI shape) first picks the best of S super-cells — the
+FIRST S seeds of the same LCG-ordered list, so no second selection
+rule exists to drift — then ranks only the cells mapped to that
+super: O(n*(S + C/S)*d), minimized at S ~ sqrt(C).  Probing is
+quota-based (top ``super_probe`` supers, top ``cells_per_super``
+cells within each), so cell membership and probe sets DIFFER from the
+flat quantizer: this is a separate declared operating point, not a
+bitwise twin — which is exactly why it ships with
+``eval_ann_hier_recall`` next to it.
+
+Everything is the same k-ordered fold arithmetic as the flat family
+(ties -> lowest super / cell / neighbor), so DuckDB reproduces the
+whole pipeline bit-for-bit and both queries carry full oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..extensions import similarity
+from ..sources.catalog import load_table
+from .extension_queries import _seeded_cells_cte
+from .registry import register
+
+_C = 16  # cells at the declared (small-sf) operating point
+_S = 4  # super-cells ~ sqrt(C)
+_SUPER_PROBE = 2
+_CELLS_PER_SUPER = 2  # probed cells = 2 x 2 = flat ann_ivf_topk's 4
+_K = 10
+
+
+def _hier_ctes() -> str:
+    """Shared DuckDB CTE chain for the hierarchical retriever, ending
+    in ``scored(query_id, neighbor_id, cosine)`` — used by BOTH
+    ann_ivf_hier_topk and eval_ann_hier_recall so the evaluated
+    retriever cannot drift from the declared one."""
+    cos = "list_dot_product({a}, {b}) / sqrt(list_dot_product({b}, {b}))"
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    {_seeded_cells_cte(_C)},
+    supers AS (SELECT cell AS sup, v AS sv FROM seeds WHERE cell < {_S}),
+    cellmap AS (
+        SELECT sd.cell, sd.v AS seedv, sp.sup
+        FROM seeds sd CROSS JOIN supers sp
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY sd.cell
+            ORDER BY {cos.format(a="sd.v", b="sp.sv")} DESC, sp.sup) = 1
+    ),
+    vsup AS (
+        SELECT e.vec_id, e.v, sp.sup
+        FROM e CROSS JOIN supers sp
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY e.vec_id
+            ORDER BY {cos.format(a="e.v", b="sp.sv")} DESC, sp.sup) = 1
+    ),
+    assign AS (
+        SELECT vs.vec_id AS neighbor_id, vs.v AS ncv, cm.cell
+        FROM vsup vs JOIN cellmap cm USING (sup)
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY vs.vec_id
+            ORDER BY {cos.format(a="vs.v", b="cm.seedv")} DESC, cm.cell) = 1
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 16),
+    qsup AS (
+        SELECT qq.query_id, qq.qv, sp.sup
+        FROM q qq CROSS JOIN supers sp
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY qq.query_id
+            ORDER BY {cos.format(a="qq.qv", b="sp.sv")} DESC, sp.sup)
+            <= {_SUPER_PROBE}
+    ),
+    probes AS (
+        SELECT qs.query_id, qs.qv, cm.cell
+        FROM qsup qs JOIN cellmap cm USING (sup)
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY qs.query_id, qs.sup
+            ORDER BY {cos.format(a="qs.qv", b="cm.seedv")} DESC, cm.cell)
+            <= {_CELLS_PER_SUPER}
+    ),
+    scored AS (
+        SELECT p.query_id, a.neighbor_id,
+               list_dot_product(p.qv, a.ncv)
+                   / (sqrt(list_dot_product(p.qv, p.qv))
+                      * sqrt(list_dot_product(a.ncv, a.ncv))) AS cosine
+        FROM probes p JOIN assign a USING (cell)
+        WHERE a.neighbor_id != p.query_id
+    )
+    """
+
+
+def _hier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    return similarity.ivf_topk_hier_blocked(
+        emb,
+        emb.filter(F.col("vec_id") < 16),
+        k=_K,
+        n_cells=_C,
+        n_super=_S,
+        super_probe=_SUPER_PROBE,
+        cells_per_super=_CELLS_PER_SUPER,
+    )
+
+
+@register(
+    "ann_ivf_hier_topk",
+    _hier_ctes()
+    + f"""
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+        SELECT scored.*, CAST(ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id)
+            AS BIGINT) AS rank
+        FROM scored
+    ) t WHERE rank <= {_K}
+    """,
+    tags=("similarity", "approx"),
+    doc=f"Hierarchical (two-level) seeded-IVF top-{_K}: {_S} super-"
+    f"cells over {_C} cells, {_SUPER_PROBE} probed supers x "
+    f"{_CELLS_PER_SUPER} cells each.  Assignment cost drops from "
+    "O(n*C*d) to O(n*(S + C/S)*d) — the FAISS IMI shape, and the "
+    "documented scale path past ~10^8 vectors where even the blocked "
+    "flat kernel's seed scan becomes the bill.  Supers are the first "
+    "S seeds of the SAME LCG order as the cells (no second selection "
+    "rule), the cell->super map is a driver-side C x S argmax of the "
+    "identical fold arithmetic, and probing is per-super quota (IMI "
+    "convention) — all integer-LCG + ordered-fold deterministic, so "
+    "the full pipeline carries a DuckDB oracle.  Scale shape: "
+    "assignment/probing are scan-stage Arrow batches; the only "
+    "shuffle is the cell cogroup of the shared tiled scoring tail "
+    "(literal 67 MB/task bound, cell_split hub valve).  Recall "
+    "differs from flat IVF by construction — eval_ann_hier_recall is "
+    "the attached go/no-go measurement.",
+)
+def ann_ivf_hier_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _hier(spark, sf_dir)
+
+
+@register(
+    "eval_ann_hier_recall",
+    _hier_ctes()
+    + f""",
+    hier AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT scored.*, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, neighbor_id)
+                AS rank
+            FROM scored
+        ) t WHERE rank <= {_K}
+    ),
+    brute AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT qq.query_id, e.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY qq.query_id ORDER BY
+                       list_dot_product(qq.qv, e.v)
+                           / (sqrt(list_dot_product(qq.qv, qq.qv))
+                              * sqrt(list_dot_product(e.v, e.v))) DESC,
+                       e.vec_id) AS rank
+            FROM q qq JOIN e ON e.vec_id != qq.query_id
+        ) t WHERE rank <= {_K}
+    )
+    SELECT b.query_id,
+           CAST(SUM(CASE WHEN h.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS DOUBLE) / {_K}.0 AS recall_at_k
+    FROM brute b
+    LEFT JOIN hier h ON h.query_id = b.query_id
+                    AND h.neighbor_id = b.neighbor_id
+    GROUP BY b.query_id
+    """,
+    tags=("similarity", "eval", "all-pairs"),
+    doc="Recall@10 of the hierarchical IVF retriever vs exact brute "
+    "force, per query — the eval-next-to-approximation attached to "
+    "ann_ivf_hier_topk (the eval_ann_recall pattern): both sides "
+    "compose the DECLARED plans' own CTE chains, so the evaluated "
+    "retriever cannot drift from the deployed one.  The reading "
+    "quantifies what the two-level quota probing costs vs the flat "
+    "quantizer on the same corpus — the number that decides whether "
+    "the O(n*(S + C/S)*d) assignment saving is worth it at a given "
+    "(S, super_probe, cells_per_super) operating point.",
+)
+def eval_ann_hier_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < 16)
+    brute = similarity.cosine_topk(emb, queries, k=_K).select(
+        "query_id", "neighbor_id"
+    )
+    hier = _hier(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("__hit")
+    )
+    return (
+        brute.join(hier, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            (
+                F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast("double")
+                / F.lit(float(_K))
+            ).alias("recall_at_k")
+        )
+    )
