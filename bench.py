@@ -11,6 +11,19 @@ MEDIAN; ``queries_min``/``value_min`` carry the per-query minima as the
 noise floor.  Each trial fully executes the query via
 ``df.write.format('noop')`` — noop write materializes every row without
 driver transfer, which is the fairest throughput measure.
+
+Noise gate (round 14): BENCH_r13 was contaminated by hypervisor
+interference the artifact itself stamped (cpu_steal_pct 5.6 vs <=0.23
+on every clean run; uniform ~5x inflation on untouched pure-scan
+queries).  Steal is the discriminating signal — pre-run loadavg was
+NOT predictive (1.82 on the bad run, 3.23 on a clean one) — so the
+harness now (a) probes steal for a few seconds before measuring and
+waits out a noisy window, and (b) discards and re-measures the whole
+suite (bounded attempts, backoff) when the run's own measured steal
+exceeds SPARK_GRAFT_BENCH_STEAL_MAX (default 1.0%).  Every attempt's
+stamps are recorded under ``noise_gate`` so a gated artifact is
+self-explaining; if all attempts are noisy the last result is still
+emitted with ``noise_gate.passed = false``.
 """
 
 from __future__ import annotations
@@ -77,38 +90,31 @@ def _load_stamp() -> dict:
     return out
 
 
-def main() -> None:
-    load_start = _load_stamp()
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    n_trials = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "5")))
+def _steal_between(start: dict, end: dict) -> float | None:
+    """Steal %% of total jiffies between two ``_load_stamp`` snapshots."""
+    dt = end.get("cpu_total_jiffies", 0) - start.get("cpu_total_jiffies", 0)
+    if dt > 0 and "cpu_steal_jiffies" in end:
+        ds = end["cpu_steal_jiffies"] - start.get("cpu_steal_jiffies", 0)
+        return round(100.0 * ds / dt, 3)
+    return None
 
-    import __spark_entry__ as entrymod
-    from greenbuttonengine_spark.session import get_spark
 
-    spark = get_spark(app_name="gbe-bench")
-    # Only the JSON line belongs on the bench transcript.  At default
-    # levels two benign log events dump ~200-line Java stack traces:
-    # FileStreamSink probing the multi-file glob path (FileNotFound
-    # WARN), and late accumulator updates from tasks that finish after
-    # clearCache() (DAGScheduler ERROR) — neither affects results.
-    spark.sparkContext.setLogLevel("OFF")
+def _probe_steal(window_sec: float = 4.0) -> tuple[float | None, dict]:
+    """Sample hypervisor steal over a short idle window (pre-run gate)."""
+    s0 = _load_stamp()
+    time.sleep(window_sec)
+    s1 = _load_stamp()
+    return _steal_between(s0, s1), s1
 
-    qs = entrymod.queries()
-    names = [n for n in HEADLINE if n in qs]
-    # include extension headliners when present
-    for extra in ("dedup_exact", "dedup_minhash_lsh", "ann_bruteforce_topk", "text_quality_score"):
-        if extra in qs and extra not in names:
-            names.append(extra)
 
-    # warm the JVM + every table's parquet footers once, so per-query
-    # timings measure the query, not first-touch listing costs
-    from greenbuttonengine_spark.sources.catalog import TABLES, load_table
+def _run_suite(
+    spark, qs, names: list[str], sf_dir: str, n_trials: int
+) -> tuple[dict[str, float], dict[str, float], dict]:
+    """One full measurement pass: headline queries + the ESPI workload.
 
-    for t in TABLES:
-        load_table(spark, t, sf_dir).write.format("noop").mode("overwrite").save()
-    qs["s1_scan_filter_project"](spark, sf_dir).write.format("noop").mode("overwrite").save()
-
+    Returns (timings, minima, espi_extras).  Re-running this in the same
+    session is always warm — consistent with the warm-median protocol.
+    """
     timings: dict[str, float] = {}
     minima: dict[str, float] = {}
     for name in names:
@@ -172,6 +178,97 @@ def main() -> None:
         espi_files_per_sec_median = round(n_files / statistics.median(multi_trials), 1)
         shutil.rmtree(multi, ignore_errors=True)
 
+    espi_extras: dict = {}
+    if espi_files_per_sec is not None:
+        espi_extras = {
+            "espi_files_per_sec": espi_files_per_sec,
+            "espi_files_per_sec_median": espi_files_per_sec_median,
+            "espi_multifile_n": n_files,
+        }
+    return timings, minima, espi_extras
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    n_trials = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "5")))
+    steal_max = float(os.environ.get("SPARK_GRAFT_BENCH_STEAL_MAX", "1.0"))
+    max_attempts = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_MAX_ATTEMPTS", "3")))
+    gate_log: list[dict] = []
+
+    # Pre-run gate: a 4s steal probe is cheap next to a minutes-long
+    # suite, so wait out a visibly noisy window (bounded backoff) before
+    # paying for a measurement that would only be discarded.
+    for probe_i in range(max_attempts):
+        steal, stamp = _probe_steal()
+        gate_log.append(
+            {
+                "stage": "pre_probe",
+                "steal_pct": steal,
+                "loadavg_1m": stamp.get("loadavg_1m"),
+            }
+        )
+        if steal is None or steal <= steal_max:
+            break
+        if probe_i < max_attempts - 1:
+            time.sleep(30.0 * (probe_i + 1))
+
+    import __spark_entry__ as entrymod
+    from greenbuttonengine_spark.session import get_spark
+
+    spark = get_spark(app_name="gbe-bench")
+    # Only the JSON line belongs on the bench transcript.  At default
+    # levels two benign log events dump ~200-line Java stack traces:
+    # FileStreamSink probing the multi-file glob path (FileNotFound
+    # WARN), and late accumulator updates from tasks that finish after
+    # clearCache() (DAGScheduler ERROR) — neither affects results.
+    spark.sparkContext.setLogLevel("OFF")
+
+    qs = entrymod.queries()
+    names = [n for n in HEADLINE if n in qs]
+    # include extension headliners when present
+    for extra in ("dedup_exact", "dedup_minhash_lsh", "ann_bruteforce_topk", "text_quality_score"):
+        if extra in qs and extra not in names:
+            names.append(extra)
+
+    # warm the JVM + every table's parquet footers once, so per-query
+    # timings measure the query, not first-touch listing costs
+    from greenbuttonengine_spark.sources.catalog import TABLES, load_table
+
+    for t in TABLES:
+        load_table(spark, t, sf_dir).write.format("noop").mode("overwrite").save()
+    qs["s1_scan_filter_project"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    # Measure-and-retry: the run's own steal reading is the ground truth
+    # (pre-probes can miss interference that starts mid-run, as in r13).
+    passed = False
+    timings: dict[str, float] = {}
+    minima: dict[str, float] = {}
+    espi_extras: dict = {}
+    load_start: dict = {}
+    load_end: dict = {}
+    run_steal: float | None = None
+    for attempt in range(1, max_attempts + 1):
+        load_start = _load_stamp()
+        timings, minima, espi_extras = _run_suite(spark, qs, names, sf_dir, n_trials)
+        load_end = _load_stamp()
+        run_steal = _steal_between(load_start, load_end)
+        gate_log.append(
+            {
+                "stage": "measure",
+                "attempt": attempt,
+                "steal_pct": run_steal,
+                "loadavg_start": load_start.get("loadavg_1m"),
+                "loadavg_end": load_end.get("loadavg_1m"),
+                "total_sec": round(sum(timings.values()), 3),
+            }
+        )
+        if run_steal is None or run_steal <= steal_max:
+            passed = True
+            break
+        if attempt < max_attempts:
+            time.sleep(60.0 * attempt)
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_queries_wall_clock",
@@ -183,23 +280,19 @@ def main() -> None:
         "value_min": round(sum(minima.values()), 3),
         "queries_min": minima,
     }
-    if espi_files_per_sec is not None:
-        out["espi_files_per_sec"] = espi_files_per_sec
-        out["espi_files_per_sec_median"] = espi_files_per_sec_median
-        out["espi_multifile_n"] = n_files
-    load_end = _load_stamp()
+    out.update(espi_extras)
     if "loadavg_1m" in load_start:
         out["loadavg_start"] = [load_start["loadavg_1m"], load_start["loadavg_5m"]]
     if "loadavg_1m" in load_end:
         out["loadavg_end"] = [load_end["loadavg_1m"], load_end["loadavg_5m"]]
-    dt = load_end.get("cpu_total_jiffies", 0) - load_start.get(
-        "cpu_total_jiffies", 0
-    )
-    if dt > 0 and "cpu_steal_jiffies" in load_end:
-        ds = load_end["cpu_steal_jiffies"] - load_start.get(
-            "cpu_steal_jiffies", 0
-        )
-        out["cpu_steal_pct"] = round(100.0 * ds / dt, 3)
+    if run_steal is not None:
+        out["cpu_steal_pct"] = run_steal
+    out["noise_gate"] = {
+        "passed": passed,
+        "steal_max_pct": steal_max,
+        "max_attempts": max_attempts,
+        "attempts": gate_log,
+    }
     print(json.dumps(out))
     spark.stop()
 
