@@ -319,7 +319,8 @@ def ivf_topk_seeded(
 
 
 # Literal per-task memory bound for the blocked IVF scorer: one active
-# score block is at most _Q_BLOCK x _C_BLOCK doubles (64 MB) no matter
+# score block is at most _Q_BLOCK x _C_BLOCK doubles — 67 MB (64 MiB),
+# the figure SCALING.md/COVERAGE.md quote — no matter
 # how large a cell grows — the _cap_buckets lesson applied to IVF.  The
 # per-(query, corpus) cosine is an independent dim-ordered sum, so
 # tiling the matrix changes NOTHING bitwise (see _score_cell).
@@ -357,7 +358,7 @@ def ivf_topk_blocked(
     * scoring: cogrouped ``applyInPandas`` per cell — the bipartite
       block-matrix trick of ``embedding_cosine_pairs_blocked``, TILED:
       the cell's query x corpus cosine matrix is computed in
-      _Q_BLOCK x _C_BLOCK tiles (a LITERAL 64 MB peak per task — at
+      _Q_BLOCK x _C_BLOCK tiles (a LITERAL 67 MB (64 MiB) peak per task — at
       the sqrt(n)-cells operating point the untiled matrix is ~4n
       entries per task, linear in the corpus, an OOM near 1e9
       vectors), per-query top-k within the cell emitted (rows out =
@@ -572,6 +573,19 @@ def _blocked_score_tail(q, c, k: int, d: int, cell_split: int = 1) -> DataFrame:
     )
 
 
+def _mask_invalid_supers(scores, valid):
+    """Restrict a (rows x supers) score matrix to the valid (non-empty)
+    supers: invalid columns become -inf, so the subsequent first-max
+    argmax / stable descending sort picks the best VALID super with
+    ties still breaking to the lowest valid index.  Pure helper so the
+    empty-super guard is unit-testable without a degenerate corpus."""
+    import numpy as np
+
+    if valid.all():
+        return scores
+    return np.where(valid[None, :], scores, -np.inf)
+
+
 def ivf_topk_hier_blocked(
     corpus: DataFrame,
     queries: DataFrame,
@@ -611,6 +625,17 @@ def ivf_topk_hier_blocked(
 
     Zero-norm embeddings are out of contract (cosine NaN), as for
     every IVF form in this module.
+
+    Empty supers: a super with NO mapped cells is normally impossible
+    (each super IS cell s < S, and Cauchy-Schwarz self-cosine 1 plus
+    ties->lowest keeps cell s under super s), but FP noise on
+    near-parallel seeds can break the self-mapping.  Vectors and
+    queries therefore rank only NON-EMPTY supers (empty columns masked
+    to -inf before the first-max/stable-sort — ties still -> lowest
+    non-empty super); the DuckDB oracle mirrors the rule with its
+    ``nesupers`` CTE.  Without the mask an orphaned vector would crash
+    the kernel (argmax over an empty cell list) while the oracle
+    silently dropped it via the inner join on sup (r13 ADVICE).
     """
     import numpy as np
     import pandas as pd
@@ -636,6 +661,8 @@ def ivf_topk_hier_blocked(
     cells_of = {
         s: np.where(cell2sup == s)[0].astype("int64") for s in range(S)
     }  # ascending cell ids per super -> first-max == lowest cell
+    sup_valid = np.array([len(cells_of[s]) > 0 for s in range(S)])
+    assert sup_valid.any()  # every cell maps somewhere, so >=1 non-empty
 
     def _seq_norm(m):
         acc = np.zeros(m.shape[0])
@@ -651,11 +678,14 @@ def ivf_topk_hier_blocked(
             if not len(pdf):
                 continue
             m = _mat(pdf["cv"])
-            sup = np.argmax(_fold_scores(m, sup_mat, sup_nrm), axis=1)
+            sup = np.argmax(
+                _mask_invalid_supers(_fold_scores(m, sup_mat, sup_nrm), sup_valid),
+                axis=1,
+            )
             cell = np.zeros(len(pdf), dtype="int64")
             for s in np.unique(sup):
                 mask = sup == s
-                cl = cells_of[int(s)]
+                cl = cells_of[int(s)]  # non-empty: sup ranges over valid supers
                 sc = _fold_scores(m[mask], seed_mat[cl], seed_nrm[cl])
                 cell[mask] = cl[np.argmax(sc, axis=1)]
             yield pd.DataFrame(
@@ -675,7 +705,9 @@ def ivf_topk_hier_blocked(
             qn = _seq_norm(m)
             qid = pdf["query_id"].to_numpy().astype("int64")
             sorder = np.argsort(
-                -_fold_scores(m, sup_mat, sup_nrm), axis=1, kind="stable"
+                -_mask_invalid_supers(_fold_scores(m, sup_mat, sup_nrm), sup_valid),
+                axis=1,
+                kind="stable",
             )[:, :spr]
             out_q, out_v, out_n, out_c = [], [], [], []
             for s in range(S):

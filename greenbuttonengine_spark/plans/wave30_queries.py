@@ -54,9 +54,17 @@ def _hier_ctes() -> str:
         QUALIFY ROW_NUMBER() OVER (PARTITION BY sd.cell
             ORDER BY {cos.format(a="sd.v", b="sp.sv")} DESC, sp.sup) = 1
     ),
+    nesupers AS (
+        -- NON-EMPTY supers only: vectors and queries rank just the
+        -- supers that own at least one cell, mirroring the kernel's
+        -- -inf mask (r13 ADVICE: without this rule the engines diverge
+        -- when FP noise on near-parallel seeds orphans a super)
+        SELECT sp.sup, sp.sv FROM supers sp
+        WHERE sp.sup IN (SELECT sup FROM cellmap)
+    ),
     vsup AS (
         SELECT e.vec_id, e.v, sp.sup
-        FROM e CROSS JOIN supers sp
+        FROM e CROSS JOIN nesupers sp
         QUALIFY ROW_NUMBER() OVER (PARTITION BY e.vec_id
             ORDER BY {cos.format(a="e.v", b="sp.sv")} DESC, sp.sup) = 1
     ),
@@ -69,7 +77,7 @@ def _hier_ctes() -> str:
     q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 16),
     qsup AS (
         SELECT qq.query_id, qq.qv, sp.sup
-        FROM q qq CROSS JOIN supers sp
+        FROM q qq CROSS JOIN nesupers sp
         QUALIFY ROW_NUMBER() OVER (PARTITION BY qq.query_id
             ORDER BY {cos.format(a="qq.qv", b="sp.sv")} DESC, sp.sup)
             <= {_SUPER_PROBE}

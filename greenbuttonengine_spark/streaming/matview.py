@@ -61,12 +61,28 @@ def apply_agg_delta_batch(
     SUM, except names in ``minmax_cols`` which merge by ``"min"`` or
     ``"max"``.  ``schema`` is the full view schema (keys + values).
     """
+    _validate_minmax_cols(schema, key_cols, minmax_cols or {})
+
     def merge(delta_b: DataFrame, current: DataFrame) -> DataFrame:
         return agg_merge_deltas(delta_b, current, schema, key_cols, minmax_cols)
 
     cow_apply_batch(
         delta, table_dir, schema, key_cols, epoch_id, n_buckets, merge
     )
+
+
+def _validate_minmax_cols(schema, key_cols: list[str], minmax_cols: dict[str, str]) -> None:
+    """Shared declaration check — called at stream SETUP time
+    (``start_matview_stream``) and at every merge, so a misdeclared view
+    fails fast when wired rather than on its first micro-batch."""
+    val_cols = [f.name for f in schema.fields if f.name not in key_cols]
+    unknown = set(minmax_cols) - set(val_cols)
+    if unknown:
+        # a typo here would silently SUM a column meant to min/max-merge
+        raise ValueError(f"minmax_cols not in the view's value columns: {sorted(unknown)}")
+    bad_kind = {c: k for c, k in minmax_cols.items() if k not in ("min", "max")}
+    if bad_kind:
+        raise ValueError(f"minmax_cols values must be 'min' or 'max': {bad_kind}")
 
 
 def agg_merge_deltas(
@@ -87,14 +103,8 @@ def agg_merge_deltas(
     copy-on-write store rewrites only affected buckets — O(batch keys +
     data in affected buckets), never O(history)."""
     minmax_cols = minmax_cols or {}
+    _validate_minmax_cols(schema, key_cols, minmax_cols)
     val_cols = [f.name for f in schema.fields if f.name not in key_cols]
-    unknown = set(minmax_cols) - set(val_cols)
-    if unknown:
-        # a typo here would silently SUM a column meant to min/max-merge
-        raise ValueError(f"minmax_cols not in the view's value columns: {sorted(unknown)}")
-    bad_kind = {c: k for c, k in minmax_cols.items() if k not in ("min", "max")}
-    if bad_kind:
-        raise ValueError(f"minmax_cols values must be 'min' or 'max': {bad_kind}")
 
     def merge_expr(c: str):
         if minmax_cols.get(c) == "min":
@@ -127,7 +137,10 @@ def start_matview_stream(
     """Wire the incremental view: each micro-batch computes its
     batch-local partial aggregate (``groupBy(key_cols).agg(*agg_exprs)``
     — one map-side-combined shuffle over the BATCH, not the history)
-    and merges it into the persistent totals."""
+    and merges it into the persistent totals.  Misdeclared
+    ``minmax_cols`` raise HERE, before the stream starts — not on the
+    first micro-batch (r13 ADVICE)."""
+    _validate_minmax_cols(schema, key_cols, minmax_cols or {})
 
     def apply(batch: DataFrame, epoch_id: int) -> None:
         if not batch.columns:

@@ -236,3 +236,43 @@ def test_matview_crash_before_publish_replays_cleanly(spark, tmp_path):
     got = _view(spark, d)
     assert got[1] == (2, 17, 10), "replay after crash must not double-count"
     assert got[2] == (1, 5, 5)
+
+
+def test_matview_misdeclared_minmax_fails_at_setup(spark, tmp_path):
+    """A misdeclared minmax_cols must raise when the stream is WIRED
+    (start_matview_stream), not on the first micro-batch (r13 ADVICE);
+    same for the direct batch-apply entry point."""
+    import pytest
+
+    from greenbuttonengine_spark.streaming.matview import (
+        apply_agg_delta_batch,
+        start_matview_stream,
+    )
+
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    spark.createDataFrame(_rows((1, 5)), SRC_SCHEMA).write.mode(
+        "overwrite"
+    ).parquet(str(src_dir / "b0.parquet"))
+    stream = spark.readStream.schema(SRC_SCHEMA).parquet(str(src_dir))
+
+    with pytest.raises(ValueError, match="minmax_cols not in"):
+        start_matview_stream(
+            spark, stream, str(tmp_path / "view"), str(tmp_path / "ckpt"),
+            VIEW_SCHEMA, ["user_id"], _aggs(),
+            minmax_cols={"no_such_col": "max"},
+        )
+    with pytest.raises(ValueError, match="must be 'min' or 'max'"):
+        start_matview_stream(
+            spark, stream, str(tmp_path / "view"), str(tmp_path / "ckpt2"),
+            VIEW_SCHEMA, ["user_id"], _aggs(),
+            minmax_cols={"max_value": "avg"},
+        )
+    delta = spark.createDataFrame(_rows((1, 5)), SRC_SCHEMA).groupBy(
+        "user_id"
+    ).agg(*_aggs())
+    with pytest.raises(ValueError, match="minmax_cols not in"):
+        apply_agg_delta_batch(
+            delta, str(tmp_path / "view"), VIEW_SCHEMA, ["user_id"], 0,
+            minmax_cols={"no_such_col": "max"},
+        )

@@ -128,3 +128,87 @@ def test_hier_empty_corpus_returns_empty(spark):
     out = similarity.ivf_topk_hier_blocked(empty, queries, k=3)
     assert out.count() == 0
     assert out.columns == ["query_id", "neighbor_id", "cosine", "rank"]
+
+
+def test_mask_invalid_supers_unit():
+    """The empty-super guard in isolation: invalid columns never win
+    the argmax; ties still break to the lowest VALID super; the
+    all-valid fast path is an identity (r13 ADVICE)."""
+    import numpy as np
+
+    from greenbuttonengine_spark.extensions.similarity import _mask_invalid_supers
+
+    scores = np.array([[0.1, 0.9, 0.5], [0.9, 0.9, 0.2]])
+    valid = np.array([True, False, True])
+    m = _mask_invalid_supers(scores, valid)
+    # row 0: unmasked argmax -> invalid super 1; masked -> best valid (2)
+    assert np.argmax(m, axis=1).tolist() == [2, 0]
+    assert m[0, 1] == -np.inf
+    assert _mask_invalid_supers(scores, np.array([True, True, True])) is scores
+
+
+def test_hier_empty_super_guard_end_to_end(spark, tmp_path):
+    """Degenerate corpus where super 1 owns NO cells: seed1 is
+    EXACTLY 2x seed0, so supers 0 and 1 tie bitwise for every cell
+    (power-of-two scaling is exact through the fold) and ties -> the
+    lower super — super 1 is orphaned.
+    The kernel must rank only non-empty supers — not crash on an empty
+    cell list, not silently drop vectors — and DuckDB running the
+    registered oracle SQL on the same corpus must agree row-for-row
+    (the nesupers CTE mirrors the kernel's -inf mask)."""
+    import duckdb
+    import numpy as np
+
+    n, dim = 60, 8
+
+    def lcg(i):
+        return ((i % 2147483648) * 1103515245 + 12345) % 2147483648
+
+    order = sorted(range(n), key=lambda i: (lcg(i), i))
+    rng = np.random.RandomState(7)
+    vecs = rng.uniform(-1.0, 1.0, size=(n, dim)).astype(np.float32)
+    vecs[order[1]] = np.float32(2.0) * vecs[order[0]]
+
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in vecs[i]], 0) for i in range(n)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    path = str(tmp_path / "embeddings.parquet")
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+
+    # precondition: the crafted corpus really orphans supers 1..3
+    from greenbuttonengine_spark.extensions.similarity import seeded_centroids
+
+    seeds = seeded_centroids(df, C)
+    assert seeds[1][1] == [2.0 * x for x in seeds[0][1]]
+
+    def fold_score(v, s, snrm):
+        acc = 0.0
+        for x, y in zip(v, s):
+            acc += x * y
+        return acc / snrm
+
+    cell2sup = [
+        max(range(S), key=lambda s: (fold_score(sv, seeds[s][1], seeds[s][2]), -s))
+        for _, sv, _ in seeds
+    ]
+    # super 1 ties bitwise with super 0 for EVERY cell (2x scaling is
+    # exact through the fold), so no cell can map to it; supers 2..3
+    # are independent vectors and legitimately own cells
+    assert 1 not in set(cell2sup), "crafting failed: super 1 not empty"
+
+    spec = _queries()["ann_ivf_hier_topk"]
+    got = spec.fn(spark, str(tmp_path)).toPandas()
+    assert set(got["query_id"]) == set(range(16))
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{path}/*.parquet')"
+    )
+    want = con.sql(spec.sql).df()
+    key = ["query_id", "rank"]
+    g = got.sort_values(key).reset_index(drop=True)
+    w = want.sort_values(key).reset_index(drop=True)
+    assert len(g) == len(w)
+    assert g["neighbor_id"].tolist() == w["neighbor_id"].tolist()
+    assert g["cosine"].tolist() == w["cosine"].tolist()  # bitwise
