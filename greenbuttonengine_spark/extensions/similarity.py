@@ -59,6 +59,20 @@ def _norm_unrolled(v, dim: int):
     return F.sqrt(acc)
 
 
+def _finite_cosine(col):
+    """Keep-predicate for cosine columns: non-finite cosines are
+    DROPPED from every top-k, the one rule ALL forms in this module
+    share.  In the expression tails zero-norm vectors surface as NULL
+    (``try_divide`` — Spark 4's ANSI mode makes plain ``/`` THROW on a
+    zero divisor, and NULL is exactly what DuckDB's ``/`` returns, so
+    the oracle convention matches); in the Arrow kernels they surface
+    as numpy NaN.  Both are dropped here / by the kernels' isfinite
+    keep, so expression and kernel forms stay twins even on degenerate
+    inputs — the r12 ADVICE item 3 divergence (F.desc ranks NaN first,
+    stable argsort ranked it last)."""
+    return col.isNotNull() & ~F.isnan(col) & (F.abs(col) != F.lit(float("inf")))
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -80,10 +94,13 @@ def cosine_topk(
 def _score_and_rank(candidates: DataFrame, k: int) -> DataFrame:
     """Shared tail of every ANN variant: exact cosine over the
     candidate (query, neighbor) pairs, deterministic per-query top-k."""
-    cos = _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))
+    cos = F.try_divide(
+        _dot(F.col("qv"), F.col("cv")), _norm(F.col("qv")) * _norm(F.col("cv"))
+    )
     scored = (
         candidates.filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id", cos.alias("cosine"))
+        .filter(_finite_cosine(F.col("cosine")))
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
     return (
@@ -303,13 +320,15 @@ def ivf_topk_seeded(
     c = c.withColumn("cnrm", _norm_unrolled(F.col("cv"), dim))
     q = q.withColumn("qnrm", _norm_unrolled(F.col("qv"), dim))
     probe_side = F.broadcast(q) if broadcast_queries else q
-    cos = _dot_unrolled(F.col("qv"), F.col("cv"), dim) / (
-        F.col("qnrm") * F.col("cnrm")
+    cos = F.try_divide(
+        _dot_unrolled(F.col("qv"), F.col("cv"), dim),
+        F.col("qnrm") * F.col("cnrm"),
     )
     scored = (
         c.join(probe_side, "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id", cos.alias("cosine"))
+        .filter(_finite_cosine(F.col("cosine")))
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
     return (
@@ -382,10 +401,12 @@ def ivf_topk_blocked(
     cosine-descending argsort the full matrix used — identical values,
     identical tie order.
 
-    Zero-norm embeddings are OUT OF CONTRACT for every IVF form here
-    (cosine is NaN; the expression form ranks NaN first, numpy's
-    stable sort ranks it last) — callers own the invariant, as
-    documented for the dedup cosine kernels.
+    Non-finite cosines (zero-norm vectors -> NaN, inf components) are
+    DROPPED from the top-k — the module-wide ``_finite_cosine`` rule,
+    enforced identically in the expression tails (explicit filter) and
+    the Arrow kernels (isfinite keep), so both forms stay bitwise
+    twins even on degenerate inputs (closes the r12 ADVICE NaN
+    divergence; pytest pins it with zero-norm vectors).
 
     Shuffle volume is corpus + queries x n_probe x cell_split rows in,
     queries x n_probe x cell_split x k rows out.  pytest pins bitwise
@@ -549,7 +570,10 @@ def _blocked_score_tail(q, c, k: int, d: int, cell_split: int = 1) -> DataFrame:
             o2 = np.argsort(-cand_c, axis=1, kind="stable")[:, :k]
             take_c = np.take_along_axis(cand_c, o2, axis=1)
             take_n = np.take_along_axis(cand_n, o2, axis=1)
-            keep = take_c > -np.inf  # drops self-matches in the top-k
+            # isfinite drops the -inf self sentinels AND any NaN/inf
+            # cosine (zero-norm / inf components) — the module-wide
+            # non-finite rule _finite_cosine applies to the tails
+            keep = np.isfinite(take_c)
             frames.append(
                 pd.DataFrame(
                     {
@@ -623,8 +647,9 @@ def ivf_topk_hier_blocked(
     scoring reuses the tiled ``_blocked_score_tail`` (literal 67 MB
     per-task bound, cell_split hub valve).
 
-    Zero-norm embeddings are out of contract (cosine NaN), as for
-    every IVF form in this module.
+    Non-finite cosines (zero-norm vectors) are dropped from the top-k,
+    the module-wide ``_finite_cosine`` rule shared with every form
+    here (the shared tail's isfinite keep enforces it).
 
     Empty supers: a super with NO mapped cells is normally impossible
     (each super IS cell s < S, and Cauchy-Schwarz self-cosine 1 plus
@@ -887,8 +912,14 @@ def knn_graph(
         _part, "vec_id long, neighbor_id long, cosine double"
     )
     # tiny-corpus guard: a vector with < k true neighbors would surface
-    # its -inf self sentinel from the diagonal task
-    cand = cand.filter(F.col("vec_id") != F.col("neighbor_id"))
+    # its -inf self sentinel from the diagonal task; non-finite cosines
+    # (zero-norm vectors) are dropped here too so the global F.desc
+    # window agrees with the kernel's local order (NaN sorts LAST in
+    # np.lexsort but FIRST under F.desc — the module-wide rule drops it)
+    cand = cand.filter(
+        (F.col("vec_id") != F.col("neighbor_id"))
+        & _finite_cosine(F.col("cosine"))
+    )
     w = W.partitionBy("vec_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
     return (
         cand.withColumn("rank", F.row_number().over(w).cast("bigint"))

@@ -198,6 +198,9 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT s.*, CAST(ROW_NUMBER() OVER (
             PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
         FROM s
+        -- zero-norm guard mirror: DuckDB's /0 yields NULL, Spark's
+        -- try_divide likewise; both engines DROP the row pre-rank
+        WHERE cosine IS NOT NULL
     ) t WHERE rank <= 10
     """,
     tags=("similarity", "all-pairs"),
@@ -263,6 +266,7 @@ def _ivf_seeded_oracle_sql(n_centroids: int = 16, n_probe: int = 4,
             PARTITION BY query_id ORDER BY cosine DESC, neighbor_id)
             AS BIGINT) AS rank
         FROM scored
+        WHERE cosine IS NOT NULL  -- zero-norm guard mirror (try_divide)
     ) t WHERE rank <= {k}
     """
 
@@ -333,6 +337,7 @@ def _lsh_oracle_sql(planes: int = 4, dim: int = 64, k: int = 10) -> str:
             PARTITION BY query_id ORDER BY cosine DESC, neighbor_id)
             AS BIGINT) AS rank
         FROM scored
+        WHERE cosine IS NOT NULL  -- zero-norm guard mirror (try_divide)
     ) t WHERE rank <= {k}
     """
 
@@ -871,6 +876,7 @@ def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT s.*, CAST(ROW_NUMBER() OVER (
             PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
         FROM s
+        WHERE cosine IS NOT NULL  -- zero-norm guard mirror (try_divide)
     ) t WHERE rank <= 5
     """,
     tags=("similarity", "blocked"),

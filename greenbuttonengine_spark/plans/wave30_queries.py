@@ -96,6 +96,10 @@ def _hier_ctes() -> str:
                       * sqrt(list_dot_product(a.ncv, a.ncv))) AS cosine
         FROM probes p JOIN assign a USING (cell)
         WHERE a.neighbor_id != p.query_id
+          -- zero-norm guard mirror: NULL cosine (DuckDB /0) dropped,
+          -- matching the kernel's isfinite keep
+          AND list_dot_product(a.ncv, a.ncv) > 0
+          AND list_dot_product(p.qv, p.qv) > 0
     )
     """
 
@@ -167,6 +171,8 @@ def ann_ivf_hier_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                               * sqrt(list_dot_product(e.v, e.v))) DESC,
                        e.vec_id) AS rank
             FROM q qq JOIN e ON e.vec_id != qq.query_id
+            WHERE list_dot_product(e.v, e.v) > 0
+              AND list_dot_product(qq.qv, qq.qv) > 0
         ) t WHERE rank <= {_K}
     )
     SELECT b.query_id,

@@ -1146,6 +1146,7 @@ def sample_grouped_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id)
             AS BIGINT) AS rank
         FROM s
+        WHERE cosine IS NOT NULL  -- zero-norm guard mirror (kernel isfinite)
     ) t WHERE rank <= 5
     """,
     tags=("similarity", "blocked"),

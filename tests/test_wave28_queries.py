@@ -435,3 +435,88 @@ def test_bipartite_kernel_property_matches_bruteforce(spark):
         assert got == want
 
     check()
+
+
+def test_zero_norm_vectors_dropped_identically(spark):
+    """r12 ADVICE item 3 (closed r14): non-finite cosines (zero-norm
+    vectors -> NaN) are DROPPED from every top-k by the module-wide
+    _finite_cosine rule — the expression tails (explicit filter) and
+    the Arrow kernels (isfinite keep) must agree bitwise even with
+    zero-norm vectors planted in BOTH corpus and queries (previously
+    F.desc ranked the NaN first while the kernel dropped it)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from greenbuttonengine_spark.extensions import similarity
+
+    def lcg(i):
+        return ((i % 2147483648) * 1103515245 + 12345) % 2147483648
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        seed=st.integers(0, 2**31 - 1),
+        dim=st.integers(2, 6),
+        n=st.integers(10, 24),
+        k=st.integers(1, 6),
+    )
+    def check(seed, dim, n, k):
+        import numpy as np
+
+        n_cells, n_probe = 4, 8  # probe everything: recall == brute force
+        rng = np.random.RandomState(seed)
+        mat = rng.randint(-4, 5, size=(n, dim)).astype(float)
+        mat[np.abs(mat).sum(axis=1) == 0, 0] = 1.0
+        # zero-norm plants: 2 queries (even ids) + 2 NON-SEED corpus
+        # vectors (odd ids outside the n_cells smallest LCG keys —
+        # zero-norm SEEDS are a different degeneracy, still o-o-c)
+        odd = sorted((i for i in range(n) if i % 2 == 1), key=lambda i: (lcg(i), i))
+        zero_ids = [0, 2] + odd[n_cells : n_cells + 2]
+        for i in zero_ids:
+            mat[i] = 0.0
+        rows = [(i, [float(x) for x in mat[i]]) for i in range(n)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        corpus = df.filter("vec_id % 2 = 1")
+        queries = df.filter("vec_id % 2 = 0")
+        kw = dict(k=k, n_centroids=n_cells, n_probe=n_probe)
+        expr = {
+            (r.query_id, r.neighbor_id): (r.cosine, r.rank)
+            for r in similarity.ivf_topk_seeded(corpus, queries, **kw).collect()
+        }
+        blocked = {
+            (r.query_id, r.neighbor_id): (r.cosine, r.rank)
+            for r in similarity.ivf_topk_blocked(corpus, queries, **kw).collect()
+        }
+        assert expr == blocked
+        brute = {
+            (r.query_id, r.neighbor_id): (r.cosine, r.rank)
+            for r in similarity.cosine_topk(corpus, queries, k=k).collect()
+        }
+        zeros = set(zero_ids)
+        for got in (expr, blocked, brute):
+            assert all(np.isfinite(c) for c, _ in got.values())
+            assert not any(q in zeros or nb in zeros for q, nb in got)
+        # full probing -> the IVF forms ARE brute force on this corpus
+        assert expr == brute
+
+    check()
+
+
+def test_knn_graph_drops_zero_norm(spark):
+    """knn_graph's global window must agree with its kernel's local
+    order on degenerate input: a zero-norm vector appears in NO row
+    (neither side), instead of its NaN cosine ranking first."""
+    import numpy as np
+
+    from greenbuttonengine_spark.extensions import similarity
+
+    rows = [(0, [1.0, 0.0]), (1, [0.0, 0.0]), (2, [1.0, 1.0]), (3, [-1.0, 0.5])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = similarity.knn_graph(emb, k=3).collect()
+    assert got, "non-degenerate vectors must still produce rows"
+    for r in got:
+        assert r.vec_id != 1 and r.neighbor_id != 1
+        assert np.isfinite(r.cosine)
