@@ -346,6 +346,15 @@ def ivf_topk_seeded(
 _Q_BLOCK = 1024
 _C_BLOCK = 8192
 
+# Default auto-valve trigger for callers that opt in (hot_cell_rows):
+# a cell is "hot" above 8 corpus tiles (64k rows).  Below that the
+# per-cell task is bounded by a handful of tile passes and the r13 A/B
+# showed splitting is a net LOSS at normal occupancy (scheduler +
+# probe-duplication overhead), so the valve stays closed for ordinary
+# skew (measured seeded-cell skew 5.4x) and opens only for genuine
+# hub cells.  SCALING.md r14 records the measured trigger behavior.
+HOT_CELL_ROWS_DEFAULT = 8 * _C_BLOCK
+
 
 def ivf_topk_blocked(
     corpus: DataFrame,
@@ -356,6 +365,8 @@ def ivf_topk_blocked(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     cell_split: int = 1,
+    hot_cell_rows: int | None = None,
+    count_sample_mod: int = 64,
 ) -> DataFrame:
     """``ivf_topk_seeded`` re-expressed as an Arrow cell-matrix kernel
     — bitwise-identical output, built for LARGE cell counts.
@@ -393,6 +404,19 @@ def ivf_topk_blocked(
     neighbor set, per-sub-cell top-k uses the same total order
     (cosine desc, neighbor_id asc), and the final window takes the
     global top-k over the union — the knn_graph argument.
+
+    ``hot_cell_rows`` is the AUTO form of that valve (r13 VERDICT: the
+    manual knob required operator intervention): per-cell corpus
+    counts are ESTIMATED from a deterministic 1/``count_sample_mod``
+    hash sample of ids (assignment of the sample is the only extra
+    work — O(n/mod * C * d) — and the estimate rides a driver-sized
+    ≤C-row collect, the ``_cap_buckets`` count-then-act pattern), and
+    any cell estimated above the literal row threshold splits into
+    ``ceil(est / hot_cell_rows)`` hash sub-cells.  Because output is
+    split-INVARIANT (pytest pins trigger-on == trigger-off bitwise),
+    sampling error costs only balance, never correctness — which is
+    what lets the estimate be a sample instead of a second full
+    assignment pass.  Measured trigger point: see SCALING.md r14.
 
     Tiling preserves bitwise equality because each cosine is an
     independent dim-ordered accumulation (tile membership never enters
@@ -490,25 +514,88 @@ def ivf_topk_blocked(
         F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
     ).mapInPandas(_probe, "query_id long, qv array<double>, qnrm double, cell int")
 
-    return _blocked_score_tail(q, c, k, d, cell_split)
+    cell_splits: dict[int, int] | None = None
+    if hot_cell_rows is not None:
+        mod = max(1, count_sample_mod)
+        sample = corpus.filter(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(mod)) == 0
+        ).select(F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv"))
+        est = {
+            int(r["cell"]): int(r["n"]) * mod
+            for r in sample.mapInPandas(
+                _assign, "neighbor_id long, cv array<double>, cnrm double, cell int"
+            )
+            .groupBy("cell")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        cell_splits = {
+            cell: -(-n // hot_cell_rows)
+            for cell, n in est.items()
+            if n > hot_cell_rows
+        }
+
+    return _blocked_score_tail(q, c, k, d, cell_split, cell_splits=cell_splits)
 
 
-def _blocked_score_tail(q, c, k: int, d: int, cell_split: int = 1) -> DataFrame:
+def _blocked_score_tail(
+    q,
+    c,
+    k: int,
+    d: int,
+    cell_split: int = 1,
+    cell_splits: dict[int, int] | None = None,
+) -> DataFrame:
     """Shared scoring tail of the blocked IVF kernels: given probe rows
     (query_id, qv, qnrm, cell) and assigned corpus rows (neighbor_id,
     cv, cnrm, cell), score each cell's query x corpus cosine matrix in
     _Q_BLOCK x _C_BLOCK tiles (literal per-task memory bound; bitwise-
     equal to the untiled matrix — see ivf_topk_blocked), emit per-query
     top-k within the cell, and take the global per-query top-k.
-    ``cell_split`` fans a hot cell's corpus side into hash sub-cells
-    (queries probe each; output split-invariant)."""
-    import numpy as np
-    import pandas as pd
 
-    def _mat(pdf_col):
-        return np.stack([np.asarray(v, dtype=np.float64) for v in pdf_col])
-
-    if cell_split > 1:
+    ``cell_split`` fans EVERY cell's corpus side into that many hash
+    sub-cells (queries probe each; output split-invariant).
+    ``cell_splits`` is the per-cell form (the auto hot-cell valve):
+    a driver-sized {cell: factor} map — only the listed cells split,
+    each into its own factor, via a broadcast join + per-row
+    ``sequence`` explode on the probe side.  Output is identical for
+    ANY split configuration: sub-cells partition the cell's neighbor
+    set, per-sub-cell top-k uses the same total order (cosine desc,
+    neighbor_id asc), and the final window takes the global top-k over
+    the union — the knn_graph argument."""
+    if cell_splits:
+        spark = q.sparkSession
+        sdf = spark.createDataFrame(
+            [(int(cell), int(f)) for cell, f in sorted(cell_splits.items()) if f > 1],
+            "cell int, __split int",
+        )
+        if not sdf.isEmpty():
+            c = (
+                c.join(F.broadcast(sdf), "cell", "left")
+                .withColumn("__split", F.coalesce(F.col("__split"), F.lit(1)))
+                .withColumn(
+                    "__sub",
+                    F.pmod(F.xxhash64(F.col("neighbor_id")), F.col("__split")).cast(
+                        "int"
+                    ),
+                )
+                .drop("__split")
+            )
+            q = (
+                q.join(F.broadcast(sdf), "cell", "left")
+                .withColumn("__split", F.coalesce(F.col("__split"), F.lit(1)))
+                .select(
+                    "query_id",
+                    "qv",
+                    "qnrm",
+                    "cell",
+                    F.explode(
+                        F.sequence(F.lit(0), F.col("__split") - F.lit(1))
+                    ).alias("__sub"),
+                )
+            )
+            return _blocked_score_window(q, c, k, d, keys=("cell", "__sub"))
+    elif cell_split > 1:
         sub = F.pmod(F.xxhash64(F.col("neighbor_id")), F.lit(cell_split)).cast("int")
         c = c.withColumn("cell", F.col("cell") * cell_split + sub)
         q = q.select(
@@ -524,6 +611,17 @@ def _blocked_score_tail(q, c, k: int, d: int, cell_split: int = 1) -> DataFrame:
                 )
             ).alias("cell"),
         )
+    return _blocked_score_window(q, c, k, d, keys=("cell",))
+
+
+def _blocked_score_window(q, c, k: int, d: int, keys: tuple[str, ...]) -> DataFrame:
+    """Tiled per-(grouping-key) scoring + the final global window —
+    the common tail of both split forms of ``_blocked_score_tail``."""
+    import numpy as np
+    import pandas as pd
+
+    def _mat(pdf_col):
+        return np.stack([np.asarray(v, dtype=np.float64) for v in pdf_col])
 
     def _score_cell(key, qpdf, cpdf):
         if not len(qpdf) or not len(cpdf):
@@ -586,8 +684,8 @@ def _blocked_score_tail(q, c, k: int, d: int, cell_split: int = 1) -> DataFrame:
         return pd.concat(frames, ignore_index=True)
 
     survivors = (
-        q.groupBy("cell")
-        .cogroup(c.groupBy("cell"))
+        q.groupBy(*keys)
+        .cogroup(c.groupBy(*keys))
         .applyInPandas(_score_cell, "query_id long, neighbor_id long, cosine double")
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))

@@ -335,8 +335,17 @@ def mine_bitext_margin_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _ann_margin_from(emb: DataFrame) -> DataFrame:
     even = emb.filter(F.pmod(F.col("vec_id"), F.lit(2)) == 0)
     odd = emb.filter(F.pmod(F.col("vec_id"), F.lit(2)) == 1)
+    # hot_cell_rows: the auto hub valve (r14) — per-cell splits derive
+    # from a sampled count against the literal HOT_CELL_ROWS_DEFAULT
+    # threshold; never triggers at the oracle operating point (cells
+    # are ~n/16 rows) and output is split-invariant when it does
     cand = similarity.ivf_topk_blocked(
-        odd, even, k=_ANN_CAND_K, n_centroids=_ANN_CELLS, n_probe=_ANN_PROBE
+        odd,
+        even,
+        k=_ANN_CAND_K,
+        n_centroids=_ANN_CELLS,
+        n_probe=_ANN_PROBE,
+        hot_cell_rows=similarity.HOT_CELL_ROWS_DEFAULT,
     )
     u = cand.select(
         F.col("query_id").alias("src_id"),

@@ -229,6 +229,37 @@ def test_blocked_ivf_tiling_and_split_bitwise_invariant(spark, monkeypatch):
     assert run(cell_split=3) == baseline  # hub-cell split == unsplit
 
 
+def test_auto_hot_cell_valve_is_output_invariant(spark):
+    """r13 VERDICT item 2: the AUTO per-cell valve (hot_cell_rows) must
+    be bitwise identical to trigger-off.  threshold=1 with exact counts
+    (count_sample_mod=1) guarantees EVERY non-empty cell splits (the
+    triggered path runs, including the probe-side sequence explode and
+    the (cell, __sub) cogroup); a sampled estimate (mod=4) must also be
+    invariant — sampling error costs balance, never correctness."""
+    from pyspark.sql import functions as F
+
+    from greenbuttonengine_spark.extensions import similarity
+    from greenbuttonengine_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "embeddings", SF)
+    even = emb.filter(F.pmod(F.col("vec_id"), F.lit(2)) == 0)
+    odd = emb.filter(F.pmod(F.col("vec_id"), F.lit(2)) == 1)
+
+    def run(**kw):
+        return {
+            (r.query_id, r.neighbor_id): (r.cosine, r.rank)
+            for r in similarity.ivf_topk_blocked(
+                odd, even, k=16, n_centroids=16, n_probe=4, **kw
+            ).collect()
+        }
+
+    baseline = run()
+    assert run(hot_cell_rows=1, count_sample_mod=1) == baseline
+    assert run(hot_cell_rows=4, count_sample_mod=4) == baseline
+    # threshold far above any cell: valve stays closed, same path
+    assert run(hot_cell_rows=10**9, count_sample_mod=1) == baseline
+
+
 def test_blocked_ivf_property_matches_expression_form(spark):
     """Randomized-configuration equivalence (r12 VERDICT item 6): the
     blocked kernel's tie-order reasoning (stable argsort + id-sorted
