@@ -100,14 +100,18 @@ def rule_datetime(rule: Column, year: Column) -> Column:
     )
 
 
-def build_dst_dim(ltp: DataFrame, file_years: DataFrame) -> DataFrame:
-    """(source_file, year) x LTP rules -> dst_start_ts / dst_end_ts /
-    offsets.  ``file_years`` is the distinct (source_file, year) set from
+def build_dst_dim(
+    ltp: DataFrame, file_years: DataFrame, keys: tuple[str, ...] = ("source_file",)
+) -> DataFrame:
+    """(keys..., year) x LTP rules -> dst_start_ts / dst_end_ts /
+    offsets.  ``file_years`` is the distinct (keys..., year) set from
     the facts — the Spark analog of the reference's per-year memoization.
-    """
-    dim = file_years.join(F.broadcast(ltp), "source_file", "left")
+    ``keys`` defaults to the reference's per-file scope; the non-strict
+    multi-LTP mode passes ("source_file", "up_key") to scope rules per
+    usage point."""
+    dim = file_years.join(F.broadcast(ltp), list(keys), "left")
     return dim.select(
-        "source_file",
+        *keys,
         "year",
         rule_datetime(F.col("dst_start_rule"), F.col("year")).alias("dst_start_ts"),
         rule_datetime(F.col("dst_end_rule"), F.col("year")).alias("dst_end_ts"),

@@ -183,8 +183,15 @@ def _parse_reading_type(node: ET.Element, entry_index: int) -> dict[str, Any]:
     return row
 
 
-def _parse_local_time_parameters(node: ET.Element) -> dict[str, Any]:
-    row: dict[str, Any] = {"row_kind": KIND_LOCAL_TIME_PARAMETERS}
+def _parse_local_time_parameters(node: ET.Element, entry_index: int) -> dict[str, Any]:
+    # entry_index links the LTP back to its carrying entry (-> href ->
+    # usage-point scope), which the non-strict multi-LTP mode resolves
+    # per usage point; the reference itself never needs it (it aborts
+    # on multiple LTPs, lib.rs:42-50)
+    row: dict[str, Any] = {
+        "row_kind": KIND_LOCAL_TIME_PARAMETERS,
+        "entry_index": entry_index,
+    }
     for child in node:
         tag = _local(child.tag)
         if tag == "dstStartRule":
@@ -284,7 +291,7 @@ def _parse_entry(node: ET.Element, entry_index: int) -> list[dict[str, Any]]:
     if reading_type_node is not None:
         rows.append(_parse_reading_type(reading_type_node, entry_index))
     if ltp_node is not None:
-        rows.append(_parse_local_time_parameters(ltp_node))
+        rows.append(_parse_local_time_parameters(ltp_node, entry_index))
     return rows
 
 

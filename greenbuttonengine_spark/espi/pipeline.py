@@ -83,6 +83,56 @@ def _validate_single_ltp(ltp: DataFrame, all_files: DataFrame) -> tuple[DataFram
     return good, bad
 
 
+# ESPI hrefs scope resources under ".../UsagePoint/{id}/..."; the prefix
+# is the usage-point key (same derivation family as _METER_READING_RE)
+_USAGE_POINT_RE = r"(.*UsagePoint/[^/]*)/"
+_LTP_RULE_COLS = ("dst_start_rule", "dst_end_rule", "dst_offset", "tz_offset")
+
+
+def _resolve_ltp_per_usage_point(
+    ltp: DataFrame, entries: DataFrame, all_files: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """Non-strict LTP resolution — the SURVEY §7 improvement over the
+    reference's whole-file abort on multiple LocalTimeParameters
+    (lib.rs:42-50): each LTP is SCOPED by the usage-point prefix of its
+    carrying entry's href (no UsagePoint path -> '' = file-global), so
+    a file may legally carry one global plus one LTP per usage point.
+
+    Errors (still per-file, fail-the-file atomicity): no LTP at all,
+    or >1 LTP in the SAME scope (genuinely ambiguous).  Returns
+    (scoped ltp rows (source_file, up_key, rules...), error rows).
+    """
+    hrefs = entries.select("source_file", "entry_index", "href")
+    scoped = (
+        ltp.join(hrefs, ["source_file", "entry_index"], "left")
+        .withColumn(
+            "up_key",
+            F.coalesce(F.regexp_extract("href", _USAGE_POINT_RE, 1), F.lit("")),
+        )
+        .select("source_file", "up_key", *_LTP_RULE_COLS)
+    )
+    dup_files = (
+        scoped.groupBy("source_file", "up_key")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+        .select("source_file")
+        .distinct()
+    )
+    missing = all_files.join(
+        scoped.select("source_file").distinct(), "source_file", "left_anti"
+    ).select(
+        "source_file", F.lit("Missing LocalTimeParameters.").alias("error")
+    )
+    dups = dup_files.select(
+        "source_file",
+        F.lit(
+            "Multiple LocalTimeParameters in one usage-point scope."
+        ).alias("error"),
+    )
+    good = scoped.join(dup_files, "source_file", "left_anti")
+    return good, missing.unionByName(dups)
+
+
 def resolve_reading_types(entries: DataFrame) -> DataFrame:
     """J2: entry -> meter-reading entry -> reading-type entry (2-hop href
     walk, lib.rs:58-83).  Output: (source_file, entry_index,
@@ -126,11 +176,14 @@ def denormalize_and_link(
     tables: dict[str, DataFrame],
     enum_dim: DataFrame,
     include_source_file: bool = False,
+    strict_single_ltp: bool = True,
 ) -> DataFrame:
     """Four normalized tables -> the 15-column TimeSeries DataFrame.
     Thin wrapper over :func:`denormalize_with_errors` for callers that
     only want the data side."""
-    ts, _errors = denormalize_with_errors(tables, enum_dim, include_source_file)
+    ts, _errors = denormalize_with_errors(
+        tables, enum_dim, include_source_file, strict_single_ltp
+    )
     return ts
 
 
@@ -138,13 +191,23 @@ def denormalize_with_errors(
     tables: dict[str, DataFrame],
     enum_dim: DataFrame,
     include_source_file: bool = False,
+    strict_single_ltp: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Four normalized tables -> (TimeSeries, per-file error rows).
 
     Error rows cover: LTP cardinality violations (lib.rs:42-50) and
     facts whose entry resolves to no reading type (lib.rs:168-169,
     'Missing reading type') — in both cases the WHOLE file is excluded,
-    matching the reference's fail-the-file semantics."""
+    matching the reference's fail-the-file semantics.
+
+    ``strict_single_ltp=False`` (SURVEY §7 improvement; r13 VERDICT
+    item 7) relaxes the reference's one-LTP-per-file restriction:
+    LTPs resolve PER USAGE POINT (href-scope join, file-global ''
+    fallback), so a multi-utility export with one tz per usage point
+    processes instead of erroring.  The default keeps reference parity
+    (golden byte-parity depends on it) and the per-file error channel;
+    single-global-LTP files produce identical rows under either mode.
+    """
     # The DST window compare and F.year/to_timestamp below evaluate in
     # the session zone; golden parity (dst.py, reference lib.rs) assumes
     # UTC.  get_spark pins it, but a caller-supplied session may not —
@@ -166,18 +229,90 @@ def denormalize_with_errors(
         rts = rts.join(err_files, "source_file", "left_anti")
 
     all_files = entries.select("source_file").distinct()
-    ltp, ltp_errors = _validate_single_ltp(tables["local_time_parameters"], all_files)
+    if strict_single_ltp:
+        ltp, ltp_errors = _validate_single_ltp(
+            tables["local_time_parameters"], all_files
+        )
+        entry_dim = entries.select("source_file", "entry_index", "title")
+    else:
+        ltp_scoped, ltp_errors = _resolve_ltp_per_usage_point(
+            tables["local_time_parameters"], entries, all_files
+        )
+        entry_dim = entries.select(
+            "source_file",
+            "entry_index",
+            "title",
+            F.regexp_extract("href", _USAGE_POINT_RE, 1).alias("up_key"),
+        )
+        # per-(file, usage point, year) dim universe from the RAW facts
+        # (same keep-the-chain-once reasoning as the strict file_years)
+        entry_up = entries.select(
+            "source_file",
+            "entry_index",
+            F.regexp_extract("href", _USAGE_POINT_RE, 1).alias("up_key"),
+        )
+        file_up_years = (
+            facts.join(entry_up, ["source_file", "entry_index"])
+            .select(
+                "source_file",
+                "up_key",
+                F.year(F.timestamp_seconds(F.col("time_period_start_unix")))
+                .cast("long")
+                .alias("year"),
+            )
+            .distinct()
+        )
+        # resolve each fact scope: UP-scoped LTP first, file-global
+        # ('') fallback; a fact scope with neither fails its file
+        fact_ups = file_up_years.select("source_file", "up_key").distinct()
+        up_scoped = ltp_scoped.filter(F.col("up_key") != "")
+        glob = ltp_scoped.filter(F.col("up_key") == "").select(
+            "source_file",
+            *[F.col(c).alias(f"__g_{c}") for c in _LTP_RULE_COLS],
+        )
+        ltp_resolved = (
+            fact_ups.join(up_scoped, ["source_file", "up_key"], "left")
+            .join(glob, "source_file", "left")
+            .select(
+                "source_file",
+                "up_key",
+                *[
+                    F.coalesce(F.col(c), F.col(f"__g_{c}")).alias(c)
+                    for c in _LTP_RULE_COLS
+                ],
+            )
+        )
+        unresolved = (
+            ltp_resolved.filter(F.col("tz_offset").isNull())
+            .select("source_file")
+            .distinct()
+            # files already errored (no LTP at all / duplicate scope)
+            # resolve to nothing too — one error row per file, not two
+            .join(ltp_errors.select("source_file"), "source_file", "left_anti")
+            .select(
+                "source_file",
+                F.lit("Missing LocalTimeParameters.").alias("error"),
+            )
+        )
+        ltp_errors = ltp_errors.unionByName(unresolved)
 
-    # J3: fact -> entry (title) plus the resolved reading-type index
-    entry_dim = entries.select("source_file", "entry_index", "title")
     rt_map = resolve_reading_types(entries)
     f1 = (
         facts.join(entry_dim, ["source_file", "entry_index"], "inner")
         .join(rt_map, ["source_file", "entry_index"], "left")
     )
 
-    # keep only files with a valid single LTP (error channel carries the rest)
-    f1 = f1.join(ltp.select("source_file"), "source_file", "left_semi")
+    # keep only files with a valid LTP config (error channel carries the rest)
+    if strict_single_ltp:
+        f1 = f1.join(ltp.select("source_file"), "source_file", "left_semi")
+    else:
+        f1 = f1.join(
+            all_files.join(
+                ltp_errors.select("source_file"), "source_file", "left_anti"
+            ),
+            "source_file",
+            "left_semi",
+        )
 
     # J4: fact -> reading type codes. A fact that resolves to no reading
     # type fails its WHOLE file into the error channel (lib.rs:168-169).
@@ -234,12 +369,20 @@ def denormalize_with_errors(
     # harmless extra dim rows: the dim is left-joined.)
     ts = F.timestamp_seconds(F.col("time_period_start_unix"))
     f2 = f2.withColumn("reading_ts", ts).withColumn("year", F.year("reading_ts").cast("long"))
-    file_years = facts.select(
-        "source_file",
-        F.year(F.timestamp_seconds(F.col("time_period_start_unix"))).cast("long").alias("year"),
-    ).distinct()
-    dst_dim = build_dst_dim(ltp, file_years)
-    f3 = f2.join(F.broadcast(dst_dim), ["source_file", "year"], "left")
+    if strict_single_ltp:
+        file_years = facts.select(
+            "source_file",
+            F.year(F.timestamp_seconds(F.col("time_period_start_unix"))).cast("long").alias("year"),
+        ).distinct()
+        dst_dim = build_dst_dim(ltp, file_years)
+        f3 = f2.join(F.broadcast(dst_dim), ["source_file", "year"], "left")
+    else:
+        dst_dim = build_dst_dim(
+            ltp_resolved, file_up_years, keys=("source_file", "up_key")
+        )
+        f3 = f2.join(
+            F.broadcast(dst_dim), ["source_file", "up_key", "year"], "left"
+        )
     shifted = apply_local_time_shift(
         F.col("reading_ts"),
         F.col("dst_start_ts"),
@@ -298,6 +441,7 @@ def timeseries_from_files(
     spark: SparkSession,
     paths: str | list[str],
     include_source_file: bool = False,
+    strict_single_ltp: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """End-to-end: file paths -> (timeseries_df, errors_df).
 
@@ -314,7 +458,9 @@ def timeseries_from_files(
     tables = split_tables(parsed)
     # denormalize_with_errors folds tables["errors"] (parse failures)
     # into its error channel alongside LTP/reading-type violations
-    return denormalize_with_errors(tables, load_enum_dim(spark), include_source_file)
+    return denormalize_with_errors(
+        tables, load_enum_dim(spark), include_source_file, strict_single_ltp
+    )
 
 
 @contextmanager

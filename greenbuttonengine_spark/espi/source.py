@@ -107,7 +107,8 @@ def split_tables(parsed: DataFrame) -> dict[str, DataFrame]:
         "uom",
     )
     local_time_parameters = kind(S.KIND_LOCAL_TIME_PARAMETERS).select(
-        "source_file", "dst_start_rule", "dst_end_rule", "dst_offset", "tz_offset"
+        "source_file", "entry_index",
+        "dst_start_rule", "dst_end_rule", "dst_offset", "tz_offset",
     )
     errors = kind(S.KIND_ERROR).select("source_file", "error")
     return {
