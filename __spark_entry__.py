@@ -104,7 +104,7 @@ _DRIVER_CHECKED = frozenset(
         "q5_local_supplier_volume", "sessionize_native_window",
         "funnel_conversion", "retention_cohorts", "anomaly_zscore_events",
         "dedup_exact", "dedup_ngram_jaccard", "dedup_ngram_jaccard_prefix",
-        "dedup_embedding_cosine", "ann_bruteforce_topk", "text_token_count",
+        "dedup_embedding_cosine", "text_token_count",
         "text_quality_score", "text_lang_id", "pipeline_quality_filter",
         "text_fingerprint", "embedding_quantize_int8", "sample_stratified_lang",
         "dedup_clusters", "text_repetition_stats", "multimodal_frame_sample",
@@ -126,7 +126,7 @@ _DRIVER_CHECKED = frozenset(
         "anomaly_mad_events", "asof2_tolerance_join", "attribution_linear_clicks",
         "cumulative_distinct_users", "decontam_contig_spans",
         "er_fuzzy_part_names", "events_dow_hour_heatmap", "feature_bin_quantile",
-        "graph_knn_cosine", "j9_full_outer_reconcile", "lm_bigram_probs",
+        "j9_full_outer_reconcile", "lm_bigram_probs",
         "ltv_decile_by_nation", "map1_map_from_json", "math1_functions",
         "o10_except_all", "profile_events_columns", "q2_min_cost_supplier",
         "q4_order_priority", "q6_forecast_revenue", "q7_volume_shipping",
@@ -143,7 +143,7 @@ _DRIVER_CHECKED = frozenset(
         "ts1_gap_fill_daily", "w5_moving_avg_time_range",
         # r06 greens (50/50 gate: 26 first-time + q12 re-verify; the
         # rotated re-checks were already listed above)
-        "ann_ivf_topk", "ann_lsh_topk", "dedup_semantic",
+        "dedup_semantic",
         "q12_priority_shipping", "user_event_transitions",
         "o11_latest_per_key", "embedding_centroid_similarity",
         "dq_events_expectations", "scd2_user_type_intervals",
@@ -152,15 +152,13 @@ _DRIVER_CHECKED = frozenset(
         "dedup_cross_source_matrix", "drift_value_histogram",
         "dt1_datetime_functions", "embedding_outlier_topk",
         "lm_bpe_pair_counts", "dedup_doc_containment",
-        "corpus_ngram_novelty", "embedding_knn_classify",
-        "lm_pmi_collocations", "agg_contribution_bounded",
+        "corpus_ngram_novelty", "lm_pmi_collocations", "agg_contribution_bounded",
         "ops_zorder_key", "dedup_repeated_substrings",
         "stats_bootstrap_ci_events", "pipeline_curation_v2",
         # r07 greens (49/50 gate; the one red, ts2_mean_shift_detect,
         # stays out — its nondeterministic lineage was fixed in r8 and
         # it must re-verify as an oracle-new row first)
-        "ann_hamming_topk", "eval_ann_recall", "embedding_matryoshka_eval",
-        "text_ccnet_buckets", "corpus_mix_rebalance", "pack_padding_waste",
+        "ann_hamming_topk", "text_ccnet_buckets", "corpus_mix_rebalance", "pack_padding_waste",
         "pit_interval_join", "mv_user_event_totals", "var1_variant_extract",
         "sample_grouped_split",
         # r08 greens (50/50 gate: every declared oracle-backed query now
@@ -170,15 +168,11 @@ _DRIVER_CHECKED = frozenset(
         "ts2_mean_shift_detect",
         # r09 greens (50/50 gate: 29 first-time waves 9-18 + 21 rotated
         # re-checks already listed above)
-        "agg_hll_rollup", "ann_hard_negatives", "ann_ivf_pq_topk",
+        "agg_hll_rollup", "ann_ivf_pq_topk",
         "ann_pq_adc_topk", "ann_pq_codes", "code_fim_transform",
         "corpus_prefix_sharing", "curriculum_interleave", "decontam_bloom",
         "embedding_kmeans_fixed", "embedding_pca_power",
-        "eval_pairwise_winrate", "eval_pq_recall",
-        # eval_pq_recall_trained re-queued for r11: its shortlist
-        # widened 50 -> 100 (recall 0.65 -> 0.79 at sf0.1), so the
-        # changed oracle must re-verify as an oracle-new row
-        "graph_label_propagation", "graph_pagerank_knn",
+        "eval_pairwise_winrate",
         "multimodal_audio_features", "multimodal_phash_pairs",
         "ops_compaction_plan", "ops_file_layout_report",
         "ops_partition_skew_report", "pack_context_sweep",
@@ -192,7 +186,7 @@ _DRIVER_CHECKED = frozenset(
         # re-verify as oracle-new rows first.
         "embedding_pca_project",
         "dedup_incremental_near", "pipeline_learned_quality",
-        "pipeline_rag_index", "lm_bpe_train",
+        "lm_bpe_train",
         "approx_sketch_aggregates", "approx_set_overlap_kmv",
         # r11 greens (50/50 gate: 23 first-time waves 20-26 + 27 rotated
         # re-checks already listed above).  Six r11 greens stay OUT
@@ -204,13 +198,11 @@ _DRIVER_CHECKED = frozenset(
         # eval_split_leakage + lm_heldout_surprisal (shared pmod-exact
         # split-CASE builder).
         "pack_sequences_docs", "lm_bpe_tokenize_stats",
-        "eval_pq_recall_trained", "attribution_interval_join",
-        "lm_kneser_ney_bigram", "graph_triangle_count",
-        "corpus_heaps_curve", "eval_kmeans_silhouette",
+        "attribution_interval_join",
+        "lm_kneser_ney_bigram", "corpus_heaps_curve", "eval_kmeans_silhouette",
         "pack_concat_chunks", "approx_cms_heavy_hitters",
         "sample_systematic_pps", "assoc_rules_events",
-        "lm_stupid_backoff_trigram", "eval_retrieval_ndcg",
-        "ts3_ohlc_daily", "graph_link_prediction", "text_readability",
+        "lm_stupid_backoff_trigram", "ts3_ohlc_daily", "text_readability",
         # r12 greens (50/50 gate: 13 oracle-new + 37 rotated re-checks
         # already listed above).  The four wave-28 r12 greens
         # (mine_bitext_margin, mine_bitext_margin_ann,
@@ -223,6 +215,26 @@ _DRIVER_CHECKED = frozenset(
         "corpus_diversity_indices", "eval_split_leakage",
         "lm_heldout_surprisal", "streaming_admission_parity",
         "streaming_silver_upsert",
+        # r13 greens whose code is untouched in r14 (the bitext exact
+        # tier and the matview merge row).  The other r13 greens stay
+        # OUT because r14 changed them: mine_bitext_margin_ann (auto
+        # hot-cell valve + blocked-tail refactor), ann_ivf_hier_topk +
+        # eval_ann_hier_recall (empty-super guard, nesupers oracle CTE),
+        # eval_bitext_ann_agreement(+_clustered) (compose the changed
+        # ANN tier).  Sixteen older greens were REMOVED above for the
+        # same reason — the r14 non-finite-cosine rule (try_divide +
+        # isfinite keep) touched every similarity form and the oracle
+        # rank CTEs of the direct ANN queries: ann_bruteforce_topk,
+        # ann_ivf_topk, ann_lsh_topk, graph_knn_cosine,
+        # ann_hard_negatives, eval_ann_recall, eval_pq_recall,
+        # eval_pq_recall_trained, eval_retrieval_ndcg,
+        # graph_label_propagation, graph_pagerank_knn,
+        # graph_triangle_count, graph_link_prediction,
+        # embedding_knn_classify, embedding_matryoshka_eval,
+        # pipeline_rag_index — all re-verify as oracle-new in the r14
+        # gate.
+        "mine_bitext_margin", "xlingual_hubness_audit",
+        "streaming_matview_merge",
     }
 )
 
