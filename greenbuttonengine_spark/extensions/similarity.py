@@ -732,6 +732,14 @@ def ivf_topk_hier_blocked(
     C x S argmax of seed-to-super cosine (ties -> lowest super),
     computed once driver-side with the same sequential fold.
 
+    Measured regimes (SCALING.md): at C=1024 / 800k vectors hier is a
+    2x LOSS (the two-level map worsens balance +44% and flat seed
+    scoring is only ~25% of the bill); at C=10^4 / 1.6M vectors it is
+    a 35x WIN (flat 309s vs hier 8.8s warm, r14 — the balance penalty
+    vanishes there, +0.03% sum-of-squared cell sizes), because flat
+    assignment is O(n*C*d) and dominates everything at large C.  Pick
+    hier when C >= ~10^4; flat remains the declared path below that.
+
     Probing is quota-based, the IMI convention: a query takes its top
     ``super_probe`` supers, then its top ``cells_per_super`` cells
     WITHIN each probed super (total probed cells = super_probe x

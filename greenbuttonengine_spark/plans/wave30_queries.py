@@ -193,10 +193,11 @@ def ann_ivf_hier_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "quantizer on the same corpus — the number that decides whether "
     "the O(n*(S + C/S)*d) assignment saving is worth it at a given "
     "(S, super_probe, cells_per_super) operating point.  SCALING.md "
-    "round-13 records the honest 800k answer: at C=1024 the two-level "
+    "records both regimes honestly: at C=1024 / 800k the two-level "
     "map worsens cell balance (+44% scoring work) and loses 2x end to "
-    "end — hier is for the C >= ~1e4 regime where flat assignment "
-    "dominates.",
+    "end; at C=1e4 / 1.6M (r14) the balance penalty vanishes (+0.03%) "
+    "and hier WINS 35x (309s vs 8.8s warm) — flat assignment is "
+    "O(n*C*d) and dominates at large C, exactly the claimed regime.",
 )
 def eval_ann_hier_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
