@@ -85,9 +85,16 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.8, k: int = 8,
     double division is bit-deterministic across engines.
 
     At 100 TB: one hash shuffle on the shingle key; frequent-shingle
-    hot keys are the skew risk — AQE skew-join splitting applies, and
-    :func:`ngram_jaccard_pairs_prefix` is the exact-result refinement
-    that removes the hot keys from the candidate join entirely."""
+    hot keys are the skew risk.  MEASURED under a degenerate corpus
+    (SCALING.md r14: 20k docs sharing one universal shingle -> 2e8
+    candidate pairs): AQE skew-join did NOT engage — at that shape the
+    token join is a BroadcastHashJoin, outside OptimizeSkewedJoin's
+    scope, and even on a shuffled join AQE only re-parallelizes the
+    straggler partition, the candidate WORK stays quadratic in the hot
+    key's document frequency.  :func:`ngram_jaccard_pairs_prefix` is
+    the real fix — the exact-result refinement that removes hot keys
+    from the candidate join entirely (7.2x there; the gap grows as
+    df^2)."""
     ex = docs.select(F.col(id_col), F.explode(_shingles(text_col, k)).alias("__sh"))
     sizes = ex.groupBy(id_col).agg(F.count("*").alias("n"))
     a, b = ex.alias("a"), ex.alias("b")

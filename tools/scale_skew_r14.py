@@ -92,6 +92,17 @@ def part_c(spark) -> None:
     reps = max(1, N_VEC // n_emb)
     rdf = spark.range(reps).withColumnRenamed("id", "k")
     hub_lit = "array(" + ", ".join(f"{x!r}F" for x in hub_vec) + ")"
+    # A hub CELL needs the hub vectors to not be seed candidates
+    # themselves (the first attempt made half the corpus hub-shaped ->
+    # ~half the LCG-sampled SEEDS were hub too, and the tight cluster
+    # spread over those near-identical seeds instead of piling into
+    # one cell).  Exclude the seed prefix of the LCG order from hub
+    # membership, so every seed keeps the base spread and the whole
+    # hub cluster argmaxes to the single closest seed.
+    a, c_, m_ = 1103515245, 12345, 1 << 31
+    keys = (np.arange(reps * n_emb, dtype=np.int64) % m_) * a + c_
+    seed_ids = np.argsort(keys % m_, kind="stable")[:CELLS]
+    seed_set = ", ".join(str(int(i)) for i in seed_ids)
     emb = (
         base.crossJoin(F.broadcast(rdf))
         .select(
@@ -103,9 +114,15 @@ def part_c(spark) -> None:
             # half the corpus collapses onto one direction (tiny per-row
             # tweak keeps vectors distinct); the rest keeps the wave9
             # perturbed-replica spread
-            f"""CASE WHEN pmod(xxhash64(vec_id), 2) = 0
+            # hub membership keys on PLAIN id parity, not xxhash64:
+            # the production count-estimator samples on xxhash64(id),
+            # and a synthetic hub defined by the same hash would be
+            # perfectly correlated with the sample (%64==0 => %2==0),
+            # biasing exactly the estimator under test
+            f"""CASE WHEN pmod(vec_id, 2) = 0
+                     AND vec_id NOT IN ({seed_set})
                 THEN transform({hub_lit}, (u, i) ->
-                     u + CAST(pmod(vec_id, 97) AS FLOAT) / 5000.0F)
+                     u + CAST(pmod(vec_id, 97) AS FLOAT) / 500000.0F)
                 ELSE transform(embedding, (u, i) ->
                      u + CAST(pmod(vec_id, 7) - 3 AS FLOAT) / 1000.0F)
                 END AS embedding""",
@@ -113,6 +130,27 @@ def part_c(spark) -> None:
     )
     emb.repartition(64).write.mode("overwrite").parquet("/tmp/scale_skew_emb.parquet")
     emb = spark.read.parquet("/tmp/scale_skew_emb.parquet")
+
+    # verify the hub actually formed: numpy-assign a 1/64 sample
+    seeds = similarity.seeded_centroids(emb, CELLS)
+    smat = np.array([v for _, v, _ in seeds])
+    snrm = np.array([n for _, _, n in seeds])
+    sample = np.array(
+        [
+            [float(x) for x in r["embedding"]]
+            for r in emb.filter(
+                F.pmod(F.xxhash64("vec_id"), F.lit(64)) == 0
+            ).collect()
+        ]
+    )
+    counts = np.bincount(
+        np.argmax((sample @ smat.T) / snrm, axis=1), minlength=CELLS
+    )
+    print(
+        f"partC hub check: top cell est {counts.max() * 64} rows "
+        f"(mean {int(counts.mean() * 64)}), sample {len(sample)}",
+        flush=True,
+    )
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
     print(f"partC: {emb.count()} vectors ({queries.count()} queries), "
           f"~half in one hub cell; trigger {similarity.HOT_CELL_ROWS_DEFAULT}",
@@ -141,7 +179,8 @@ def main() -> None:
 
     spark = get_spark(app_name="scale-skew-r14", shuffle_partitions=64)
     spark.sparkContext.setLogLevel("ERROR")
-    part_b(spark)
+    if "--part-c-only" not in sys.argv:
+        part_b(spark)
     part_c(spark)
     spark.stop()
 
