@@ -62,15 +62,34 @@ def _norm_unrolled(v, dim: int):
 def _finite_cosine(col):
     """Keep-predicate for cosine columns: non-finite cosines are
     DROPPED from every top-k, the one rule ALL forms in this module
-    share.  In the expression tails zero-norm vectors surface as NULL
-    (``try_divide`` — Spark 4's ANSI mode makes plain ``/`` THROW on a
-    zero divisor, and NULL is exactly what DuckDB's ``/`` returns, so
-    the oracle convention matches); in the Arrow kernels they surface
-    as numpy NaN.  Both are dropped here / by the kernels' isfinite
-    keep, so expression and kernel forms stay twins even on degenerate
-    inputs — the r12 ADVICE item 3 divergence (F.desc ranks NaN first,
-    stable argsort ranked it last)."""
+    share.  Zero-norm vectors never reach the division in the
+    expression tails (explicit denominator != 0 filters — Spark 4's
+    ANSI mode makes ``/0`` THROW, and ``try_divide`` costs 4x by
+    pushing the unrolled whole-stage method past the JVM 64 KB codegen
+    limit); in the Arrow kernels they surface as numpy NaN and the
+    isfinite keep drops them.  This predicate catches the remaining
+    non-finite sources (inf components), so expression and kernel
+    forms stay twins even on degenerate inputs — closing the r12
+    ADVICE item 3 divergence (F.desc ranks NaN first, stable argsort
+    ranked it last).  DuckDB's ``/`` returns NULL on zero divisors;
+    the oracle mirrors filter those rows, same rule."""
     return col.isNotNull() & ~F.isnan(col) & (F.abs(col) != F.lit(float("inf")))
+
+
+def _finite_vec(vec_col):
+    """Entry validation for the expression-form operators (the r12
+    ADVICE 'validated invariant at the entry' option): rows whose
+    vector contains NaN/inf components are dropped BEFORE scoring, so
+    the only remaining non-finite-cosine source — a zero norm — is
+    caught by the pre-division denominator guard.  Checking the VECTOR
+    (n rows) instead of the COSINE (n*k pairs) also keeps the unrolled
+    whole-stage chains under the JVM 64 KB codegen limit: a filter on
+    the aliased cosine gets predicate-pushed below the projection and
+    DUPLICATES the giant chain per predicate term (measured 4x
+    interpreted fallback)."""
+    return F.forall(
+        vec_col, lambda x: ~F.isnan(x) & (F.abs(x) != F.lit(float("inf")))
+    )
 
 
 def cosine_topk(
@@ -86,21 +105,33 @@ def cosine_topk(
     excluded. Ties broken by neighbor id for determinism."""
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
-    )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv"))
+    ).filter(_finite_vec(F.col("qv")))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv")
+    ).filter(_finite_vec(F.col("cv")))
     return _score_and_rank(c.crossJoin(F.broadcast(q)), k)
 
 
 def _score_and_rank(candidates: DataFrame, k: int) -> DataFrame:
     """Shared tail of every ANN variant: exact cosine over the
     candidate (query, neighbor) pairs, deterministic per-query top-k."""
-    cos = F.try_divide(
-        _dot(F.col("qv"), F.col("cv")), _norm(F.col("qv")) * _norm(F.col("cv"))
-    )
+    # Zero norms are filtered BEFORE the division: ANSI mode makes /0
+    # throw, and the obvious fix (try_divide) blew the whole-stage
+    # method past the JVM's 64 KB limit on the unrolled chains —
+    # measured 4x slower interpreted fallback (ann_ivf_topk 2.1s ->
+    # 8.0s) — so the denominator is materialized once and guarded by a
+    # plain comparison instead.  Same observable rule either way: a
+    # zero-norm vector appears in no top-k (_finite_cosine docstring).
+    denom = _norm(F.col("qv")) * _norm(F.col("cv"))
     scored = (
         candidates.filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", cos.alias("cosine"))
-        .filter(_finite_cosine(F.col("cosine")))
+        .withColumn("__denom", denom)
+        .filter(F.col("__denom") != F.lit(0.0))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (_dot(F.col("qv"), F.col("cv")) / F.col("__denom")).alias("cosine"),
+        )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
     return (
@@ -164,7 +195,9 @@ def ivf_topk(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv")
+    ).filter(_finite_vec(F.col("cv")))
     with_vec = c.withColumn("features", array_to_vector(F.col("cv")))
     km = KMeans(k=n_centroids, seed=seed, maxIter=10)
     fit_input = (
@@ -181,7 +214,9 @@ def ivf_topk(
     centroid_rows = [(i, centroids[i]) for i in range(len(centroids))]
     cdf = corpus.sparkSession.createDataFrame(centroid_rows, "cell int, centroid array<double>")
 
-    q = queries.select(F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv"))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
+    ).filter(_finite_vec(F.col("qv")))
     qc = q.crossJoin(F.broadcast(cdf))
     dist2 = F.aggregate(
         F.zip_with(F.col("qv"), F.col("centroid"), lambda x, y: (x - y) * (x - y)),
@@ -298,9 +333,13 @@ def ivf_topk_seeded(
         return _empty_topk(corpus.sparkSession)
     cell_scores = seeded_cell_scores(seeds)
 
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv")
+    ).filter(_finite_vec(F.col("cv")))
     c = c.withColumn("cell", -F.element_at(cell_scores(F.col("cv")), 1)["nc"])
-    q = queries.select(F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv"))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
+    ).filter(_finite_vec(F.col("qv")))
     q = q.select(
         "query_id",
         "qv",
@@ -320,15 +359,21 @@ def ivf_topk_seeded(
     c = c.withColumn("cnrm", _norm_unrolled(F.col("cv"), dim))
     q = q.withColumn("qnrm", _norm_unrolled(F.col("qv"), dim))
     probe_side = F.broadcast(q) if broadcast_queries else q
-    cos = F.try_divide(
-        _dot_unrolled(F.col("qv"), F.col("cv"), dim),
-        F.col("qnrm") * F.col("cnrm"),
+    # zero-norm guard as a plain pre-division filter on the hoisted
+    # norm columns — NOT try_divide, whose wrapper pushed this stage's
+    # unrolled whole-stage method past the JVM 64 KB codegen limit
+    # (measured 4x interpreted fallback); see _score_and_rank
+    cos = _dot_unrolled(F.col("qv"), F.col("cv"), dim) / (
+        F.col("qnrm") * F.col("cnrm")
     )
     scored = (
         c.join(probe_side, "cell")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .filter(
+            (F.col("neighbor_id") != F.col("query_id"))
+            & (F.col("qnrm") != F.lit(0.0))
+            & (F.col("cnrm") != F.lit(0.0))
+        )
         .select("query_id", "neighbor_id", cos.alias("cosine"))
-        .filter(_finite_cosine(F.col("cosine")))
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
     return (
@@ -893,9 +938,13 @@ def lsh_topk(
     grow from 1 to (1+planes) buckets of 2^planes — still a small
     corpus fraction at scale."""
     weights = plane_weights(planes, dim)
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv")
+    ).filter(_finite_vec(F.col("cv")))
     c = c.withColumn("bucket", _bucket_signature(F.col("cv"), weights))
-    q = queries.select(F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv"))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
+    ).filter(_finite_vec(F.col("qv")))
     q = q.withColumn("bucket", _bucket_signature(F.col("qv"), weights))
     if multiprobe:
         probe_buckets = F.array(
