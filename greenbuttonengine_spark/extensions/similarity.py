@@ -764,6 +764,8 @@ def ivf_topk_hier_blocked(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     cell_split: int = 1,
+    hot_cell_rows: int | None = None,
+    count_sample_mod: int = 64,
 ) -> DataFrame:
     """Two-level (hierarchical) seeded-IVF top-k — the assignment-cost
     fix the flat kernel's docstring flags: ``ivf_topk_blocked`` scores
@@ -796,7 +798,10 @@ def ivf_topk_hier_blocked(
     twin.  All arithmetic is the same k-ordered fold as every kernel
     here (DuckDB-reproducible; ties -> lowest super/cell/neighbor);
     scoring reuses the tiled ``_blocked_score_tail`` (literal 67 MB
-    per-task bound, cell_split hub valve).
+    per-task bound, cell_split hub valve; ``hot_cell_rows`` enables
+    the same sampled-count AUTO valve as the flat kernel, estimated
+    against THIS quantizer's assignment rule — output split-invariant
+    either way).
 
     Non-finite cosines (zero-norm vectors) are dropped from the top-k,
     the module-wide ``_finite_cosine`` rule shared with every form
@@ -915,7 +920,32 @@ def ivf_topk_hier_blocked(
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
     ).mapInPandas(_probe, "query_id long, qv array<double>, qnrm double, cell int")
-    return _blocked_score_tail(q, c, k, d, cell_split)
+
+    cell_splits: dict[int, int] | None = None
+    if hot_cell_rows is not None:
+        # same sampled-count auto valve as the flat kernel, against
+        # THIS quantizer's assignment rule (hier cell membership
+        # differs from flat by construction)
+        mod = max(1, count_sample_mod)
+        sample = corpus.filter(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(mod)) == 0
+        ).select(F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv"))
+        est = {
+            int(r["cell"]): int(r["n"]) * mod
+            for r in sample.mapInPandas(
+                _assign, "neighbor_id long, cv array<double>, cnrm double, cell int"
+            )
+            .groupBy("cell")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        cell_splits = {
+            cell: -(-n // hot_cell_rows)
+            for cell, n in est.items()
+            if n > hot_cell_rows
+        }
+
+    return _blocked_score_tail(q, c, k, d, cell_split, cell_splits=cell_splits)
 
 
 def lsh_topk(

@@ -212,3 +212,32 @@ def test_hier_empty_super_guard_end_to_end(spark, tmp_path):
     assert len(g) == len(w)
     assert g["neighbor_id"].tolist() == w["neighbor_id"].tolist()
     assert g["cosine"].tolist() == w["cosine"].tolist()  # bitwise
+
+
+def test_hier_auto_hot_cell_valve_is_output_invariant(spark):
+    """The hierarchical kernel's hot_cell_rows auto valve (r14 API
+    symmetry with the flat kernel) must be bitwise output-invariant:
+    threshold=1 with exact counts splits every non-empty cell;
+    a sampled estimate and a never-trigger threshold also match."""
+    from pyspark.sql import functions as F
+
+    from greenbuttonengine_spark.extensions import similarity
+    from greenbuttonengine_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "embeddings", SF)
+
+    def run(**kw):
+        return {
+            (r.query_id, r.neighbor_id): (r.cosine, r.rank)
+            for r in similarity.ivf_topk_hier_blocked(
+                emb, emb.filter(F.col("vec_id") < 16),
+                k=K, n_cells=C, n_super=S,
+                super_probe=SUPER_PROBE, cells_per_super=CELLS_PER_SUPER,
+                **kw,
+            ).collect()
+        }
+
+    baseline = run()
+    assert run(hot_cell_rows=1, count_sample_mod=1) == baseline
+    assert run(hot_cell_rows=4, count_sample_mod=4) == baseline
+    assert run(hot_cell_rows=10**9, count_sample_mod=1) == baseline
