@@ -103,10 +103,24 @@ def main(argv: list[str] | None = None) -> int:
         "Spark job (reference-CLI latency); directories/globs/multi-file "
         "inputs use Spark.  'spark'/'local' force a path.",
     )
+    ap.add_argument(
+        "--multi-ltp",
+        action="store_true",
+        help="resolve LocalTimeParameters per usage point (href scope, "
+        "file-global fallback) instead of the reference's one-LTP-per-"
+        "file rule — for multi-utility exports with one tz per usage "
+        "point.  Spark engine only (the driver-side fast path keeps "
+        "strict reference parity).",
+    )
     ap.add_argument("paths", nargs="+")
     args = ap.parse_args(argv)
 
-    if _use_fastpath(args):
+    if args.multi_ltp and args.engine == "local":
+        raise SystemExit(
+            "error: --multi-ltp needs the Spark engine "
+            "(--engine=local is the strict reference-parity path)"
+        )
+    if not args.multi_ltp and _use_fastpath(args):
         return _run_fastpath(args)
 
     from .session import get_spark
@@ -114,7 +128,9 @@ def main(argv: list[str] | None = None) -> int:
     from .sinks import write_csv, write_influx_lines, write_parquet
 
     spark = get_spark(app_name="gbcli")
-    ts, errors = timeseries_from_files(spark, args.paths)
+    ts, errors = timeseries_from_files(
+        spark, args.paths, strict_single_ltp=not args.multi_ltp
+    )
 
     for row in errors.collect():  # per-file tolerance: log and continue
         print(f"error: {row['source_file']}: {row['error']}", file=sys.stderr)

@@ -197,3 +197,35 @@ def test_flag_same_scope_duplicate_still_errors(spark, tmp_path):
     assert [e.error for e in errors.collect()] == [
         "Multiple LocalTimeParameters in one usage-point scope."
     ]
+
+
+def test_cli_multi_ltp_flag(spark, two_up_file, tmp_path, capsys):
+    """gbcli --multi-ltp converts a two-usage-point export that the
+    default (reference-parity) invocation rejects."""
+    from greenbuttonengine_spark.cli import main
+
+    out = str(tmp_path / "out.csv")
+    # default: reference parity -> the file errors, output is empty
+    assert main(["--filetype=csv", f"--out={out}", "--engine=spark",
+                 two_up_file]) == 0
+    err = capsys.readouterr().err
+    assert "multiple LocalTimeParameters" in err
+    with open(out) as fh:
+        assert len(fh.read().strip().splitlines()) <= 1  # header only
+
+    assert main(["--filetype=csv", f"--out={out}", "--multi-ltp",
+                 two_up_file]) == 0
+    with open(out) as fh:
+        lines = fh.read().strip().splitlines()
+    assert len(lines) == 3  # header + one reading per usage point
+    body = "\n".join(lines[1:])
+    assert str(START + TZ_A) in body and str(START + TZ_B) in body
+
+
+def test_cli_multi_ltp_rejects_local_engine(two_up_file):
+    import pytest as _pytest
+
+    from greenbuttonengine_spark.cli import main
+
+    with _pytest.raises(SystemExit, match="multi-ltp needs the Spark"):
+        main(["--filetype=csv", "--multi-ltp", "--engine=local", two_up_file])
