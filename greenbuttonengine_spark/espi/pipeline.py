@@ -468,6 +468,7 @@ def espi_ingest(
     spark: SparkSession,
     paths: str | list[str],
     include_source_file: bool = False,
+    strict_single_ltp: bool = True,
 ) -> Iterator[tuple[DataFrame, DataFrame]]:
     """Scope-bound ingest: ``with espi_ingest(spark, p) as (ts, errors):``.
 
@@ -480,7 +481,7 @@ def espi_ingest(
     try:
         tables = split_tables(parsed)
         yield denormalize_with_errors(
-            tables, load_enum_dim(spark), include_source_file
+            tables, load_enum_dim(spark), include_source_file, strict_single_ltp
         )
     finally:
         parsed.unpersist()
