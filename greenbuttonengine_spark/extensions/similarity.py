@@ -38,27 +38,6 @@ def _norm(v):
     return F.sqrt(F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
 
 
-def _dot_unrolled(a, b, dim: int):
-    """Unrolled dot product for a dimension known at plan time: the
-    EXACT IEEE op sequence of the ``_dot`` HOF fold and of DuckDB's
-    ``list_dot_product`` — ((0.0 + a1*b1) + a2*b2) + ... — so values
-    are bitwise identical, but as a plain arithmetic chain the JVM
-    executes natively instead of the interpreted per-element lambda
-    binding of HigherOrderFunction evaluation (the ann_pq_adc lesson,
-    measured 52x there)."""
-    acc = F.lit(0.0)
-    for i in range(1, dim + 1):
-        acc = acc + F.element_at(a, i) * F.element_at(b, i)
-    return acc
-
-
-def _norm_unrolled(v, dim: int):
-    acc = F.lit(0.0)
-    for i in range(1, dim + 1):
-        acc = acc + F.element_at(v, i) * F.element_at(v, i)
-    return F.sqrt(acc)
-
-
 def _finite_cosine(col):
     """Keep-predicate for cosine columns: non-finite cosines are
     DROPPED from every top-k, the one rule ALL forms in this module
@@ -76,19 +55,51 @@ def _finite_cosine(col):
     return col.isNotNull() & ~F.isnan(col) & (F.abs(col) != F.lit(float("inf")))
 
 
-def _finite_vec(vec_col):
-    """Entry validation for the expression-form operators (the r12
-    ADVICE 'validated invariant at the entry' option): rows whose
-    vector contains NaN/inf components are dropped BEFORE scoring, so
-    the only remaining non-finite-cosine source — a zero norm — is
-    caught by the pre-division denominator guard.  Checking the VECTOR
-    (n rows) instead of the COSINE (n*k pairs) also keeps the unrolled
-    whole-stage chains under the JVM 64 KB codegen limit: a filter on
-    the aliased cosine gets predicate-pushed below the projection and
-    DUPLICATES the giant chain per predicate term (measured 4x
-    interpreted fallback)."""
-    return F.forall(
-        vec_col, lambda x: ~F.isnan(x) & (F.abs(x) != F.lit(float("inf")))
+def _with_norm(side: DataFrame, vec: str, nrm: str) -> DataFrame:
+    """Hoist the per-ROW L2 norm (and the entry finiteness gate) onto
+    the slim n-row side of a top-k, so the per-PAIR tail is one dot
+    plus a scalar multiply instead of three folds — the
+    ivf_topk_seeded hoist (r13) applied module-wide.
+
+    Both the fold and the tail dot stay HOFs, NOT dim-unrolled
+    element_at chains: measured r15 at sf0.1 bench scale (2k rows,
+    ~32k pairs) the unrolled cosine_topk benched 2.1s vs 0.9s for
+    this form (driver-side analysis + codegen churn on dim-sized
+    literal trees, with 15-20s GC-poisoned outliers as giant plans
+    accumulate in a session), and at 200k rows / 3.2M pairs it was
+    ~10x WORSE (13-17s vs 1.4-4s): the giant whole-stage method
+    exceeds the JVM's JIT HugeMethodLimit and runs bytecode-
+    interpreted, slower than Catalyst's HOF evaluation loop.  At
+    kernel scale the Arrow blocked forms take over — the expression
+    tail never sees huge per-task pair counts.
+
+    The gate is ``sum-of-squares < inf`` (one predicate term, so the
+    alias-substituted pushdown below the Project duplicates the
+    per-row chain once, never per pair): a NaN component folds to a
+    NaN sum (comparison false -> dropped), an inf component to inf,
+    and overflow-magnitude components (|x| >~ 1.3e154, whose squares
+    overflow — the r14 ADVICE item-1 hole: they previously passed the
+    per-component forall and ranked FIRST as inf/NaN cosines) ALSO
+    fold to inf.  Surviving rows have finite norms, and every cosine
+    between two survivors is finite: any partial sum of q_i*c_i is
+    bounded by sum|q_i||c_i| <= sqrt(sq_q)*sqrt(sq_c) <= max(sq_q,
+    sq_c) < inf (Cauchy-Schwarz), modulo a half-ulp at the very top of
+    the double range — magnitudes within ~1 ulp of DBL_MAX are out of
+    contract.  Zero-norm rows still flow through (they must keep
+    participating in coarse-quantizer fits/assignments) and are
+    dropped per-pair in ``_score_and_rank``.  The fold is the same
+    IEEE sequence as DuckDB's ``list_dot_product(v, v)``, so the
+    oracle mirror is ``WHERE isfinite(list_dot_product(v, v))``."""
+    sq = F.aggregate(
+        F.transform(F.col(vec), lambda x: x * x),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        side.withColumn("__sq", sq)
+        .filter(F.col("__sq") < F.lit(float("inf")))
+        .withColumn(nrm, F.sqrt(F.col("__sq")))
+        .drop("__sq")
     )
 
 
@@ -102,37 +113,48 @@ def cosine_topk(
     """Exact top-k by cosine for each query vector.
 
     Output: (query_id, neighbor_id, cosine, rank). Self-matches are
-    excluded. Ties broken by neighbor id for determinism."""
+    excluded. Ties broken by neighbor id for determinism.
+
+    Per-row norms are hoisted above the crossJoin (one fold per ROW
+    instead of two per PAIR — r15, old-vs-new interleaved A/B at
+    sf0.1: 0.9s vs 1.0-1.1s medians, and at large pair counts the
+    saved folds scale with n*k).  See ``_with_norm`` for why the tail
+    dot stays a HOF fold rather than a dim-unrolled chain."""
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
-    ).filter(_finite_vec(F.col("qv")))
+    )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv")
-    ).filter(_finite_vec(F.col("cv")))
+    )
+    q = _with_norm(q, "qv", "qnrm")
+    c = _with_norm(c, "cv", "cnrm")
     return _score_and_rank(c.crossJoin(F.broadcast(q)), k)
 
 
 def _score_and_rank(candidates: DataFrame, k: int) -> DataFrame:
     """Shared tail of every ANN variant: exact cosine over the
-    candidate (query, neighbor) pairs, deterministic per-query top-k."""
+    candidate (query, neighbor) pairs, deterministic per-query top-k.
+
+    Candidates must carry ``qnrm``/``cnrm`` hoisted by ``_with_norm``
+    — the per-pair work is ONE dot fold and a scalar multiply (the
+    denominator is two precomputed per-row doubles, not two re-folded
+    norms).  The dot is a HOF fold, NOT a dim-unrolled chain — see
+    ``_with_norm`` for the r15 measurements (unrolled was 2x worse at
+    bench scale and ~10x worse at 3.2M pairs)."""
     # Zero norms are filtered BEFORE the division: ANSI mode makes /0
     # throw, and the obvious fix (try_divide) blew the whole-stage
     # method past the JVM's 64 KB limit on the unrolled chains —
     # measured 4x slower interpreted fallback (ann_ivf_topk 2.1s ->
-    # 8.0s) — so the denominator is materialized once and guarded by a
-    # plain comparison instead.  Same observable rule either way: a
-    # zero-norm vector appears in no top-k (_finite_cosine docstring).
-    denom = _norm(F.col("qv")) * _norm(F.col("cv"))
-    scored = (
-        candidates.filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("__denom", denom)
-        .filter(F.col("__denom") != F.lit(0.0))
-        .select(
-            "query_id",
-            "neighbor_id",
-            (_dot(F.col("qv"), F.col("cv")) / F.col("__denom")).alias("cosine"),
-        )
-    )
+    # 8.0s) — so the denominator is guarded by a plain comparison on
+    # materialized (hoisted path: per-row precomputed) columns.  Same
+    # observable rule either way: a zero-norm vector appears in no
+    # top-k (_finite_cosine docstring).
+    cos = _dot(F.col("qv"), F.col("cv")) / (F.col("qnrm") * F.col("cnrm"))
+    scored = candidates.filter(
+        (F.col("neighbor_id") != F.col("query_id"))
+        & (F.col("qnrm") != F.lit(0.0))
+        & (F.col("cnrm") != F.lit(0.0))
+    ).select("query_id", "neighbor_id", cos.alias("cosine"))
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
@@ -195,9 +217,17 @@ def ivf_topk(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
+    )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv")
-    ).filter(_finite_vec(F.col("cv")))
+    )
+    # the finiteness gate (sq < inf == the old forall on non-overflow
+    # inputs) runs BEFORE the k-means fit, same as the old entry
+    # filter, so centroids are unchanged; zero-norm rows pass the gate
+    # and keep participating in the fit, dropped per-pair in the tail
+    c = _with_norm(c, "cv", "cnrm")
     with_vec = c.withColumn("features", array_to_vector(F.col("cv")))
     km = KMeans(k=n_centroids, seed=seed, maxIter=10)
     fit_input = (
@@ -207,16 +237,14 @@ def ivf_topk(
     )
     model = km.fit(fit_input)
     assigned = model.transform(with_vec).select(
-        "neighbor_id", "cv", F.col("prediction").alias("cell")
+        "neighbor_id", "cv", "cnrm", F.col("prediction").alias("cell")
     )
 
     centroids = [list(map(float, cc)) for cc in model.clusterCenters()]
     centroid_rows = [(i, centroids[i]) for i in range(len(centroids))]
     cdf = corpus.sparkSession.createDataFrame(centroid_rows, "cell int, centroid array<double>")
 
-    q = queries.select(
-        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
-    ).filter(_finite_vec(F.col("qv")))
+    q = _with_norm(q, "qv", "qnrm")
     qc = q.crossJoin(F.broadcast(cdf))
     dist2 = F.aggregate(
         F.zip_with(F.col("qv"), F.col("centroid"), lambda x, y: (x - y) * (x - y)),
@@ -227,7 +255,7 @@ def ivf_topk(
     probes = (
         qc.withColumn("cell_rank", F.row_number().over(wq))
         .filter(F.col("cell_rank") <= n_probe)
-        .select("query_id", "qv", "cell")
+        .select("query_id", "qv", "qnrm", "cell")
     )
 
     return _score_and_rank(assigned.join(F.broadcast(probes), "cell"), k)
@@ -333,53 +361,41 @@ def ivf_topk_seeded(
         return _empty_topk(corpus.sparkSession)
     cell_scores = seeded_cell_scores(seeds)
 
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv")
-    ).filter(_finite_vec(F.col("cv")))
+    # Per-ROW norms hoisted above the join (each was being re-folded
+    # per PAIR inside _score_and_rank): same IEEE op sequence, so
+    # every cosine — and the oracle — is bit-identical.  _with_norm's
+    # sq gate replaces the old forall entry filter (same drops, plus
+    # the r14 ADVICE overflow-magnitude hole), and the tail dot is the
+    # shared HOF fold — the r14 unrolled chain measured SLOWER once
+    # A/B'd fairly (see _with_norm; the win attributed to unrolling in
+    # r13 came from the norm hoist, which stays).
+    c = _with_norm(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv")
+        ),
+        "cv",
+        "cnrm",
+    )
     c = c.withColumn("cell", -F.element_at(cell_scores(F.col("cv")), 1)["nc"])
-    q = queries.select(
-        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
-    ).filter(_finite_vec(F.col("qv")))
+    q = _with_norm(
+        queries.select(
+            F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
+        ),
+        "qv",
+        "qnrm",
+    )
     q = q.select(
         "query_id",
         "qv",
+        "qnrm",
         F.explode(
             F.transform(
                 F.slice(cell_scores(F.col("qv")), 1, n_probe), lambda s: -s["nc"]
             )
         ).alias("cell"),
     )
-    # Per-ROW norms hoisted above the join (each was being re-folded
-    # per PAIR inside _score_and_rank), and the per-pair dot unrolled
-    # over the dim known from the collected seeds: same IEEE op
-    # sequence, so every cosine — and the oracle — is bit-identical,
-    # but the hot path is a codegen-able chain instead of three
-    # interpreted HOF folds per candidate pair.
-    dim = len(seeds[0][1])
-    c = c.withColumn("cnrm", _norm_unrolled(F.col("cv"), dim))
-    q = q.withColumn("qnrm", _norm_unrolled(F.col("qv"), dim))
     probe_side = F.broadcast(q) if broadcast_queries else q
-    # zero-norm guard as a plain pre-division filter on the hoisted
-    # norm columns — NOT try_divide, whose wrapper pushed this stage's
-    # unrolled whole-stage method past the JVM 64 KB codegen limit
-    # (measured 4x interpreted fallback); see _score_and_rank
-    cos = _dot_unrolled(F.col("qv"), F.col("cv"), dim) / (
-        F.col("qnrm") * F.col("cnrm")
-    )
-    scored = (
-        c.join(probe_side, "cell")
-        .filter(
-            (F.col("neighbor_id") != F.col("query_id"))
-            & (F.col("qnrm") != F.lit(0.0))
-            & (F.col("cnrm") != F.lit(0.0))
-        )
-        .select("query_id", "neighbor_id", cos.alias("cosine"))
-    )
-    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= k)
-    )
+    return _score_and_rank(c.join(probe_side, "cell"), k)
 
 
 # Literal per-task memory bound for the blocked IVF scorer: one active
@@ -391,8 +407,8 @@ def ivf_topk_seeded(
 _Q_BLOCK = 1024
 _C_BLOCK = 8192
 
-# Default auto-valve trigger for callers that opt in (hot_cell_rows):
-# a cell is "hot" above 8 corpus tiles (64k rows).  Below that the
+# Default auto-valve trigger (hot_cell_rows — ON by default since r15;
+# pass None to opt out): a cell is "hot" above 8 corpus tiles (64k rows).  Below that the
 # per-cell task is bounded by a handful of tile passes and the r13 A/B
 # showed splitting is a net LOSS at normal occupancy (scheduler +
 # probe-duplication overhead), so the valve stays closed for ordinary
@@ -410,7 +426,7 @@ def ivf_topk_blocked(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     cell_split: int = 1,
-    hot_cell_rows: int | None = None,
+    hot_cell_rows: int | None = HOT_CELL_ROWS_DEFAULT,
     count_sample_mod: int = 64,
 ) -> DataFrame:
     """``ivf_topk_seeded`` re-expressed as an Arrow cell-matrix kernel
@@ -608,39 +624,48 @@ def _blocked_score_tail(
     set, per-sub-cell top-k uses the same total order (cosine desc,
     neighbor_id asc), and the final window takes the global top-k over
     the union — the knn_graph argument."""
-    if cell_splits:
+    split_rows = [
+        (int(cell), int(f))
+        for cell, f in sorted((cell_splits or {}).items())
+        if f > 1
+    ]
+    if split_rows:
         spark = q.sparkSession
-        sdf = spark.createDataFrame(
-            [(int(cell), int(f)) for cell, f in sorted(cell_splits.items()) if f > 1],
-            "cell int, __split int",
+        sdf = spark.createDataFrame(split_rows, "cell int, __split int")
+        # a manual cell_split composes as the FLOOR factor for cells
+        # the valve did not list (r14 ADVICE: the valve silently
+        # discarded the caller's fan-out for non-hot cells): every
+        # cell splits at least cell_split ways, hot cells by their
+        # own larger factor.  Output stays split-invariant either way.
+        factor = F.coalesce(F.col("__split"), F.lit(1))
+        if cell_split > 1:
+            factor = F.greatest(factor, F.lit(cell_split))
+        c = (
+            c.join(F.broadcast(sdf), "cell", "left")
+            .withColumn("__split", factor)
+            .withColumn(
+                "__sub",
+                F.pmod(F.xxhash64(F.col("neighbor_id")), F.col("__split")).cast(
+                    "int"
+                ),
+            )
+            .drop("__split")
         )
-        if not sdf.isEmpty():
-            c = (
-                c.join(F.broadcast(sdf), "cell", "left")
-                .withColumn("__split", F.coalesce(F.col("__split"), F.lit(1)))
-                .withColumn(
-                    "__sub",
-                    F.pmod(F.xxhash64(F.col("neighbor_id")), F.col("__split")).cast(
-                        "int"
-                    ),
-                )
-                .drop("__split")
+        q = (
+            q.join(F.broadcast(sdf), "cell", "left")
+            .withColumn("__split", factor)
+            .select(
+                "query_id",
+                "qv",
+                "qnrm",
+                "cell",
+                F.explode(
+                    F.sequence(F.lit(0), F.col("__split") - F.lit(1))
+                ).alias("__sub"),
             )
-            q = (
-                q.join(F.broadcast(sdf), "cell", "left")
-                .withColumn("__split", F.coalesce(F.col("__split"), F.lit(1)))
-                .select(
-                    "query_id",
-                    "qv",
-                    "qnrm",
-                    "cell",
-                    F.explode(
-                        F.sequence(F.lit(0), F.col("__split") - F.lit(1))
-                    ).alias("__sub"),
-                )
-            )
-            return _blocked_score_window(q, c, k, d, keys=("cell", "__sub"))
-    elif cell_split > 1:
+        )
+        return _blocked_score_window(q, c, k, d, keys=("cell", "__sub"))
+    if cell_split > 1:
         sub = F.pmod(F.xxhash64(F.col("neighbor_id")), F.lit(cell_split)).cast("int")
         c = c.withColumn("cell", F.col("cell") * cell_split + sub)
         q = q.select(
@@ -764,7 +789,7 @@ def ivf_topk_hier_blocked(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     cell_split: int = 1,
-    hot_cell_rows: int | None = None,
+    hot_cell_rows: int | None = HOT_CELL_ROWS_DEFAULT,
     count_sample_mod: int = 64,
 ) -> DataFrame:
     """Two-level (hierarchical) seeded-IVF top-k — the assignment-cost
@@ -968,13 +993,21 @@ def lsh_topk(
     grow from 1 to (1+planes) buckets of 2^planes — still a small
     corpus fraction at scale."""
     weights = plane_weights(planes, dim)
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv")
-    ).filter(_finite_vec(F.col("cv")))
+    c = _with_norm(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv")
+        ),
+        "cv",
+        "cnrm",
+    )
     c = c.withColumn("bucket", _bucket_signature(F.col("cv"), weights))
-    q = queries.select(
-        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
-    ).filter(_finite_vec(F.col("qv")))
+    q = _with_norm(
+        queries.select(
+            F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
+        ),
+        "qv",
+        "qnrm",
+    )
     q = q.withColumn("bucket", _bucket_signature(F.col("qv"), weights))
     if multiprobe:
         probe_buckets = F.array(
@@ -982,7 +1015,7 @@ def lsh_topk(
             *[F.col("bucket").bitwiseXOR(F.lit(1 << p).cast("long")) for p in range(planes)],
         )
         q = q.select(
-            "query_id", "qv", F.explode(probe_buckets).alias("bucket")
+            "query_id", "qv", "qnrm", F.explode(probe_buckets).alias("bucket")
         )
     return _score_and_rank(c.join(F.broadcast(q), "bucket"), k)
 

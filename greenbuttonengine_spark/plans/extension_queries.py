@@ -186,7 +186,13 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ann_bruteforce_topk",
     """
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    -- isfinite(list_dot_product(v, v)) mirrors _with_norm's entry
+    -- gate: NaN/inf/overflow-magnitude components all fold the
+    -- sum-of-squares non-finite in BOTH engines (same IEEE sequence),
+    -- so the engines drop the same vectors (r14 ADVICE items 1+2)
+    WITH e AS (SELECT vec_id, v
+               FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+               WHERE isfinite(list_dot_product(v, v))),
     q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 16),
     s AS (
         SELECT q.query_id, e.vec_id AS neighbor_id,
@@ -199,7 +205,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
         FROM s
         -- zero-norm guard mirror: DuckDB's /0 yields NULL, Spark's
-        -- try_divide likewise; both engines DROP the row pre-rank
+        -- per-pair nrm != 0 filter likewise; both DROP the row pre-rank
         WHERE cosine IS NOT NULL
     ) t WHERE rank <= 10
     """,
@@ -235,15 +241,19 @@ def _ivf_seeded_oracle_sql(n_centroids: int = 16, n_probe: int = 4,
     return f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     {_seeded_cells_cte(n_centroids)},
+    -- ef mirrors _with_norm's entry gate on the SCORED sides only:
+    -- seed selection (above) stays over the raw corpus, exactly as
+    -- similarity.seeded_centroids samples before the gate
+    ef AS (SELECT vec_id, v FROM e WHERE isfinite(list_dot_product(v, v))),
     assign AS (
         SELECT e.vec_id AS neighbor_id, e.v AS cv, s.cell
-        FROM e CROSS JOIN seeds s
+        FROM ef e CROSS JOIN seeds s
         QUALIFY ROW_NUMBER() OVER (
             PARTITION BY e.vec_id
             ORDER BY list_dot_product(e.v, s.v)
                          / sqrt(list_dot_product(s.v, s.v)) DESC, s.cell) = 1
     ),
-    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 16),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM ef WHERE vec_id < 16),
     probes AS (
         SELECT q.query_id, q.qv, s.cell
         FROM q CROSS JOIN seeds s
@@ -322,7 +332,12 @@ def _lsh_oracle_sql(planes: int = 4, dim: int = 64, k: int = 10) -> str:
     (repr round-trips doubles exactly), so signatures match Spark's
     bit-for-bit."""
     return f"""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    -- isfinite gate mirrors _with_norm's entry validation, applied
+    -- BEFORE bucketing exactly as similarity.lsh_topk gates before
+    -- _bucket_signature (r14 ADVICE items 1+2)
+    WITH e AS (SELECT vec_id, v
+               FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+               WHERE isfinite(list_dot_product(v, v))),
     {_lsh_sigs_probes_ctes(planes, dim)},
     scored AS (
         SELECT p.query_id, s.vec_id AS neighbor_id,

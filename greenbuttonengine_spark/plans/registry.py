@@ -32,6 +32,17 @@ Hard-won refinements (each found as a real oracle mismatch):
 * Spark decimal multiplication silently reduces scale when the exact
   result exceeds precision 38; keep operand precision low enough that
   products fit exactly, or the engines keep different digits.
+* Non-finite embeddings (r14 ADVICE 1+2, closed r15): the similarity
+  module drops rows whose sum-of-squares folds non-finite
+  (similarity._with_norm) — NaN/inf components AND overflow-magnitude
+  components.  The oracles of the canonical retrievers
+  (ann_bruteforce/ivf/lsh, eval_ann_recall, eval_retrieval_ndcg,
+  search_hybrid_rrf) mirror it as
+  ``WHERE isfinite(list_dot_product(v, v))`` on the SCORED sides only
+  (seed selection stays raw, matching seeded_centroids).  The
+  composite eval oracles (PQ/hier/RAG recall) keep zero-norm-only
+  mirrors: their brute legs gate Spark-side identically on any finite
+  corpus, and non-finite embeddings are out of those evals' contract.
 * Modulo signedness: Spark-side seeded hashing uses F.pmod, but most
   oracles write plain DuckDB ``%`` (signed, sign-of-dividend).  The two
   agree only because every synthetic key (doc_id/user_id/event_id/

@@ -159,14 +159,18 @@ def _hybrid_sql() -> str:
         SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r
         FROM lex_base
     ), vq AS (
-        SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+        -- isfinite gate mirrors similarity._with_norm (r14 ADVICE 1+2)
+        SELECT qv FROM (SELECT embedding::DOUBLE[] AS qv
+                        FROM embeddings WHERE vec_id = 0)
+        WHERE isfinite(list_dot_product(qv, qv))
     ), vs AS (
         SELECT e.vec_id AS doc_id,
                list_dot_product(vq.qv, e.v)
                    / (sqrt(list_dot_product(vq.qv, vq.qv))
                       * sqrt(list_dot_product(e.v, e.v))) AS cosine
-        FROM (SELECT vec_id, embedding::DOUBLE[] AS v
-              FROM embeddings WHERE vec_id <> 0) e CROSS JOIN vq
+        FROM (SELECT vec_id, v FROM (SELECT vec_id, embedding::DOUBLE[] AS v
+                                     FROM embeddings WHERE vec_id <> 0)
+              WHERE isfinite(list_dot_product(v, v))) e CROSS JOIN vq
     ), vec AS (
         SELECT doc_id, r FROM (
             SELECT doc_id, row_number() OVER (ORDER BY cosine DESC, doc_id) AS r

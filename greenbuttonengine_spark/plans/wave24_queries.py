@@ -185,7 +185,10 @@ def _ndcg_oracle_sql() -> str:
     return f"""
     WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v, label
                 FROM embeddings),
-    e AS (SELECT vec_id, v FROM e0),
+    -- isfinite gate mirrors similarity._with_norm's entry validation
+    -- in lsh_topk (r14 ADVICE items 1+2)
+    e AS (SELECT vec_id, v FROM e0
+          WHERE isfinite(list_dot_product(v, v))),
     {_lsh_sigs_probes_ctes(4, 64)},
     lsh AS (
         SELECT query_id, neighbor_id, rank FROM (

@@ -159,7 +159,11 @@ def _eval_recall_oracle_sql(k: int = 10) -> str:
     from .extension_queries import _lsh_sigs_probes_ctes
 
     return f"""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    -- isfinite gate mirrors similarity._with_norm's entry validation
+    -- on both retriever legs (r14 ADVICE items 1+2)
+    WITH e AS (SELECT vec_id, v
+               FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+               WHERE isfinite(list_dot_product(v, v))),
     q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 16),
     brute AS (
         SELECT query_id, neighbor_id FROM (
