@@ -84,8 +84,11 @@ def _validate_single_ltp(ltp: DataFrame, all_files: DataFrame) -> tuple[DataFram
 
 
 # ESPI hrefs scope resources under ".../UsagePoint/{id}/..."; the prefix
-# is the usage-point key (same derivation family as _METER_READING_RE)
-_USAGE_POINT_RE = r"(.*UsagePoint/[^/]*)/"
+# is the usage-point key (same derivation family as _METER_READING_RE).
+# The (?:/|$) tail also scopes an href ending exactly AT the usage
+# point (".../UsagePoint/{id}" with no child segment) — r14 ADVICE: a
+# trailing-slash-only pattern silently demoted those to file-global.
+_USAGE_POINT_RE = r"(.*UsagePoint/[^/]*)(?:/|$)"
 _LTP_RULE_COLS = ("dst_start_rule", "dst_end_rule", "dst_offset", "tz_offset")
 
 
@@ -131,6 +134,60 @@ def _resolve_ltp_per_usage_point(
     )
     good = scoped.join(dup_files, "source_file", "left_anti")
     return good, missing.unionByName(dups)
+
+
+def resolve_ltp_for_scopes(
+    ltp: DataFrame,
+    entries: DataFrame,
+    all_files: DataFrame,
+    fact_ups: DataFrame,
+) -> tuple[DataFrame, DataFrame]:
+    """Full non-strict LTP resolution for a set of fact scopes: scope
+    the LTPs per usage point (``_resolve_ltp_per_usage_point``), then
+    resolve every (source_file, up_key) in ``fact_ups`` — UP-scoped
+    LTP first, file-global ('') fallback via a left-join coalesce; a
+    scope with neither fails its file.
+
+    Returns (ltp_resolved rows (source_file, up_key, rules... —
+    NULL-ruled rows kept so callers apply fail-the-file atomicity),
+    per-file error rows).  This is the production path of
+    ``denormalize_with_errors(strict_single_ltp=False)`` AND the body
+    of the espi_multi_ltp_scope_resolution oracle query — the
+    batch-parity pattern the streaming operators use, so the driver
+    gate exercises the same code the CLI's --multi-ltp runs."""
+    ltp_scoped, ltp_errors = _resolve_ltp_per_usage_point(ltp, entries, all_files)
+    # resolve each fact scope: UP-scoped LTP first, file-global
+    # ('') fallback; a fact scope with neither fails its file
+    up_scoped = ltp_scoped.filter(F.col("up_key") != "")
+    glob = ltp_scoped.filter(F.col("up_key") == "").select(
+        "source_file",
+        *[F.col(c).alias(f"__g_{c}") for c in _LTP_RULE_COLS],
+    )
+    ltp_resolved = (
+        fact_ups.join(up_scoped, ["source_file", "up_key"], "left")
+        .join(glob, "source_file", "left")
+        .select(
+            "source_file",
+            "up_key",
+            *[
+                F.coalesce(F.col(c), F.col(f"__g_{c}")).alias(c)
+                for c in _LTP_RULE_COLS
+            ],
+        )
+    )
+    unresolved = (
+        ltp_resolved.filter(F.col("tz_offset").isNull())
+        .select("source_file")
+        .distinct()
+        # files already errored (no LTP at all / duplicate scope)
+        # resolve to nothing too — one error row per file, not two
+        .join(ltp_errors.select("source_file"), "source_file", "left_anti")
+        .select(
+            "source_file",
+            F.lit("Missing LocalTimeParameters.").alias("error"),
+        )
+    )
+    return ltp_resolved, ltp_errors.unionByName(unresolved)
 
 
 def resolve_reading_types(entries: DataFrame) -> DataFrame:
@@ -235,9 +292,6 @@ def denormalize_with_errors(
         )
         entry_dim = entries.select("source_file", "entry_index", "title")
     else:
-        ltp_scoped, ltp_errors = _resolve_ltp_per_usage_point(
-            tables["local_time_parameters"], entries, all_files
-        )
         entry_dim = entries.select(
             "source_file",
             "entry_index",
@@ -262,39 +316,10 @@ def denormalize_with_errors(
             )
             .distinct()
         )
-        # resolve each fact scope: UP-scoped LTP first, file-global
-        # ('') fallback; a fact scope with neither fails its file
         fact_ups = file_up_years.select("source_file", "up_key").distinct()
-        up_scoped = ltp_scoped.filter(F.col("up_key") != "")
-        glob = ltp_scoped.filter(F.col("up_key") == "").select(
-            "source_file",
-            *[F.col(c).alias(f"__g_{c}") for c in _LTP_RULE_COLS],
+        ltp_resolved, ltp_errors = resolve_ltp_for_scopes(
+            tables["local_time_parameters"], entries, all_files, fact_ups
         )
-        ltp_resolved = (
-            fact_ups.join(up_scoped, ["source_file", "up_key"], "left")
-            .join(glob, "source_file", "left")
-            .select(
-                "source_file",
-                "up_key",
-                *[
-                    F.coalesce(F.col(c), F.col(f"__g_{c}")).alias(c)
-                    for c in _LTP_RULE_COLS
-                ],
-            )
-        )
-        unresolved = (
-            ltp_resolved.filter(F.col("tz_offset").isNull())
-            .select("source_file")
-            .distinct()
-            # files already errored (no LTP at all / duplicate scope)
-            # resolve to nothing too — one error row per file, not two
-            .join(ltp_errors.select("source_file"), "source_file", "left_anti")
-            .select(
-                "source_file",
-                F.lit("Missing LocalTimeParameters.").alias("error"),
-            )
-        )
-        ltp_errors = ltp_errors.unionByName(unresolved)
 
     rt_map = resolve_reading_types(entries)
     f1 = (

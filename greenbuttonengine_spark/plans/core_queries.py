@@ -483,3 +483,184 @@ def p17_composite_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").isNotNull()
         & ((F.col("event_type") == "click") | (F.col("user_id") % 100 == 7))
     ).select("event_id", "event_type", "value")
+
+
+@register(
+    "espi_multi_ltp_scope_resolution",
+    r"""
+    WITH ev AS (SELECT event_id AS eid FROM events),
+    e AS (
+      SELECT 'f' || CAST(eid % 20 AS VARCHAR) AS source_file,
+             eid AS entry_index,
+             CASE
+               WHEN eid < 16 THEN 'https://s/r/Other/' || CAST(eid AS VARCHAR)
+               WHEN eid >= 20 AND eid < 38
+                 THEN 'https://s/r/UsagePoint/UP' || CAST((eid - 20) % 3 AS VARCHAR)
+               WHEN eid >= 40 AND eid < 42
+                 THEN 'https://s/r/UsagePoint/UP' || CAST((eid - 40) % 3 AS VARCHAR)
+               WHEN eid % 2 = 0
+                 THEN 'https://s/r/UsagePoint/UP' || CAST(eid % 3 AS VARCHAR)
+                      || '/MeterReading/' || CAST(eid AS VARCHAR)
+               ELSE 'https://s/r/Other/' || CAST(eid AS VARCHAR)
+             END AS href
+      FROM ev),
+    ltp AS (
+      SELECT source_file, entry_index,
+             'S' || CAST(entry_index % 4 AS VARCHAR) AS dst_start_rule,
+             CAST(CASE WHEN entry_index < 16 THEN (entry_index % 5) * 3600
+                       WHEN entry_index >= 40 THEN 999
+                       ELSE -7200 - ((entry_index - 20) % 3) * 100
+                  END AS BIGINT) AS tz_offset,
+             CAST(3600 AS BIGINT) AS dst_offset
+      FROM e
+      WHERE entry_index < 16
+         OR (entry_index >= 20 AND entry_index < 38)
+         OR (entry_index >= 40 AND entry_index < 42)),
+    scoped AS (
+      SELECT l.source_file,
+             coalesce(regexp_extract(e.href,
+                 '(.*UsagePoint/[^/]*)(?:/|$)', 1), '') AS up_key,
+             l.dst_start_rule, l.tz_offset, l.dst_offset
+      FROM ltp l JOIN e
+        ON l.source_file = e.source_file AND l.entry_index = e.entry_index),
+    dupf AS (SELECT DISTINCT source_file FROM (
+        SELECT source_file, up_key FROM scoped
+        GROUP BY source_file, up_key HAVING COUNT(*) > 1)),
+    allf AS (SELECT DISTINCT source_file FROM e),
+    missing AS (
+      SELECT source_file, 'Missing LocalTimeParameters.' AS status FROM allf
+      WHERE source_file NOT IN (SELECT source_file FROM scoped)),
+    dups AS (
+      SELECT source_file,
+             'Multiple LocalTimeParameters in one usage-point scope.' AS status
+      FROM dupf),
+    goods AS (SELECT * FROM scoped
+              WHERE source_file NOT IN (SELECT source_file FROM dupf)),
+    fact_ups AS (
+      SELECT DISTINCT source_file,
+             regexp_extract(href, '(.*UsagePoint/[^/]*)(?:/|$)', 1) AS up_key
+      FROM e),
+    ups AS (SELECT * FROM goods WHERE up_key <> ''),
+    gl AS (SELECT source_file, dst_start_rule AS g_sr, tz_offset AS g_tz,
+                  dst_offset AS g_do
+           FROM goods WHERE up_key = ''),
+    resolved AS (
+      SELECT f.source_file, f.up_key,
+             coalesce(u.tz_offset, g.g_tz) AS tz_offset,
+             coalesce(u.dst_offset, g.g_do) AS dst_offset,
+             coalesce(u.dst_start_rule, g.g_sr) AS dst_start_rule
+      FROM fact_ups f
+      LEFT JOIN ups u
+        ON u.source_file = f.source_file AND u.up_key = f.up_key
+      LEFT JOIN gl g ON g.source_file = f.source_file),
+    unresolved AS (
+      SELECT DISTINCT source_file, 'Missing LocalTimeParameters.' AS status
+      FROM resolved
+      WHERE tz_offset IS NULL
+        AND source_file NOT IN (SELECT source_file FROM missing
+                                UNION ALL SELECT source_file FROM dups)),
+    errors AS (SELECT * FROM missing UNION ALL SELECT * FROM dups
+               UNION ALL SELECT * FROM unresolved),
+    ok AS (SELECT * FROM resolved
+           WHERE source_file NOT IN (SELECT source_file FROM errors))
+    SELECT source_file, up_key, tz_offset, dst_offset, dst_start_rule,
+           'ok' AS status
+    FROM ok
+    UNION ALL
+    SELECT source_file, '' AS up_key, CAST(NULL AS BIGINT) AS tz_offset,
+           CAST(NULL AS BIGINT) AS dst_offset,
+           CAST(NULL AS VARCHAR) AS dst_start_rule, status
+    FROM errors
+    """,
+    tags=("espi", "join", "projection"),
+    doc="SURVEY §7 multi-LTP improvement as a driver-gated row (r14 "
+    "VERDICT item 3): per-usage-point LocalTimeParameters resolution "
+    "with file-global fallback, exercised through the PRODUCTION "
+    "resolve_ltp_for_scopes (espi/pipeline.py — the code gbcli "
+    "--multi-ltp runs), against a deterministic href corpus derived "
+    "from the events table.  Covers every branch: child-scoped and "
+    "bare UsagePoint hrefs (the r14 ADVICE regex fix), global "
+    "fallback, duplicate-scope whole-file error, missing-LTP error, "
+    "and the unresolved-scope error (file has an LTP but a scope "
+    "resolves to neither).",
+)
+def espi_multi_ltp_scope_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..espi.pipeline import _USAGE_POINT_RE, resolve_ltp_for_scopes
+
+    ev = load_table(spark, "events", sf_dir).select("event_id")
+    eid = F.col("event_id")
+    sf = F.concat(F.lit("f"), F.pmod(eid, F.lit(20)).cast("string"))
+    base = "https://s/r/"
+    href = (
+        F.when(eid < 16, F.concat(F.lit(base + "Other/"), eid.cast("string")))
+        .when(
+            (eid >= 20) & (eid < 38),
+            F.concat(
+                F.lit(base + "UsagePoint/UP"),
+                F.pmod(eid - 20, F.lit(3)).cast("string"),
+            ),
+        )
+        .when(
+            (eid >= 40) & (eid < 42),
+            F.concat(
+                F.lit(base + "UsagePoint/UP"),
+                F.pmod(eid - 40, F.lit(3)).cast("string"),
+            ),
+        )
+        .when(
+            F.pmod(eid, F.lit(2)) == 0,
+            F.concat(
+                F.lit(base + "UsagePoint/UP"),
+                F.pmod(eid, F.lit(3)).cast("string"),
+                F.lit("/MeterReading/"),
+                eid.cast("string"),
+            ),
+        )
+        .otherwise(F.concat(F.lit(base + "Other/"), eid.cast("string")))
+    )
+    entries = ev.select(
+        sf.alias("source_file"), eid.alias("entry_index"), href.alias("href")
+    )
+    carrier = (
+        (eid < 16) | ((eid >= 20) & (eid < 38)) | ((eid >= 40) & (eid < 42))
+    )
+    tz = (
+        F.when(eid < 16, F.pmod(eid, F.lit(5)) * 3600)
+        .when(eid >= 40, F.lit(999))
+        .otherwise(F.lit(-7200) - F.pmod(eid - 20, F.lit(3)) * 100)
+        .cast("long")
+    )
+    ltp = ev.filter(carrier).select(
+        sf.alias("source_file"),
+        eid.alias("entry_index"),
+        F.concat(F.lit("S"), F.pmod(eid, F.lit(4)).cast("string")).alias(
+            "dst_start_rule"
+        ),
+        F.lit(None).cast("string").alias("dst_end_rule"),
+        F.lit(3600).cast("long").alias("dst_offset"),
+        tz.alias("tz_offset"),
+    )
+    all_files = entries.select("source_file").distinct()
+    fact_ups = entries.select(
+        "source_file",
+        F.regexp_extract("href", _USAGE_POINT_RE, 1).alias("up_key"),
+    ).distinct()
+    resolved, errors = resolve_ltp_for_scopes(ltp, entries, all_files, fact_ups)
+    err_files = errors.select("source_file").distinct()
+    ok = resolved.join(err_files, "source_file", "left_anti").select(
+        "source_file",
+        "up_key",
+        F.col("tz_offset").cast("long").alias("tz_offset"),
+        F.col("dst_offset").cast("long").alias("dst_offset"),
+        "dst_start_rule",
+        F.lit("ok").alias("status"),
+    )
+    err = errors.select(
+        "source_file",
+        F.lit("").alias("up_key"),
+        F.lit(None).cast("long").alias("tz_offset"),
+        F.lit(None).cast("long").alias("dst_offset"),
+        F.lit(None).cast("string").alias("dst_start_rule"),
+        F.col("error").alias("status"),
+    )
+    return ok.unionByName(err)

@@ -229,3 +229,60 @@ def test_cli_multi_ltp_rejects_local_engine(two_up_file):
 
     with _pytest.raises(SystemExit, match="multi-ltp needs the Spark"):
         main(["--filetype=csv", "--multi-ltp", "--engine=local", two_up_file])
+
+
+def test_flag_bare_usage_point_href_scopes_to_its_usage_point(spark, tmp_path):
+    """r14 ADVICE item 4: an LTP whose href ends exactly at
+    .../UsagePoint/{id} (no child segment) must scope to THAT usage
+    point, not file-global.  Discriminating shape: a bare-UPA LTP plus
+    a genuine file-global LTP — under the old trailing-slash-only
+    regex both landed in the '' scope and the file errored as a
+    duplicate; correctly scoped, UPA readings shift by the UPA tz and
+    UPB readings fall back to the global tz."""
+    xml = [_HEADER]
+    xml.append(_entry("DST UPA", f"{_BASE}/UsagePoint/UPA",
+                      "espi-entry/LocalTimeParameters", _ltp(TZ_A)))
+    xml.append(_entry("DST global", f"{_BASE}/LocalTimeParameters/001",
+                      "espi-entry/LocalTimeParameters", _ltp(TZ_B)))
+    xml.append(_series("UPA", "M1", "RT1", START, 7))
+    xml.append(_series("UPB", "M2", "RT2", START, 9))
+    xml.append("</feed>\n")
+    p = tmp_path / "bare_up.xml"
+    p.write_text("".join(xml))
+
+    from greenbuttonengine_spark.espi import timeseries_from_files
+
+    ts, errors = timeseries_from_files(spark, str(p), strict_single_ltp=False)
+    assert errors.count() == 0
+    rows = {r.title: r for r in ts.collect()}
+    assert set(rows) == {"Usage UPA", "Usage UPB"}
+    assert rows["Usage UPA"].time_period_start_unix == START + TZ_A
+    assert rows["Usage UPB"].time_period_start_unix == START + TZ_B
+
+
+def test_cli_multi_ltp_committed_golden(spark, tmp_path, capsys):
+    """r14 VERDICT item 6: committed end-to-end golden — a fixture
+    with two usage points under DIFFERING tz/DST scopes (UPA:
+    tz=-18000 with the real US DST rules 360E2000/B40E2000, UPB:
+    tz=+3600 no-DST) byte-checked through the full CLI.  Values
+    hand-verified: UPA winter shifts -18000, UPA summer -18000+3600
+    (inside the DST window), UPB always +3600.  The strict default
+    must keep rejecting the file (reference parity, lib.rs:42-50)."""
+    import pathlib
+
+    from greenbuttonengine_spark.cli import main
+
+    here = pathlib.Path(__file__).parent / "goldens"
+    fixture = str(here / "multi_ltp_two_scopes.xml")
+    golden = (here / "multi_ltp_two_scopes.golden.csv").read_text()
+
+    out = str(tmp_path / "out.csv")
+    assert main(["--filetype=csv", f"--out={out}", "--multi-ltp", fixture]) == 0
+    assert open(out).read() == golden
+
+    # strict default: whole-file error, header-only output
+    assert main(["--filetype=csv", f"--out={out}", "--engine=spark",
+                 fixture]) == 0
+    assert "multiple LocalTimeParameters" in capsys.readouterr().err
+    with open(out) as fh:
+        assert len(fh.read().strip().splitlines()) <= 1
