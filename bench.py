@@ -227,7 +227,20 @@ def main() -> None:
     qs = entrymod.queries()
     names = [n for n in HEADLINE if n in qs]
     # include extension headliners when present
-    for extra in ("dedup_exact", "dedup_minhash_lsh", "ann_bruteforce_topk", "text_quality_score"):
+    for extra in (
+        "dedup_exact",
+        "dedup_minhash_lsh",
+        "ann_bruteforce_topk",
+        "text_quality_score",
+        # r14 VERDICT item 2: the priciest audited non-headline plans
+        # (PLANS.md exec column) join the 2x gate — their first-run
+        # medians are recorded in BASELINE.md "Extended heavies (r15)"
+        "eval_pq_recall",
+        "eval_pq_recall_trained",
+        "dedup_repeated_substrings",
+        "dedup_doc_containment",
+        "pipeline_curation_v2",
+    ):
         if extra in qs and extra not in names:
             names.append(extra)
 
