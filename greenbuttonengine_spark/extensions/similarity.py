@@ -9,6 +9,27 @@
                 (+ optional multi-probe neighbors).  The 100 TB path:
                 candidate set per query is ~corpus/2^planes.
 
+Operating points (r13-r15 measurements; details in SCALING.md and the
+per-operator docstrings):
+
+  ================  ======================  ============================
+  regime            form                    measured basis
+  ================  ======================  ============================
+  few queries       cosine_topk             exact; corpus scanned once,
+                                            norms hoisted per row (r15)
+  cells <= ~1e3     ivf_topk_seeded         literal-seed argmax optimal;
+                                            full DuckDB oracle
+  large cells /     ivf_topk_blocked        Arrow tiles, 67 MB/task
+  cells ~ sqrt(n)                           bound; auto hub valve opens
+                                            > 64k rows/cell (3.0x on a
+                                            genuine hub, no-op at 5.4x
+                                            ordinary skew — r14)
+  cells >= ~1e4     ivf_topk_hier_blocked   assignment O(n(S+C/S)d);
+                                            35x over flat at C=1e4/1.6M,
+                                            2x LOSS at C=1024 (r14)
+  hash-bucketed     lsh_topk                candidates ~ corpus/2^planes
+  ================  ======================  ============================
+
 Hyperplanes are deterministic pseudo-random: an LCG over
 (plane, dimension) -> uniform in [-1, 1], computed ONCE on the driver
 and embedded as literal weight arrays (scan-stage constants — the r5

@@ -21,7 +21,8 @@ from .wave9_queries import (
     _PQ_GRID,
     _PQ_K,
     _PQ_SUBS,
-    _pq_dists_expr,
+    pq_codes_pandas,
+    pq_dists_pandas,
     _pq_quantized,
 )
 
@@ -108,21 +109,12 @@ def _adc_oracle_sql(k: int = _ADC_K, nq: int = _ADC_NQ) -> str:
 def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     k, nq = _ADC_K, _ADC_NQ
     q = _pq_quantized(spark, sf_dir)
-    dists = q.select("vec_id", F.expr(_pq_dists_expr()).alias("subs"))
-    # scalar code columns + per-sub LUT columns keep the scoring
-    # projection in whole-stage codegen (array[int] indexing), with no
-    # interpreted HOF lambda per candidate row
-    codes = dists.select(
-        "vec_id",
-        *[
-            F.expr(
-                f"CAST(array_position(subs[{j}], array_min(subs[{j}])) - 1"
-                " AS INT)"
-            ).alias(f"c{j}")
-            for j in range(_PQ_SUBS)
-        ],
-    )
-    lut = dists.filter(F.col("vec_id") < nq).select(
+    # corpus side: argmin codes reduced INSIDE the Arrow kernel (8
+    # ints/row over the wire — the 100 TB encode shape); query side:
+    # the full 8x16 LUT tables from the full-table kernel, <= nq rows
+    # by construction.  Same int64 math, pytest-pinned twins.
+    codes = pq_codes_pandas(q)
+    lut = pq_dists_pandas(q.filter(F.col("vec_id") < nq)).select(
         F.col("vec_id").alias("query_id"),
         *[F.col("subs")[j].alias(f"l{j}") for j in range(_PQ_SUBS)],
     )

@@ -21,8 +21,9 @@ from .wave9_queries import (
     _PQ_GRID,
     _PQ_K,
     _PQ_SUBS,
-    pq_code_cols,
-    pq_encode_dists,
+    pq_codes_pandas,
+    pq_dists_pandas,
+    pq_quant_with_cell,
 )
 
 _IVFPQ_CELLS = 16
@@ -136,11 +137,11 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeds = seeded_centroids(emb, _IVFPQ_CELLS)
     cell_scores = seeded_cell_scores(seeds)
 
-    dists = pq_encode_dists(emb, cell_scores)
-    codes = dists.select(
-        F.col("vec_id").alias("neighbor_id"), "cell", *pq_code_cols()
+    quant = pq_quant_with_cell(emb, cell_scores)
+    codes = pq_codes_pandas(quant, keep=("vec_id", "cell")).withColumnRenamed(
+        "vec_id", "neighbor_id"
     )
-    luts = dists.filter(F.col("vec_id") < nq).select(
+    luts = pq_dists_pandas(quant.filter(F.col("vec_id") < nq)).select(
         F.col("vec_id").alias("query_id"),
         *[F.col("subs")[j].alias(f"l{j}") for j in range(_PQ_SUBS)],
     )

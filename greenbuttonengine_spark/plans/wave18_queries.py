@@ -7,7 +7,7 @@ VERDICT item (recall >= 0.6) with the two standard IVF-ADC+R levers
 (Jegou et al. 2011 §V):
 
 * finer geometry — 16 subspaces x 4 dims x 16 centroids (64-bit codes
-  at the same 16x16x4 = 1024-term unrolled-expression cost class as
+  over the same Arrow codes-kernel path (r15) as
   the old 8x16x8), measured 0.30 -> 0.58 alone on this corpus;
 * shortlist re-ranking — the ADC top-50 per query re-ordered by the
   EXACT quantized dot product (BIGINT, bit-identical cross-engine;
@@ -34,7 +34,8 @@ from .wave9_queries import (
     _PQ_GRID,
     _PQ_K,
     _pq_centroids,
-    _pq_dists_expr,
+    pq_codes_pandas,
+    pq_dists_pandas,
     _pq_quantized,
 )
 
@@ -221,36 +222,33 @@ def _train_pq_codebook(spark: SparkSession, sf_dir: str) -> list[list[list[int]]
         for j in range(_PQT_SUBS)
     ]
     for _ in range(_PQT_ITERS):
-        dists = qdf.select(
-            "vec_id",
-            *[F.col(f"q{i}") for i in range(_PQT_SUBS * _PQT_DIM)],
-            F.expr(_pq_dists_expr(cents)).alias("subs"),
+        codes = pq_codes_pandas(
+            qdf,
+            cents,
+            keep=(
+                "vec_id",
+                *[f"q{i}" for i in range(_PQT_SUBS * _PQT_DIM)],
+            ),
         )
-        exploded = dists.select(
-            F.posexplode(
-                F.expr(
-                    f"transform(sequence(0, {_PQT_SUBS - 1}), j -> "
-                    "named_struct("
-                    "'code', CAST(array_position(subs[j], "
-                    "array_min(subs[j])) - 1 AS INT), "
-                    f"'qs', transform(sequence(0, {_PQT_DIM - 1}), "
-                    "d -> element_at(array("
-                    + ",".join(
-                        ",".join(
-                            f"q{j * _PQT_DIM + d}" for d in range(_PQT_DIM)
-                        )
-                        for j in range(_PQT_SUBS)
-                    )
-                    + f"), j * {_PQT_DIM} + d + 1))))"
-                )
-            ).alias("j", "st"),
+        # (j, code, subvector dims) rows via stack — a small
+        # expression over the kernel's scalar code columns (the old
+        # form re-derived codes from the full distance tables with an
+        # interpreted HOF named_struct per row)
+        stack = ", ".join(
+            f"{j}, c{j}, "
+            + ", ".join(f"q{j * _PQT_DIM + d}" for d in range(_PQT_DIM))
+            for j in range(_PQT_SUBS)
+        )
+        qd_names = ", ".join(f"qd{d}" for d in range(_PQT_DIM))
+        exploded = codes.selectExpr(
+            f"stack({_PQT_SUBS}, {stack}) AS (j, s, {qd_names})"
         )
         sums = (
-            exploded.groupBy("j", F.col("st.code").alias("s"))
+            exploded.groupBy("j", "s")
             .agg(
                 F.count("*").alias("n"),
                 *[
-                    F.sum(F.expr(f"st.qs[{d}]")).alias(f"s{d}")
+                    F.sum(f"qd{d}").alias(f"s{d}")
                     for d in range(_PQT_DIM)
                 ],
             )
@@ -273,7 +271,7 @@ def _train_pq_codebook(spark: SparkSession, sf_dir: str) -> list[list[list[int]]
     "VERDICT item (0.30 -> >=0.6) closed as a driver-checked value: "
     "per-subspace codebooks trained with the wave-17 fixed-point "
     "Lloyd machinery (16 parallel 16-means over the 4-dim subvectors "
-    "— 64-bit codes at the same 1024-term unrolled-expression cost as "
+    "— 64-bit codes over the same Arrow codes-kernel path as "
     "the old 8x16x8 geometry), then per query the ADC top-50 "
     "shortlist is RE-RANKED by the exact quantized dot product "
     "(IVF-ADC+R, Jegou et al. 2011 §V; BIGINT arithmetic on the 2^-12 "
@@ -295,7 +293,7 @@ def _train_pq_codebook(spark: SparkSession, sf_dir: str) -> list[list[list[int]]
     "O(corpus) ADC scan is unchanged.  Spark plan: "
     "per Lloyd update ONE exploded (vec, sub) aggregate + an "
     "O(16*16*4)=1024-int driver collect (the PCA/k-means pattern); "
-    "scoring reuses the unrolled-literal distance shape.  The "
+    "scoring reuses the Arrow codes/LUT kernels (r15).  The "
     "all-pairs tag belongs to the brute-force ground truth, "
     "gate-scale only.",
 )
@@ -325,18 +323,12 @@ def eval_pq_recall_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def topk(cents) -> DataFrame:
-        dists = qdf.select("vec_id", F.expr(_pq_dists_expr(cents)).alias("subs"))
-        codes = dists.select(
-            F.col("vec_id").alias("neighbor_id"),
-            *[
-                F.expr(
-                    f"CAST(array_position(subs[{j}], array_min(subs[{j}]))"
-                    " - 1 AS INT)"
-                ).alias(f"c{j}")
-                for j in range(_PQT_SUBS)
-            ],
+        codes = pq_codes_pandas(qdf, cents).withColumnRenamed(
+            "vec_id", "neighbor_id"
         )
-        lut = dists.filter(F.col("vec_id") < _PQT_NQ).select(
+        lut = pq_dists_pandas(
+            qdf.filter(F.col("vec_id") < _PQT_NQ), cents
+        ).select(
             F.col("vec_id").alias("query_id"),
             *[F.col("subs")[j].alias(f"l{j}") for j in range(_PQT_SUBS)],
         )

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..extensions.similarity import seeded_cell_scores, seeded_centroids
-from ..plans.wave9_queries import pq_code_cols, pq_encode_dists
+from ..plans.wave9_queries import pq_encode_codes
 
 
 def build_pq_index(
@@ -35,9 +35,7 @@ def build_pq_index(
     cell_scores = seeded_cell_scores(seeds)
     # Same encode projection as the inline ann_ivf_pq_topk plan — one
     # definition, so sink and query cannot drift.
-    codes = pq_encode_dists(emb, cell_scores).select(
-        "vec_id", "cell", *pq_code_cols()
-    )
+    codes = pq_encode_codes(emb, cell_scores)
     codes.write.mode("overwrite").partitionBy("cell").parquet(path)
     return seeds
 

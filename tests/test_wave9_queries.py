@@ -153,3 +153,44 @@ def test_ann_pq_codes_argmin_and_shape(spark, sf_dir):
             checked += 1
     # codes actually use the codebook (not degenerate)
     assert len({(r.sub, r.code) for r in rows}) > 16
+
+
+def test_pq_kernels_match_expression_twins(spark, sf_dir):
+    """The r15 Arrow kernels (pq_codes_pandas / pq_dists_pandas) must
+    be bitwise twins of the unrolled-literal expression forms
+    (_pq_dists_expr / pq_code_cols) that specify the math and that
+    the DuckDB oracles mirror — including argmin tie order (numpy
+    first-min == array_position(array_min)) and the best-distance
+    columns."""
+    from pyspark.sql import functions as F
+
+    from greenbuttonengine_spark.plans.wave9_queries import (
+        _PQ_SUBS,
+        _pq_dists_expr,
+        _pq_quantized,
+        pq_code_cols,
+        pq_codes_pandas,
+        pq_dists_pandas,
+    )
+
+    q = _pq_quantized(spark, sf_dir)
+
+    expr_dists = q.select("vec_id", F.expr(_pq_dists_expr()).alias("subs"))
+    want_subs = {r.vec_id: r.subs for r in expr_dists.collect()}
+    got_subs = {
+        r.vec_id: r.subs for r in pq_dists_pandas(q).collect()
+    }
+    assert got_subs == want_subs
+
+    want_codes = {
+        r.vec_id: tuple(r[f"c{j}"] for j in range(_PQ_SUBS))
+        for r in expr_dists.select("vec_id", *pq_code_cols()).collect()
+    }
+    kern = pq_codes_pandas(q, with_dist=True).collect()
+    got_codes = {
+        r.vec_id: tuple(r[f"c{j}"] for j in range(_PQ_SUBS)) for r in kern
+    }
+    assert got_codes == want_codes
+    for r in kern:
+        for j in range(_PQ_SUBS):
+            assert r[f"d{j}"] == want_subs[r.vec_id][j][r[f"c{j}"]]
