@@ -118,7 +118,7 @@ _DRIVER_CHECKED = frozenset(
         # alongside eval_split_leakage / lm_heldout_surprisal
         "embedding_label_centroids", "multimodal_hist_verify",
         "text_postings_stats", "text_tfidf_topk", "search_bm25_topk",
-        "search_hybrid_rrf", "arr1_array_functions", "arr2_posexplode",
+        "arr1_array_functions", "arr2_posexplode",
         "text_word_count",
         # r05 greens (q12_priority_shipping stays out: its r5 row was red —
         # HUGEINT-vs-BIGINT dtype hash mismatch, oracle cast fixed in r6,
@@ -168,8 +168,7 @@ _DRIVER_CHECKED = frozenset(
         "ts2_mean_shift_detect",
         # r09 greens (50/50 gate: 29 first-time waves 9-18 + 21 rotated
         # re-checks already listed above)
-        "agg_hll_rollup", "ann_ivf_pq_topk",
-        "ann_pq_adc_topk", "ann_pq_codes", "code_fim_transform",
+        "agg_hll_rollup", "code_fim_transform",
         "corpus_prefix_sharing", "curriculum_interleave", "decontam_bloom",
         "embedding_kmeans_fixed", "embedding_pca_power",
         "eval_pairwise_winrate",
@@ -235,6 +234,22 @@ _DRIVER_CHECKED = frozenset(
         # gate.
         "mine_bitext_margin", "xlingual_hubness_audit",
         "streaming_matview_merge",
+        # r14 greens (50/50 gate) whose code is untouched in r15 — the
+        # seven similarity-family names removed for the r14 re-verify
+        # return here.  The other r14 greens stay OUT because r15
+        # changed them: the _with_norm/hoisted-tail rework + isfinite
+        # oracle mirrors (ann_bruteforce/ivf/lsh_topk, search_hybrid_
+        # rrf, eval_ann_recall, eval_retrieval_ndcg, embedding_
+        # matryoshka_eval, pipeline_rag_index), the blocked-tail
+        # compose + valve default (ann_ivf_hier_topk, eval_ann_hier_
+        # recall, mine_bitext_margin_ann, eval_bitext_ann_agreement
+        # (+_clustered)), and the PQ Arrow-kernel rework (ann_pq_codes,
+        # ann_pq_adc_topk, ann_ivf_pq_topk — REMOVED from the r09
+        # block above — eval_pq_recall, eval_pq_recall_trained);
+        # search_hybrid_rrf removed from the r04 block likewise.
+        "graph_knn_cosine", "graph_pagerank_knn", "embedding_knn_classify",
+        "ann_hard_negatives", "graph_label_propagation",
+        "graph_triangle_count", "graph_link_prediction",
     }
 )
 
@@ -244,6 +259,17 @@ _DRIVER_CHECKED = frozenset(
 # re-check block (ADVICE r4) and become ordinary oracle-new entries the
 # following round, when the budget has room.
 _DEFER_NEW: frozenset[str] = frozenset()
+
+
+# Stalest greens forced to the head of the rotated re-check block this
+# round (r14 VERDICT item 5: last gated <= r5).  They stay in
+# _DRIVER_CHECKED — this only prioritizes their re-check slot.
+_FORCE_RECHECK: tuple[str, ...] = (
+    "dedup_incremental",
+    "pipeline_training_mix",
+    "q20_promo_suppliers",
+    "q21_waiting_suppliers",
+)
 
 
 def _rotation_seed() -> int:
@@ -267,6 +293,8 @@ def _ordered_names(reg) -> list[str]:
     if oracle_checked:
         k = (_rotation_seed() * 29) % len(oracle_checked)
         oracle_checked = oracle_checked[k:] + oracle_checked[:k]
+        forced = [n for n in _FORCE_RECHECK if n in oracle_checked]
+        oracle_checked = forced + [n for n in oracle_checked if n not in forced]
     return oracle_new + oracle_checked + deferred_new + rows_only + [
         n for n in _LAST if n in reg.QUERIES
     ]
