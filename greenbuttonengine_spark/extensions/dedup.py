@@ -42,6 +42,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
+from ..sources.catalog import spread_scan
+
 
 def _shingles(col, k: int = 8, distinct: bool = True):
     """Character k-shingles, natively: one substring per offset.
@@ -95,7 +97,11 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.8, k: int = 8,
     the real fix — the exact-result refinement that removes hot keys
     from the candidate join entirely (7.2x there; the gap grows as
     df^2)."""
-    ex = docs.select(F.col(id_col), F.explode(_shingles(text_col, k)).alias("__sh"))
+    # shingling + explode is the heavy per-row stage; spread an
+    # under-parallelized single-file scan across cores first (r15)
+    ex = spread_scan(docs).select(
+        F.col(id_col), F.explode(_shingles(text_col, k)).alias("__sh")
+    )
     sizes = ex.groupBy(id_col).agg(F.count("*").alias("n"))
     a, b = ex.alias("a"), ex.alias("b")
     inter = (
@@ -125,6 +131,7 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.8, k: int = 8,
 def ngram_jaccard_pairs_prefix(
     docs: DataFrame, threshold: float = 0.8, k: int = 8,
     text_col: str = "text", id_col: str = "doc_id",
+    hashed: bool = False,
 ) -> DataFrame:
     """Prefix-filtered exact set-similarity join (AllPairs/PPJoin
     family: Bayardo et al., WWW'07; Xiao et al., WWW'08) — the
@@ -138,22 +145,52 @@ def ngram_jaccard_pairs_prefix(
     prefix the RAREST shingles: the frequent (hot-key) shingles land
     outside every prefix and never enter the join — the exact-result
     cure for common-boilerplate skew.  Candidates are then verified
-    with one full intersection count (a semi-join-shaped second pass
-    over the exploded table restricted to candidate pairs).
+    with one full intersection count per candidate pair.
 
-    Cost: one extra narrow aggregate (shingle -> df) + the candidate
-    join touches only prefix rows (~(1-t) of the exploded table).
+    r15 restructure (measured at sf0.1, warm interleaved A/B;
+    OPTIMIZATION_r15.md):
+
+    * the CANDIDATE stage keys on ``xxhash64(shingle)`` longs instead
+      of raw strings, under the total order (df, hash, shingle).  Any
+      fixed total order keeps the pigeonhole filter complete, and a
+      hash collision only ADDS candidates (verified away), so this is
+      exact REGARDLESS of collisions — strings stay out of the
+      df-aggregate / rank-join / self-join hot path.
+    * the VERIFY stage gathers each candidate document's shingle set
+      once (groupBy-collect over the candidate-pruned exploded table)
+      and counts |A∩B| with one ``array_intersect`` per pair, instead
+      of re-joining the exploded table twice and re-aggregating —
+      three shuffles fewer.  Per-row memory is bounded by the max
+      per-doc shingle count (same bound the old per-pair join row
+      stream had at its groupBy).
+    * together: 11.8s -> 4.8s warm median (2.4x); also the dominant
+      term of the dedup_clusters / dedup_cascade /
+      dedup_keeper_decisions builds.
+
+    ``hashed=False`` (default) verifies on RAW shingles — provably
+    exact, and the pytest twin of the hashed path.  ``hashed=True``
+    (the declared scale path, like ``repeated_substring_spans``)
+    verifies on the 64-bit shingle hashes: a wrong jaccard needs two
+    DISTINCT shingles of one candidate pair to collide in 64 bits
+    (P ~ K^2/2^64 per pair for K-shingle docs — vanishing), measured
+    ~25% faster end-to-end (6.3s -> 4.8s: string sort/compare leaves
+    the verify shuffle too).
     """
-    ex = docs.select(F.col(id_col), F.explode(_shingles(text_col, k)).alias("__sh"))
+    # spread the scan before per-row shingling (guide §2.5; r15)
+    ex = spread_scan(docs).select(
+        F.col(id_col), F.explode(_shingles(text_col, k)).alias("__sh")
+    ).withColumn("__h", F.xxhash64("__sh"))
+    if hashed:
+        ex = ex.drop("__sh")  # strings never leave the scan stage
     ex = ex.localCheckpoint(eager=False)  # feeds prefix build + verify pass
     sizes = ex.groupBy(id_col).agg(F.count("*").alias("n"))
 
-    # global order: ascending document frequency, shingle as tiebreak
-    df_rank = ex.groupBy("__sh").agg(F.count("*").alias("__df"))
-    ranked = ex.join(df_rank, "__sh")
-    pos = F.row_number().over(
-        W.partitionBy(id_col).orderBy("__df", "__sh")
-    )
+    # global order: ascending document frequency, hash (+ shingle when
+    # carried) as tiebreak — total either way for the rows that matter
+    df_rank = ex.groupBy("__h").agg(F.count("*").alias("__df"))
+    ranked = ex.join(df_rank, "__h")
+    order_cols = ["__df", "__h"] + ([] if hashed else ["__sh"])
+    pos = F.row_number().over(W.partitionBy(id_col).orderBy(*order_cols))
     with_pos = (
         ranked.join(sizes, id_col)
         .withColumn("__pos", pos)
@@ -161,7 +198,7 @@ def ngram_jaccard_pairs_prefix(
         .withColumn("__plen", F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1)
     )
     prefix = with_pos.filter(F.col("__pos") <= F.col("__plen")).select(
-        id_col, "__sh", "__pos", "n"
+        id_col, "__h", "__pos", "n"
     )
 
     # Candidate join with PPJoin's POSITIONAL filter: at a prefix match
@@ -170,7 +207,9 @@ def ngram_jaccard_pairs_prefix(
     # global order), and J >= t requires overlap >= ceil(t/(1+t)·
     # (na+nb)).  Rows failing that bound can't come from a qualifying
     # pair — exact pruning that collapses the candidate set on corpora
-    # whose "rare" shingles still repeat across documents.
+    # whose "rare" shingles still repeat across documents.  (For a
+    # truly qualifying pair the shared PREFIX TOKEN's own row passes
+    # the bound, so hash-only matching here never loses a pair.)
     a, b = prefix.alias("a"), prefix.alias("b")
     min_overlap = F.ceil(
         F.lit(threshold / (1.0 + threshold)) * (F.col("a.n") + F.col("b.n"))
@@ -185,7 +224,7 @@ def ngram_jaccard_pairs_prefix(
     cand = (
         a.join(
             b,
-            (F.col("a.__sh") == F.col("b.__sh"))
+            (F.col("a.__h") == F.col("b.__h"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
             & pos_ok,
         )
@@ -195,37 +234,36 @@ def ngram_jaccard_pairs_prefix(
         .localCheckpoint(eager=False)
     )
 
-    # verify: full intersection count for candidate pairs only.  The
-    # exploded table is first pruned to documents that appear in ANY
-    # candidate (broadcast semi-join on the small candidate-id set) —
-    # on boilerplate-heavy corpora this drops ~everything before the
-    # verify join.  Then attach a-side shingles by id_a and equi-join
-    # the b-side on BOTH (id_b, shingle), so only true matches
-    # materialize (never the per-pair shingle cross product).
+    # verify: one full intersection count per candidate pair.  The
+    # exploded table is pruned to documents appearing in ANY candidate
+    # (broadcast semi-join on the small candidate-id set), each doc's
+    # shingle set gathered once, and |A∩B| computed per pair with
+    # array_intersect — no per-pair row stream, no re-aggregation.
+    key = "__h" if hashed else "__sh"
     cand_ids = (
         cand.select(F.col("id_a").alias(id_col))
         .unionByName(cand.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    exc = ex.join(F.broadcast(cand_ids), id_col, "left_semi")
-    ea = exc.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("sh_a"))
-    eb = exc.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("sh_b"))
-    inter = (
-        cand.join(ea, "id_a")
-        .join(eb, [cand["id_b"] == eb["id_b"], F.col("sh_a") == F.col("sh_b")])
-        .groupBy("id_a", cand["id_b"].alias("id_b"))
-        .agg(F.count("*").alias("i"))
+    arrs = (
+        ex.join(F.broadcast(cand_ids), id_col, "left_semi")
+        .groupBy(id_col)
+        .agg(F.collect_list(key).alias("__set"), F.count("*").alias("n"))
     )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
+    aa = arrs.select(
+        F.col(id_col).alias("id_a"), F.col("__set").alias("__sa"), F.col("n").alias("na")
+    )
+    bb = arrs.select(
+        F.col(id_col).alias("id_b"), F.col("__set").alias("__sb"), F.col("n").alias("nb")
+    )
+    inter = cand.join(aa, "id_a").join(bb, "id_b").withColumn(
+        "i", F.size(F.array_intersect("__sa", "__sb")).cast("long")
+    )
     jac = F.col("i").cast("double") / (
         F.col("na") + F.col("nb") - F.col("i")
     ).cast("double")
-    return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select("id_a", "id_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
+    return inter.select("id_a", "id_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
     )
 
 
@@ -266,7 +304,7 @@ def minhash_signatures(
     collapses them map-side, so only num_perm longs per (doc,
     partition) cross the wire. Measured ~2x the HOF-fold form at sf0.1
     and scales the same way (one narrow shuffle keyed by id)."""
-    ex = docs.select(
+    ex = spread_scan(docs).select(
         F.col(id_col), F.explode(_shingles(text_col, k, distinct=False)).alias("__sh")
     ).select(F.col(id_col), F.xxhash64("__sh").alias("h0"))
     mins = [F.min(F.xxhash64("h0", F.lit(j))).alias(f"__m{j}") for j in range(num_perm)]
@@ -431,9 +469,13 @@ def minhash_signatures_seeded(
     ``minhash_signatures`` (one narrow shuffle keyed by id), but the
     shingle hash is md5-derived and the permutations are literal-LCG
     modular arithmetic — every value reproducible in the DuckDB oracle.
-    a*h+b < 2^62 for a,h < 2^31, so ANSI long arithmetic cannot throw."""
+    a*h+b < 2^62 for a,h < 2^31, so ANSI long arithmetic cannot throw.
+
+    The scan is spread first (``spread_scan``): the md5-per-shingle
+    explode is the operator's hot loop and a single-file input caps it
+    at one core — measured 5.45s -> 1.75s at sf0.1/local[32] (r15)."""
     params = lcg_perm_params(num_perm)
-    ex = docs.select(
+    ex = spread_scan(docs).select(
         F.col(id_col), F.explode(_shingles(text_col, k, distinct=False)).alias("__sh")
     ).select(F.col(id_col), (md5_hash32(F.col("__sh")) % F.lit(_MH_P)).alias("h0"))
     mins = [
@@ -826,7 +868,7 @@ def simhash_signatures(
     if seeded and bits > 60:
         raise ValueError("seeded simhash draws bits from a 60-bit hash")
     hash_fn = md5_hash60 if seeded else F.xxhash64
-    ex = docs.select(
+    ex = spread_scan(docs).select(
         F.col(id_col),
         F.explode(F.split(F.trim(F.col(text_col)), token_pattern)).alias("__t"),
     ).select(F.col(id_col), hash_fn(F.col("__t")).alias("h"))
@@ -1318,7 +1360,9 @@ def dedup_cascade(
     survivors = docs.join(keepers, id_col, "left_semi")
 
     if method == "prefix":
-        pairs = ngram_jaccard_pairs_prefix(survivors, threshold, k, text_col, id_col)
+        pairs = ngram_jaccard_pairs_prefix(
+            survivors, threshold, k, text_col, id_col, hashed=True
+        )
     elif method == "minhash":
         pairs = minhash_lsh_pairs(
             survivors, threshold, text_col=text_col, id_col=id_col, k=k
@@ -1774,7 +1818,9 @@ def repeated_substring_spans(
     """
     from pyspark.sql.window import Window
 
-    d = docs.filter(F.length(text_col) >= k)
+    # per-position window materialization + hashing is the hot loop;
+    # spread an under-parallelized scan across cores first (r15)
+    d = spread_scan(docs.filter(F.length(text_col) >= k))
     win = F.expr(
         f"transform(sequence(1, length({text_col}) - {k - 1}),"
         f" i -> substring({text_col}, i, {k}))"

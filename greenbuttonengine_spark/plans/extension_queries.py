@@ -77,7 +77,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs_prefix(
-        load_table(spark, "documents", sf_dir), threshold=0.8
+        load_table(spark, "documents", sf_dir), threshold=0.8, hashed=True
     )
 
 
@@ -113,7 +113,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs_prefix(
-        load_table(spark, "documents", sf_dir), threshold=0.8
+        load_table(spark, "documents", sf_dir), threshold=0.8, hashed=True
     )
 
 
@@ -731,7 +731,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # oracle) and ~10x faster at sf0.1 (13s vs 132s) because hot
     # common shingles never enter the candidate join
     pairs = dedup.ngram_jaccard_pairs_prefix(
-        load_table(spark, "documents", sf_dir), threshold=0.8
+        load_table(spark, "documents", sf_dir), threshold=0.8, hashed=True
     )
     return dedup.duplicate_clusters(pairs)
 
@@ -1026,7 +1026,7 @@ def text_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_keeper_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     # prefix variant: same exact pairs, skew-proof (see dedup_clusters)
     pairs = dedup.ngram_jaccard_pairs_prefix(
-        load_table(spark, "documents", sf_dir), threshold=0.8
+        load_table(spark, "documents", sf_dir), threshold=0.8, hashed=True
     )
     return dedup.dedup_keepers(pairs)
 

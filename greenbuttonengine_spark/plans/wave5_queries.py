@@ -48,7 +48,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..sources.catalog import load_table
+from ..sources.catalog import load_table, spread_scan
 from .registry import register
 
 # Shingles occurring in more than DF_CAP documents are boilerplate and
@@ -64,15 +64,26 @@ _CONTAINMENT_T = 0.8
 
 
 def _word_trigram_shingles(docs: DataFrame, text_col: str = "text",
-                           id_col: str = "doc_id") -> DataFrame:
+                           id_col: str = "doc_id",
+                           hashed: bool = False) -> DataFrame:
     """Distinct word 3-gram shingles per doc: (doc_id, s) scalar rows.
 
     1-based window starts (``sequence(1, size-2)`` + ``element_at``)
     mirror the oracle's ``range(1, len-1)`` + 1-based list subscripts
     token for token.  Pure scan-stage Catalyst expressions — the only
     shuffles in the consumers are their own groupBys/joins.
+
+    ``hashed=True`` (the declared scale path, same convention as
+    ``dedup.repeated_substring_spans``) emits ``xxhash64(s)`` under
+    the SAME column name, so every consumer's groupBy/join keys on an
+    8-byte long instead of a ~20-30 char trigram string — the shuffle
+    shrinks ~3x and key compares leave string space.  A divergence
+    needs two distinct trigrams of one consumer's key group to collide
+    in 64 bits (P ~ K^2/2^64 — vanishing; pytest pins raw == hashed
+    on the test corpus).  The raw form stays the default and the
+    oracle twin.
     """
-    ws = docs.select(
+    ws = spread_scan(docs).select(
         F.col(id_col), F.split(F.lower(F.trim(text_col)), r"\s+").alias("ws")
     ).filter(F.size("ws") >= 3)
     tri = F.expr(
@@ -80,7 +91,10 @@ def _word_trigram_shingles(docs: DataFrame, text_col: str = "text",
         " i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1),"
         " element_at(ws, i + 2)))"
     )
-    return ws.select(F.col(id_col), F.explode(F.array_distinct(tri)).alias("s"))
+    out = ws.select(F.col(id_col), F.explode(F.array_distinct(tri)).alias("s"))
+    if hashed:
+        out = out.select(F.col(id_col), F.xxhash64("s").alias("s"))
+    return out
 
 
 @register(
@@ -179,13 +193,18 @@ def bpe_pair_counts(docs: DataFrame, top_n: int = 50,
     "exact-integer division (deterministic cross-engine).",
 )
 def dedup_doc_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return doc_containment(load_table(spark, "documents", sf_dir))
+    # hashed trigram keys: the declared scale path (r15; see
+    # _word_trigram_shingles docstring, pytest pins raw == hashed)
+    return doc_containment(load_table(spark, "documents", sf_dir), hashed=True)
 
 
 def doc_containment(docs: DataFrame, threshold: float = _CONTAINMENT_T,
                     df_cap: int = _DF_CAP,
-                    shingles: DataFrame | None = None) -> DataFrame:
-    sh = shingles if shingles is not None else _word_trigram_shingles(docs)
+                    shingles: DataFrame | None = None,
+                    hashed: bool = False) -> DataFrame:
+    sh = shingles if shingles is not None else _word_trigram_shingles(
+        docs, hashed=hashed
+    )
     df_ok = (
         sh.groupBy("s").agg(F.count("*").alias("df"))
         .filter(F.col("df") <= df_cap).select("s")
@@ -247,12 +266,17 @@ def doc_containment(docs: DataFrame, threshold: float = _CONTAINMENT_T,
     "integer division.",
 )
 def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ngram_novelty(load_table(spark, "documents", sf_dir))
+    # hashed trigram keys: the declared scale path (r15; see
+    # _word_trigram_shingles docstring, pytest pins raw == hashed)
+    return ngram_novelty(load_table(spark, "documents", sf_dir), hashed=True)
 
 
 def ngram_novelty(docs: DataFrame,
-                  shingles: DataFrame | None = None) -> DataFrame:
-    sh = shingles if shingles is not None else _word_trigram_shingles(docs)
+                  shingles: DataFrame | None = None,
+                  hashed: bool = False) -> DataFrame:
+    sh = shingles if shingles is not None else _word_trigram_shingles(
+        docs, hashed=hashed
+    )
     first = sh.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
     novel = F.sum(
         F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
@@ -1133,7 +1157,7 @@ def curation_v2_table(docs: DataFrame) -> DataFrame:
     # one shingle scan feeds BOTH gates (the oracle SQL shares the
     # same CTE); localCheckpoint materializes it once — 22.2s -> 12.4s
     # warm at 50k docs (SCALING.md)
-    sh = _word_trigram_shingles(docs).localCheckpoint(eager=False)
+    sh = _word_trigram_shingles(docs, hashed=True).localCheckpoint(eager=False)
     novelty = ngram_novelty(docs, shingles=sh).select("doc_id", "novelty_frac")
     contained = (
         doc_containment(docs, shingles=sh)

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..sources.catalog import load_table
+from ..sources.catalog import load_table, spread_scan
 from .registry import register
 
 
@@ -281,7 +281,9 @@ def decontam_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..extensions.dedup import _shingles
 
     docs = load_table(spark, "documents", sf_dir).filter(F.col("text").isNotNull())
-    ex = docs.select(
+    # md5-per-shingle explode is the hot loop; spread the single-file
+    # scan across cores first (sources/catalog.spread_scan, r15)
+    ex = spread_scan(docs).select(
         "doc_id",
         (
             _md5_60(F.concat(F.lit("ev:"), F.col("doc_id").cast("string"))) % 50 == 0

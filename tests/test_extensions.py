@@ -282,6 +282,45 @@ def test_prefix_filtered_jaccard_exact_equal(spark, docs):
     assert base == pref and base
 
 
+def test_prefix_jaccard_hashed_path_identical(spark, docs):
+    """The hashed=True scale path (candidates AND verify keyed on
+    xxhash64 longs) must emit exactly the raw-shingle result — the
+    docstring's collision argument, pinned on the real corpus."""
+    from greenbuttonengine_spark.extensions import dedup
+
+    raw = {
+        (r.id_a, r.id_b, round(r.jaccard, 12))
+        for r in dedup.ngram_jaccard_pairs_prefix(docs, threshold=0.8).collect()
+    }
+    hashed = {
+        (r.id_a, r.id_b, round(r.jaccard, 12))
+        for r in dedup.ngram_jaccard_pairs_prefix(
+            docs, threshold=0.8, hashed=True
+        ).collect()
+    }
+    assert raw == hashed and raw
+
+
+def test_spread_scan_spreads_scans_and_noops_elsewhere(spark, docs):
+    """spread_scan raises a single-file scan's partition count to the
+    session's parallelism, never changes rows, and NO-OPS on plans
+    that are not narrow scans (already downstream of an exchange)."""
+    from greenbuttonengine_spark.sources.catalog import spread_scan
+
+    p = spark.sparkContext.defaultParallelism
+    spread = spread_scan(docs)
+    assert spread.rdd.getNumPartitions() == p
+    assert sorted(spread.select("doc_id").toPandas()["doc_id"]) == sorted(
+        docs.select("doc_id").toPandas()["doc_id"]
+    )
+    # narrow project/filter on top: still a scan, still spread
+    narrowed = spread_scan(docs.filter(F.col("text").isNotNull()).select("doc_id"))
+    assert narrowed.rdd.getNumPartitions() == p
+    # aggregate: not a scan — returned unchanged (no repartition node)
+    agg = docs.groupBy("lang").count()
+    assert spread_scan(agg) is agg
+
+
 def test_pack_sequences_invariants(spark, docs):
     """Every doc lands in exactly one bin; non-oversize bins respect
     the budget; packing efficiency beats the trivial one-doc-per-bin

@@ -295,6 +295,26 @@ def test_repeated_substring_spans_hashed_path_identical(spark):
     assert raw == hashed and raw
 
 
+def test_trigram_consumers_hashed_path_identical(spark):
+    """The hashed word-trigram path (_word_trigram_shingles hashed=True,
+    the declared scale form of dedup_doc_containment /
+    corpus_ngram_novelty) must emit exactly the raw-string result on
+    the real corpus."""
+    from greenbuttonengine_spark.plans.wave5_queries import (
+        doc_containment,
+        ngram_novelty,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    for fn, keys in ((doc_containment, ("doc_a", "doc_b", "containment")),
+                     (ngram_novelty, ("doc_id", "novelty_frac"))):
+        raw = {tuple(getattr(r, k) for k in keys)
+               for r in fn(docs).collect()}
+        hashed = {tuple(getattr(r, k) for k in keys)
+                  for r in fn(docs, hashed=True).collect()}
+        assert raw == hashed and raw, fn.__name__
+
+
 def test_compression_ratio_orders_text_classes(spark):
     """Repetitive text must compress far below natural prose, and
     random bytes must barely compress; empty docs yield NULL (pandas
