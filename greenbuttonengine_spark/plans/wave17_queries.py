@@ -96,33 +96,112 @@ def _km_oracle_sql() -> str:
     )
 
 
-def _km_partial_cols(cents: list[list[int]]):
-    """Unrolled literal distances as 128 small 8-term partial columns
-    plus 16 tiny totals (ann_pq_codes' geometry).  Like the PQ encode,
-    the fused 64-input projection still exceeds janino's method limit,
-    so the stage runs as interpreted expression eval — which is the
-    FAST path here: flat Add/Multiply trees interpret nearly for
-    free, while the lambda-dispatch HOF form they replace measured
-    52x slower (SCALING.md round-9 scale-bug #2)."""
-    cols = []
-    for c_i, c in enumerate(cents):
-        for h in range(_KM_D // 8):
-            terms = [
-                f"(q{d} - {c[d]}L) * (q{d} - {c[d]}L)"
-                for d in range(8 * h, 8 * h + 8)
-            ]
-            cols.append(
-                F.expr("(" + " + ".join(terms) + ")").alias(f"p_{c_i}_{h}")
-            )
-    return cols
+def _km_qdf(emb: DataFrame) -> DataFrame:
+    """(vec_id, q0..q63): vectors quantized onto the 2^-12 integer
+    grid — the exact-BIGINT corpus frame every Lloyd pass reads."""
+    return emb.select(
+        "vec_id",
+        *[
+            F.expr(
+                f"CAST(floor(CAST(embedding[{i}] AS DOUBLE) * "
+                f"{float(_PQ_GRID)!r}D) AS BIGINT)"
+            ).alias(f"q{i}")
+            for i in range(_KM_D)
+        ],
+    )
 
 
-def _km_dd_expr() -> str:
-    totals = [
-        "(" + " + ".join(f"p_{c_i}_{h}" for h in range(_KM_D // 8)) + ")"
-        for c_i in range(_KM_K)
+def _km_init(emb: DataFrame) -> list[list[int]]:
+    """Quantize the seeded sample driver-side (same floor(u*grid) the
+    engines apply; Python's math.floor on the identical double product
+    yields the identical integer)."""
+    return [
+        [int(math.floor(x * float(_PQ_GRID))) for x in sv]
+        for _, sv, _ in seeded_centroids(emb, _KM_K)
     ]
-    return "array(" + ", ".join(totals) + ")"
+
+
+def _km_batch_q_and_d2(b, cols, cm):
+    """(q matrix, exact squared distances) for one Arrow batch.
+
+    Distances use the algebraic identity qq - 2*q@C^T + cc — exact in
+    int64 arithmetic (|q| <= ~2^13, so every term is < 2^40, far
+    inside int64), hence bit-identical to the per-term (q - c)^2 fold
+    the oracle runs.  Nested-closure-only helper: callers embed it by
+    VALUE in their kernels (the similarity.py convention), so workers
+    never need the package importable."""
+    import numpy as np
+
+    idx = {n: i for i, n in enumerate(b.schema.names)}
+    q = np.column_stack(
+        [b.column(idx[c]).to_numpy(zero_copy_only=False) for c in cols]
+    ).astype(np.int64)
+    qq = (q * q).sum(axis=1)
+    cc = (cm * cm).sum(axis=1)
+    return q, qq[:, None] - 2 * (q @ cm.T) + cc[np.newaxis, :]
+
+
+def _km_train(qdf: DataFrame, cents: list[list[int]]) -> list[list[int]]:
+    """ITERS Lloyd updates.  Each iteration is ONE Arrow-kernel pass
+    (guide §4.2): the kernel assigns each vector to its nearest
+    centroid with exact int64 arithmetic and emits per-batch PARTIAL
+    (cluster, n, s0..s63) sums — integer partial aggregation is
+    associative, so the 16-row Spark sum that follows reproduces the
+    old groupBy-over-rows bit for bit — then an O(k*d) driver collect
+    (1024 ints) updates centroids with the sign-explicit truncating
+    division.  This replaced a 128-column unrolled-literal projection
+    whose CATALYST ANALYSIS dominated the query (~3.5s of driver time
+    per action at 2k rows, three actions per query — the data itself
+    is minutes-of-arithmetic small); the kernel's plan is a dozen
+    nodes and the assignment arithmetic runs vectorized in numpy.
+    Empty clusters keep their previous centroid (the standard Lloyd
+    guard) by never emitting an n=0 row."""
+    q_cols = [f"q{d}" for d in range(_KM_D)]
+    schema = "cluster INT, n BIGINT, " + ", ".join(
+        f"s{d} BIGINT" for d in range(_KM_D)
+    )
+    for _ in range(_KM_ITERS):
+        cint = [list(c) for c in cents]
+
+        def partials(it, _c=cint):
+            import numpy as np
+            import pyarrow as pa
+
+            cm = np.asarray(_c, dtype=np.int64)
+            for b in it:
+                if b.num_rows == 0:
+                    continue
+                q, d2 = _km_batch_q_and_d2(b, q_cols, cm)
+                cl = np.argmin(d2, axis=1)
+                n = np.bincount(cl, minlength=cm.shape[0])
+                s = np.zeros_like(cm)
+                np.add.at(s, cl, q)
+                keep = np.flatnonzero(n)
+                arrays = [
+                    pa.array(keep.astype(np.int32)),
+                    pa.array(n[keep].astype(np.int64)),
+                ] + [pa.array(s[keep, d]) for d in range(_KM_D)]
+                yield pa.RecordBatch.from_arrays(
+                    arrays, names=["cluster", "n"] + [f"s{d}" for d in range(_KM_D)]
+                )
+
+        sums = (
+            qdf.select(*q_cols)
+            .mapInArrow(partials, schema)
+            .groupBy("cluster")
+            .agg(
+                F.sum("n").alias("n"),
+                *[F.sum(f"s{d}").alias(f"s{d}") for d in range(_KM_D)],
+            )
+            .collect()
+        )
+        new = [list(c) for c in cents]
+        for r in sums:
+            for d in range(_KM_D):
+                s, n = r[f"s{d}"], r["n"]
+                new[r["cluster"]][d] = -((-s) // n) if s < 0 else s // n
+        cents = new
+    return cents
 
 
 @register(
@@ -142,66 +221,41 @@ def _km_dd_expr() -> str:
     "production variant, this is its driver-checkable twin.  Spark "
     "plan per iteration: ONE map-side-combined (cluster, dim) "
     "aggregate over the corpus + an O(k*d) driver collect (the "
-    "PCA-moments pattern; 1024 ints), assignments via unrolled "
-    "literal arithmetic (the ann_pq_codes 52x lesson; interpreted "
-    "flat expressions, see _km_partial_cols) — no "
-    "window, no join, no Python worker in the corpus path; exactly "
-    "how MLlib shards Lloyd's, minus the float nondeterminism of "
-    "its tree-aggregated doubles.",
+    "PCA-moments pattern; 1024 ints), assignments via an Arrow "
+    "kernel computing exact int64 distances (qq - 2*q@C^T + cc, "
+    "every term < 2^40 so the identity is exact; replaced the "
+    "unrolled-literal projection whose CATALYST ANALYSIS dominated "
+    "the query — guide §4.2, r15) — no window, no join; exactly how "
+    "MLlib shards Lloyd's, minus the float nondeterminism of its "
+    "tree-aggregated doubles.",
 )
 def embedding_kmeans_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..shipping import ensure_package_shipped
+
+    ensure_package_shipped(spark)
     emb = load_table(spark, "embeddings", sf_dir)
-    qdf = emb.select(
-        "vec_id",
-        *[
-            F.expr(
-                f"CAST(floor(CAST(embedding[{i}] AS DOUBLE) * "
-                f"{float(_PQ_GRID)!r}D) AS BIGINT)"
-            ).alias(f"q{i}")
-            for i in range(_KM_D)
-        ],
-    )
-    # init: quantize the seeded sample driver-side (same floor(u*grid)
-    # the engines apply; Python's math.floor on the identical double
-    # product yields the identical integer)
-    cents = [
-        [int(math.floor(x * float(_PQ_GRID))) for x in sv]
-        for _, sv, _ in seeded_centroids(emb, _KM_K)
-    ]
-    for _ in range(_KM_ITERS):
-        assign = (
-            qdf.select("*", *_km_partial_cols(cents))
-            .withColumn("dd", F.expr(_km_dd_expr()))
-            .select(
-                "*",
-                (F.expr("array_position(dd, array_min(dd))") - 1)
-                .cast("int")
-                .alias("cluster"),
+    qdf = _km_qdf(emb)
+    cents = _km_train(qdf, _km_init(emb))
+    cint = [list(c) for c in cents]
+    q_cols = [f"q{d}" for d in range(_KM_D)]
+
+    def final(it, _c=cint, _cols=q_cols):
+        import numpy as np
+        import pyarrow as pa
+
+        cm = np.asarray(_c, dtype=np.int64)
+        for b in it:
+            if b.num_rows == 0:
+                continue
+            idx = {n: i for i, n in enumerate(b.schema.names)}
+            _, d2 = _km_batch_q_and_d2(b, _cols, cm)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column(idx["vec_id"]),
+                    pa.array(np.argmin(d2, axis=1).astype(np.int64)),
+                    pa.array(d2.min(axis=1)),
+                ],
+                names=["vec_id", "cluster", "dist2"],
             )
-        )
-        sums = (
-            assign.groupBy("cluster")
-            .agg(
-                F.count("*").alias("n"),
-                *[F.sum(f"q{d}").alias(f"s{d}") for d in range(_KM_D)],
-            )
-            .collect()
-        )
-        new = [list(c) for c in cents]
-        for r in sums:
-            for d in range(_KM_D):
-                s, n = r[f"s{d}"], r["n"]
-                new[r["cluster"]][d] = (
-                    -((-s) // n) if s < 0 else s // n
-                )
-        cents = new
-    final = qdf.select("*", *_km_partial_cols(cents)).withColumn(
-        "dd", F.expr(_km_dd_expr())
-    )
-    return final.select(
-        "vec_id",
-        (F.expr("array_position(dd, array_min(dd))") - 1)
-        .cast("long")
-        .alias("cluster"),
-        F.expr("array_min(dd)").cast("long").alias("dist2"),
-    )
+
+    return qdf.mapInArrow(final, "vec_id BIGINT, cluster BIGINT, dist2 BIGINT")

@@ -21,9 +21,11 @@ from ..sources.catalog import load_table
 from .registry import register
 from .wave17_queries import (
     _KM_ITERS,
+    _km_batch_q_and_d2,
     _km_ctes,
-    _km_dd_expr,
-    _km_partial_cols,
+    _km_init,
+    _km_qdf,
+    _km_train,
 )
 
 
@@ -69,75 +71,62 @@ def _silhouette_oracle_sql() -> str:
     "the rn=2 row under ties on both engines); sqrt and one "
     "division/subtraction are single correctly-rounded IEEE ops on "
     "identical inputs, so silhouette is bit-equal cross-engine.  "
-    "Spark plan: the same unrolled-literal scan stage as "
-    "embedding_kmeans_fixed plus array_sort(dd)[1] — no extra "
-    "shuffle, no join, no Python; per-point rows, no fp aggregation "
-    "(a double mean would be partition-order-dependent).",
+    "Spark plan: the same exact-int64 Arrow assignment kernel as "
+    "embedding_kmeans_fixed (r15; np.sort(d2)[1] = array_sort(dd)[1] "
+    "— second-min VALUE, duplicates included; np.sqrt and / are the "
+    "same single correctly-rounded IEEE ops) — no extra shuffle, no "
+    "join; per-point rows, no fp aggregation (a double mean would be "
+    "partition-order-dependent).",
 )
 def eval_kmeans_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import math
+    from ..shipping import ensure_package_shipped
+    from .wave17_queries import _KM_D
 
-    from ..extensions.similarity import seeded_centroids
-    from .wave9_queries import _PQ_GRID
-    from .wave17_queries import _KM_D, _KM_K
-
+    ensure_package_shipped(spark)
     emb = load_table(spark, "embeddings", sf_dir)
-    qdf = emb.select(
-        "vec_id",
-        *[
-            F.expr(
-                f"CAST(floor(CAST(embedding[{i}] AS DOUBLE) * "
-                f"{float(_PQ_GRID)!r}D) AS BIGINT)"
-            ).alias(f"q{i}")
-            for i in range(_KM_D)
-        ],
-    )
-    cents = [
-        [int(math.floor(x * float(_PQ_GRID))) for x in sv]
-        for _, sv, _ in seeded_centroids(emb, _KM_K)
-    ]
-    for _ in range(_KM_ITERS):
-        assign = (
-            qdf.select("*", *_km_partial_cols(cents))
-            .withColumn("dd", F.expr(_km_dd_expr()))
-            .select(
-                "*",
-                (F.expr("array_position(dd, array_min(dd))") - 1)
-                .cast("int")
-                .alias("cluster"),
+    qdf = _km_qdf(emb)
+    cents = _km_train(qdf, _km_init(emb))
+    cint = [list(c) for c in cents]
+    q_cols = [f"q{d}" for d in range(_KM_D)]
+
+    def final(it, _c=cint, _cols=q_cols):
+        import numpy as np
+        import pyarrow as pa
+
+        cm = np.asarray(_c, dtype=np.int64)
+        for b in it:
+            if b.num_rows == 0:
+                continue
+            idx = {n: i for i, n in enumerate(b.schema.names)}
+            _, d2 = _km_batch_q_and_d2(b, _cols, cm)
+            a2 = d2.min(axis=1)
+            b2 = np.sort(d2, axis=1)[:, 1]
+            a2d = a2.astype(np.float64)
+            b2d = b2.astype(np.float64)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sil = (np.sqrt(b2d) - np.sqrt(a2d)) / np.sqrt(b2d)
+            sil = np.where(b2 == 0, 0.0, sil)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column(idx["vec_id"]),
+                    pa.array(np.argmin(d2, axis=1).astype(np.int64)),
+                    pa.array(a2),
+                    pa.array(b2),
+                    pa.array(sil),
+                ],
+                names=[
+                    "vec_id",
+                    "cluster",
+                    "dist2_own",
+                    "dist2_next",
+                    "silhouette",
+                ],
             )
-        )
-        sums = (
-            assign.groupBy("cluster")
-            .agg(
-                F.count("*").alias("n"),
-                *[F.sum(f"q{d}").alias(f"s{d}") for d in range(_KM_D)],
-            )
-            .collect()
-        )
-        new = [list(c) for c in cents]
-        for r in sums:
-            for d in range(_KM_D):
-                s, n = r[f"s{d}"], r["n"]
-                new[r["cluster"]][d] = -((-s) // n) if s < 0 else s // n
-        cents = new
-    final = qdf.select("*", *_km_partial_cols(cents)).withColumn(
-        "dd", F.expr(_km_dd_expr())
-    )
-    a2 = F.expr("array_min(dd)").cast("long")
-    b2 = F.expr("array_sort(dd)[1]").cast("long")
-    a2d = a2.cast("double")
-    b2d = b2.cast("double")
-    return final.select(
-        "vec_id",
-        (F.expr("array_position(dd, array_min(dd))") - 1)
-        .cast("long")
-        .alias("cluster"),
-        a2.alias("dist2_own"),
-        b2.alias("dist2_next"),
-        F.when(b2 == 0, F.lit(0.0))
-        .otherwise((F.sqrt(b2d) - F.sqrt(a2d)) / F.sqrt(b2d))
-        .alias("silhouette"),
+
+    return qdf.mapInArrow(
+        final,
+        "vec_id BIGINT, cluster BIGINT, dist2_own BIGINT, "
+        "dist2_next BIGINT, silhouette DOUBLE",
     )
 
 

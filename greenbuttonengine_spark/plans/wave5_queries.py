@@ -601,7 +601,10 @@ def dedup_incremental_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     batch = docs.filter(F.col("doc_id") % 5 == 4)
     corpus = docs.filter(F.col("doc_id") % 5 != 4)
-    sigs = dedup.minhash_signatures_seeded(corpus)
+    # the store's signatures feed BOTH store legs (band buckets +
+    # verify join); checkpoint so the seeded-MinHash corpus pass — the
+    # dominant term — materializes once, not once per leg (r15)
+    sigs = dedup.minhash_signatures_seeded(corpus).localCheckpoint(eager=False)
     return dedup.incremental_near_dedup(
         batch,
         dedup.band_buckets_seeded(sigs),
