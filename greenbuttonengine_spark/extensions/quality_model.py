@@ -305,7 +305,13 @@ def fixed_point_quality(
     features x 8 epochs that is 56n*2^24 ~= n*2^29.8, under 2^63 for
     n to ~2^33 rows; the TRAINING set at 100 TB is a corpus-tiny
     sample anyway (same note as the LBFGS path)."""
+    from ..sources.catalog import spread_scan
     from .textstats import gopher_flags
+
+    # feature extraction (regex token splits) and the Gopher gate are
+    # the per-row hot loops; spread an under-parallelized single-file
+    # scan across cores first (guide §2.5; r15)
+    docs = spread_scan(docs)
 
     feats = quality_feature_cols(F.col(text_col))
     xcols = [

@@ -930,11 +930,17 @@ def rag_index_and_query(
 
     embed = hash_embed_seeded if seeded else hash_embed
     # 2^20 chunks per doc (a ~150 MB doc at stride 150) before ids
-    # could collide; doc_id then has 2^43 headroom in the BIGINT
-    chunks = chunk_documents(docs).withColumn(
+    # could collide; doc_id then has 2^43 headroom in the BIGINT.
+    # spread_scan: chunk-explode + 16-md5-per-chunk encode is the hot
+    # loop and docs is a single-file scan (guide §2.5; r15)
+    chunks = chunk_documents(spread_scan(docs)).withColumn(
         "vec_id", F.col("doc_id") * F.lit(1 << 20) + F.col("chunk_id")
     )
-    corpus = chunks.select("vec_id", embed(F.col("chunk_text")).alias("embedding"))
+    # the encoded corpus feeds BOTH the retriever's seed collect and
+    # its assignment leg; checkpoint so chunking+encoding run once
+    corpus = chunks.select(
+        "vec_id", embed(F.col("chunk_text")).alias("embedding")
+    ).localCheckpoint(eager=False)
     # held-out probes: the first chunk of the n_queries lowest-id docs
     queries = (
         chunks.filter(F.col("chunk_id") == 0)
