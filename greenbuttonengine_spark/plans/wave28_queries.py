@@ -100,19 +100,33 @@ def _margin_select(u: DataFrame, broadcast_small: bool = True) -> DataFrame:
     the join strategy, and ``best`` is eagerly localCheckpoint-ed so
     the tgt_best leg reuses it instead of recomputing the whole window
     subtree for a second exchange (eager because two consumers race a
-    lazy checkpoint — the eval_minhash_precision lesson)."""
+    lazy checkpoint — the eval_minhash_precision lesson).
+
+    r15: ``u`` itself is eagerly checkpointed — it feeds the two
+    endpoint-sum rank chains AND the margin join, so the candidate
+    pair table (the bipartite cosine kernel in the exact tier) was
+    computed ~3x per run; same race rationale for eager.  The endpoint
+    ranks run as two INDEPENDENT single-window chains (each needs only
+    its own rank; the fused two-window frame forced both rank shuffles
+    into BOTH consumers).  Measured (fresh build+exec, sf0.1):
+    mine_bitext_margin first-run 8.3s -> 7.5s, warm ~2.6s -> ~2.3s —
+    the dominant win is eliminating the repeated kernel, which grows
+    with corpus size while the saved window sorts stay candidate-set
+    sized.  Note the checkpoint materializes ``u``: fine for the ANN
+    tier (n_src*k rows) and for the exact tier at declared sf (the
+    exact tier is itself quadratic and tagged non-scale)."""
+    u = u.localCheckpoint(eager=True)
     w_src = W.partitionBy("src_id").orderBy(F.desc("u_e9"), "tgt_id")
     w_tgt = W.partitionBy("tgt_id").orderBy(F.desc("u_e9"), "src_id")
-    rk = u.withColumn("rk_src", F.row_number().over(w_src)).withColumn(
-        "rk_tgt", F.row_number().over(w_tgt)
-    )
     sa = (
-        rk.filter(F.col("rk_src") <= _K)
+        u.withColumn("rk_src", F.row_number().over(w_src))
+        .filter(F.col("rk_src") <= _K)
         .groupBy("src_id")
         .agg(F.sum("u_e9").alias("sum_src"))
     )
     sb = (
-        rk.filter(F.col("rk_tgt") <= _K)
+        u.withColumn("rk_tgt", F.row_number().over(w_tgt))
+        .filter(F.col("rk_tgt") <= _K)
         .groupBy("tgt_id")
         .agg(F.sum("u_e9").alias("sum_tgt"))
     )
