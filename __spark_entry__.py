@@ -79,6 +79,25 @@ _LAST = ("espi_egd_timeseries",)
 # catchable and every checked query is re-verified periodically.
 _DRIVER_CHECKED = frozenset(
     {
+        # r15 OPTIMIZATION round: 21 greens were REMOVED from the
+        # blocks below because the round's perf commits changed their
+        # plans (prefix-Jaccard hashed keys / array_intersect verify /
+        # spread_scan: dedup_ngram_jaccard(+_prefix), dedup_clusters,
+        # dedup_keeper_decisions, dedup_cascade, dedup_clusters_lsh,
+        # dedup_minhash_lsh, dedup_simhash, dedup_incremental_near,
+        # dedup_doc_containment, corpus_ngram_novelty,
+        # dedup_repeated_substrings, pipeline_curation_v2,
+        # decontam_bloom, eval_minhash_precision, eval_split_leakage;
+        # kmeans Arrow kernel: embedding_kmeans_fixed,
+        # eval_kmeans_silhouette; quality spread: eval_quality_
+        # calibration, pipeline_learned_quality; margin-tail reuse:
+        # mine_bitext_margin) — they re-verify as oracle-new in the
+        # r15 gate.  The touched-set was derived MECHANICALLY by
+        # diffing normalized analyzed plans of all 262 queries between
+        # the prediction commit and round-final HEAD (checkpoint-blind
+        # plans classified by changed-helper reachability); bit-
+        # identical-plan consumers of _lit_double_array (seeded-ANN
+        # family, dedup_semantic, xlingual_hubness_audit) stay.
         # r01/r03
         "q1_pricing_summary", "s1_scan_filter_project", "p2_conditional_projection",
         "p3_regex_key_extract", "p4_prefix_strip", "p5_empty_default_cast",
@@ -103,12 +122,11 @@ _DRIVER_CHECKED = frozenset(
         "a5_salted_skew_aggregate", "json_extract_props", "q3_shipping_priority",
         "q5_local_supplier_volume", "sessionize_native_window",
         "funnel_conversion", "retention_cohorts", "anomaly_zscore_events",
-        "dedup_exact", "dedup_ngram_jaccard", "dedup_ngram_jaccard_prefix",
-        "dedup_embedding_cosine", "text_token_count",
+        "dedup_exact", "dedup_embedding_cosine", "text_token_count",
         "text_quality_score", "text_lang_id", "pipeline_quality_filter",
         "text_fingerprint", "embedding_quantize_int8", "sample_stratified_lang",
-        "dedup_clusters", "text_repetition_stats", "multimodal_frame_sample",
-        "text_bigram_topk", "dedup_keeper_decisions", "text_chunk_docs",
+        "text_repetition_stats", "multimodal_frame_sample",
+        "text_bigram_topk", "text_chunk_docs",
         "text_pii_scan", "corpus_length_histogram", "corpus_source_report",
         "decontam_ngram_overlap", "sample_temperature_lang", "dedup_incremental",
         "pipeline_training_mix", "sample_eval_per_lang",
@@ -151,10 +169,8 @@ _DRIVER_CHECKED = frozenset(
         "w6_nth_value_cume_dist", "session_concurrency_daily",
         "dedup_cross_source_matrix", "drift_value_histogram",
         "dt1_datetime_functions", "embedding_outlier_topk",
-        "lm_bpe_pair_counts", "dedup_doc_containment",
-        "corpus_ngram_novelty", "lm_pmi_collocations", "agg_contribution_bounded",
-        "ops_zorder_key", "dedup_repeated_substrings",
-        "stats_bootstrap_ci_events", "pipeline_curation_v2",
+        "lm_bpe_pair_counts", "lm_pmi_collocations", "agg_contribution_bounded",
+        "ops_zorder_key", "stats_bootstrap_ci_events",
         # r07 greens (49/50 gate; the one red, ts2_mean_shift_detect,
         # stays out — its nondeterministic lineage was fixed in r8 and
         # it must re-verify as an oracle-new row first)
@@ -163,14 +179,12 @@ _DRIVER_CHECKED = frozenset(
         "sample_grouped_split",
         # r08 greens (50/50 gate: every declared oracle-backed query now
         # has at least one green driver row cumulatively)
-        "dedup_cascade", "dedup_clusters_lsh", "dedup_minhash_lsh",
-        "dedup_simhash", "espi_egd_golden_parity", "multimodal_byte_histogram",
+"espi_egd_golden_parity", "multimodal_byte_histogram",
         "ts2_mean_shift_detect",
         # r09 greens (50/50 gate: 29 first-time waves 9-18 + 21 rotated
         # re-checks already listed above)
         "agg_hll_rollup", "code_fim_transform",
-        "corpus_prefix_sharing", "curriculum_interleave", "decontam_bloom",
-        "embedding_kmeans_fixed", "embedding_pca_power",
+        "corpus_prefix_sharing", "curriculum_interleave", "embedding_pca_power",
         "eval_pairwise_winrate",
         "multimodal_audio_features", "multimodal_phash_pairs",
         "ops_compaction_plan", "ops_file_layout_report",
@@ -183,9 +197,7 @@ _DRIVER_CHECKED = frozenset(
         # lm_bpe_tokenize_stats stay OUT: their oracles changed in r11
         # (pmod-exact bucket; degenerate-lang coalesce) so they must
         # re-verify as oracle-new rows first.
-        "embedding_pca_project",
-        "dedup_incremental_near", "pipeline_learned_quality",
-        "lm_bpe_train",
+        "embedding_pca_project", "lm_bpe_train",
         "approx_sketch_aggregates", "approx_set_overlap_kmv",
         # r11 greens (50/50 gate: 23 first-time waves 20-26 + 27 rotated
         # re-checks already listed above).  Six r11 greens stay OUT
@@ -198,7 +210,7 @@ _DRIVER_CHECKED = frozenset(
         # split-CASE builder).
         "pack_sequences_docs", "lm_bpe_tokenize_stats",
         "attribution_interval_join",
-        "lm_kneser_ney_bigram", "corpus_heaps_curve", "eval_kmeans_silhouette",
+        "lm_kneser_ney_bigram", "corpus_heaps_curve",
         "pack_concat_chunks", "approx_cms_heavy_hitters",
         "sample_systematic_pps", "assoc_rules_events",
         "lm_stupid_backoff_trigram", "ts3_ohlc_daily", "text_readability",
@@ -209,10 +221,9 @@ _DRIVER_CHECKED = frozenset(
         # their Spark implementations changed in r13 (parity-bipartite
         # exact kernel; tiled/split blocked-IVF retriever) so they must
         # re-verify as oracle-new rows alongside the r13 additions.
-        "sample_train_val_test", "eval_minhash_precision",
-        "eval_quality_calibration", "drift_tvd_sources",
-        "corpus_diversity_indices", "eval_split_leakage",
-        "lm_heldout_surprisal", "streaming_admission_parity",
+        "sample_train_val_test", "drift_tvd_sources",
+        "corpus_diversity_indices", "lm_heldout_surprisal",
+        "streaming_admission_parity",
         "streaming_silver_upsert",
         # r13 greens whose code is untouched in r14 (the bitext exact
         # tier and the matview merge row).  The other r13 greens stay
@@ -232,7 +243,7 @@ _DRIVER_CHECKED = frozenset(
         # embedding_knn_classify, embedding_matryoshka_eval,
         # pipeline_rag_index — all re-verify as oracle-new in the r14
         # gate.
-        "mine_bitext_margin", "xlingual_hubness_audit",
+        "xlingual_hubness_audit",
         "streaming_matview_merge",
         # r14 greens (50/50 gate) whose code is untouched in r15 — the
         # seven similarity-family names removed for the r14 re-verify
