@@ -183,16 +183,24 @@ def ngram_jaccard_pairs_prefix(
     if hashed:
         ex = ex.drop("__sh")  # strings never leave the scan stage
     ex = ex.localCheckpoint(eager=False)  # feeds prefix build + verify pass
-    sizes = ex.groupBy(id_col).agg(F.count("*").alias("n"))
 
     # global order: ascending document frequency, hash (+ shingle when
-    # carried) as tiebreak — total either way for the rows that matter
-    df_rank = ex.groupBy("__h").agg(F.count("*").alias("__df"))
-    ranked = ex.join(df_rank, "__h")
+    # carried) as tiebreak — total either way for the rows that matter.
+    # Document frequency (__df, count per hash) and doc size (n, count
+    # per doc) are WINDOW counts over the exploded table itself: the
+    # r15 shape aggregated each into its own groupBy leg and joined it
+    # back, re-shuffling the exploded table once per leg (guide §2.4
+    # "two operations keyed the same way share one exchange") — the
+    # window form needs exactly one exchange per key (__h, then
+    # id_col, where the n window rides the row_number window's
+    # exchange+sort), 5 exploded-table exchanges -> 2, measured
+    # 9.5s -> ~6s fresh at sf0.1.  COUNT over the full partition is
+    # the same integer the groupBy computed.
     order_cols = ["__df", "__h"] + ([] if hashed else ["__sh"])
     pos = F.row_number().over(W.partitionBy(id_col).orderBy(*order_cols))
     with_pos = (
-        ranked.join(sizes, id_col)
+        ex.withColumn("__df", F.count("*").over(W.partitionBy("__h")))
+        .withColumn("n", F.count("*").over(W.partitionBy(id_col)))
         .withColumn("__pos", pos)
         # prefix length for Jaccard: n - ceil(t*n) + 1
         .withColumn("__plen", F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1)
@@ -513,6 +521,41 @@ def band_buckets_seeded(
     )
 
 
+def minhash_lsh_candidates_seeded(
+    docs: DataFrame,
+    num_perm: int = 32,
+    bands: int = 8,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket: int = 10000,
+) -> tuple[DataFrame, DataFrame]:
+    """(signatures, candidate pairs) of the seeded LSH family — the
+    shared front half of :func:`minhash_lsh_pairs_seeded`, exposed
+    (r16) for consumers that need the CANDIDATE set itself
+    (eval_split_leakage: its leakage definition — and its oracle — is
+    band collision, so the r15 shape's signature-agreement verify at
+    threshold 0.0 joined both signature sides only to keep every row;
+    est_jaccard is a [0,1] agreement fraction, so ``>= 0.0`` prunes
+    nothing).  Signatures come back checkpointed for verify reuse."""
+    sig = minhash_signatures_seeded(docs, text_col, id_col, num_perm, k)
+    sig = sig.localCheckpoint(eager=False)  # feeds buckets + both verify sides
+    buckets = band_buckets_seeded(sig, num_perm=num_perm, bands=bands, id_col=id_col)
+    buckets = _cap_buckets(buckets, max_bucket)
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    return sig, cand
+
+
 def minhash_lsh_pairs_seeded(
     docs: DataFrame,
     threshold: float = 0.8,
@@ -528,20 +571,8 @@ def minhash_lsh_pairs_seeded(
     self-equi-join, signature-agreement verify), every value DuckDB-
     reproducible.  ``minhash_seeded_oracle_sql`` emits the matching
     oracle from the same literals."""
-    sig = minhash_signatures_seeded(docs, text_col, id_col, num_perm, k)
-    sig = sig.localCheckpoint(eager=False)  # feeds buckets + both verify sides
-    buckets = band_buckets_seeded(sig, num_perm=num_perm, bands=bands, id_col=id_col)
-    buckets = _cap_buckets(buckets, max_bucket)
-    a, b = buckets.alias("a"), buckets.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .distinct()
+    sig, cand = minhash_lsh_candidates_seeded(
+        docs, num_perm, bands, k, text_col, id_col, max_bucket
     )
     sa = sig.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
     sb = sig.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
@@ -1251,10 +1282,20 @@ def duplicate_clusters(
     is a valid component member and the fixpoint is the component
     min.  Each round is two shuffle joins + one aggregate; lineage is
     truncated with localCheckpoint per round so plans stay flat.
-    Convergence is detected by an exact count of changed labels (one
-    action per round — the driver loop is control flow only, never
-    data); exhausting ``max_iter`` without converging RAISES rather
-    than shipping wrong clusters.
+    Convergence is detected by an exact count of changed labels (r16,
+    guide §2.1 "fewer actions"): the PREVIOUS label rides the update
+    projection into the round's checkpoint, so one count of
+    ``label != prev`` over the checkpointed output both materializes
+    the new labels and measures convergence — the r15 shape re-joined
+    new labels against old (two more exchanges) in a SECOND action per
+    round.  (An ``observe()`` metric on the checkpoint action would
+    fold the scalar into the same job, but Spark 4.1's Observation
+    handle leaks a non-serializable ObservationManager reference into
+    later task closures on the same session — measured as
+    ``NotSerializableException`` in downstream spark.ml jobs — so the
+    one extra tiny scan-count is the robust form.)  The driver reads
+    one scalar per round, never data; exhausting ``max_iter`` without
+    converging RAISES rather than shipping wrong clusters.
     """
     edges = pairs.select(
         F.col(a_col).cast("long").alias("src"), F.col(b_col).cast("long").alias("dst")
@@ -1294,17 +1335,15 @@ def duplicate_clusters(
             )
             base = base.join(jump, base["label"] == jump["__jnode"], "left")
             cands.append(F.coalesce(F.col("__jlabel"), F.col("label")))
-        new_labels = (
-            base.select("node", F.least(*cands).alias("label"))
-            .localCheckpoint(eager=False)
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        new_full = base.select(
+            "node",
+            F.least(*cands).alias("label"),
+            F.col("label").alias("__prev"),
+        ).localCheckpoint(eager=False)
+        # one action: materializes the round's checkpoint AND counts
+        # the changed labels (no new-vs-old re-join)
+        changed = new_full.filter(F.col("label") != F.col("__prev")).count()
+        labels = new_full.select("node", "label")
         if changed == 0:
             converged = True
             break

@@ -306,7 +306,7 @@ def fixed_point_quality(
     n to ~2^33 rows; the TRAINING set at 100 TB is a corpus-tiny
     sample anyway (same note as the LBFGS path)."""
     from ..sources.catalog import spread_scan
-    from .textstats import gopher_flags
+    from .textstats import gopher_flag_cols
 
     # feature extraction (regex token splits) and the Gopher gate are
     # the per-row hot loops; spread an under-parallelized single-file
@@ -319,7 +319,11 @@ def fixed_point_quality(
         for j, name in enumerate(FEATURE_COLS)
     ] + [F.lit(_FQ_GRID).cast("long").alias(f"x{len(FEATURE_COLS)}")]
     nf = len(FEATURE_COLS) + 1
-    fx = docs.select(F.col(id_col), *xcols).localCheckpoint(eager=False)
+    # the weak label rides the SAME scan projection as the features
+    # (r16, guide §2.4): the r15 shape ran gopher_flags as a second
+    # full corpus scan and shuffle-joined it back on id
+    ycol = gopher_flag_cols(F.col(text_col))["keep"].cast("int").alias("y")
+    fx = docs.select(F.col(id_col), *xcols, ycol).localCheckpoint(eager=False)
 
     ranges = fx.select(
         *[m for j in range(nf) for m in (
@@ -337,33 +341,39 @@ def fixed_point_quality(
         ).alias(f"z{j}")
         for j in range(nf)
     ]
-    weak = gopher_flags(docs, text_col, id_col).select(
-        F.col(id_col), F.col("keep").cast("int").alias("y")
-    )
-    z = (
-        fx.select(F.col(id_col), *scaled)
-        .join(weak, id_col)
-        .localCheckpoint(eager=False)
-    )
+    # eager: materialized BEFORE the AQE toggle below, so the heavy
+    # scan+scale projection still plans under AQE
+    z = fx.select(F.col(id_col), *scaled, F.col("y")).localCheckpoint(eager=True)
 
+    spark = docs.sparkSession
     w = [0] * nf
-    for _ in range(epochs):
-        margin = " + ".join(f"z{j} * {w[j]}L" for j in range(nf))
-        upd = z.select(
-            *[
-                F.sum(
-                    F.when(
-                        (F.col("y") == 1) & (F.expr(margin) <= 0), F.col(f"z{j}")
-                    )
-                    .when(
-                        (F.col("y") == 0) & (F.expr(margin) > 0), -F.col(f"z{j}")
-                    )
-                    .otherwise(F.lit(0))
-                ).alias(f"u{j}")
-                for j in range(nf)
-            ]
-        ).collect()[0]
-        w = [w[j] + int(upd[f"u{j}"] or 0) for j in range(nf)]
+    # Each epoch is one global aggregate folding the checkpointed z to
+    # a single 7-int row — AQE's extra stage round-trip per query buys
+    # nothing for that shape at ANY scale (the partial aggregation is
+    # what parallelizes, and it is AQE-independent), and costs ~0.1s
+    # of driver latency per epoch at sf0.1 (r16 measurement).
+    aqe_was = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for _ in range(epochs):
+            margin = " + ".join(f"z{j} * {w[j]}L" for j in range(nf))
+            upd = z.select(
+                *[
+                    F.sum(
+                        F.when(
+                            (F.col("y") == 1) & (F.expr(margin) <= 0), F.col(f"z{j}")
+                        )
+                        .when(
+                            (F.col("y") == 0) & (F.expr(margin) > 0), -F.col(f"z{j}")
+                        )
+                        .otherwise(F.lit(0))
+                    ).alias(f"u{j}")
+                    for j in range(nf)
+                ]
+            ).collect()[0]
+            w = [w[j] + int(upd[f"u{j}"] or 0) for j in range(nf)]
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
 
     margin = " + ".join(f"z{j} * {w[j]}L" for j in range(nf))
     return z.select(

@@ -408,6 +408,39 @@ def line_dedup(
     )
 
 
+def gopher_flag_cols(text_col) -> dict:
+    """The Gopher gate's flag COLUMNS over a text column — the
+    expression form of :func:`gopher_flags`, for callers that fuse the
+    gate into an existing scan projection instead of scanning the
+    corpus a second time and joining (r16: fixed_point_quality's weak
+    labels, guide §2.4)."""
+    ws = F.split(F.lower(F.trim(text_col)), r"\s+")
+    n_words = F.size(ws).cast("long")
+    total_word_chars = F.aggregate(
+        ws, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    n_alpha_words = F.size(F.filter(ws, lambda w: w.rlike("[a-z]"))).cast("long")
+    n_sym = F.length(F.regexp_replace(text_col, r"[A-Za-z0-9\s]", "")).cast("long")
+    mean_wlen = total_word_chars.cast("double") / n_words.cast("double")
+    sym_ratio = n_sym.cast("double") / n_words.cast("double")
+    alpha_frac = n_alpha_words.cast("double") / n_words.cast("double")
+    f_count = (n_words >= 5) & (n_words <= 10000)
+    f_wlen = (mean_wlen >= 2.0) & (mean_wlen <= 12.0)
+    f_sym = sym_ratio <= 0.5
+    f_alpha = alpha_frac >= 0.6
+    return {
+        "n_words": n_words,
+        "mean_word_len": mean_wlen,
+        "symbol_word_ratio": sym_ratio,
+        "alpha_word_frac": alpha_frac,
+        "ok_word_count": f_count,
+        "ok_word_len": f_wlen,
+        "ok_symbols": f_sym,
+        "ok_alpha_words": f_alpha,
+        "keep": f_count & f_wlen & f_sym & f_alpha,
+    }
+
+
 def gopher_flags(
     docs: DataFrame,
     text_col: str = "text",
@@ -427,33 +460,9 @@ def gopher_flags(
     One scan-stage projection — no shuffle, no Python; the downstream
     filter is ``keep = every flag true``.
     """
-    ws = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    n_words = F.size(ws).cast("long")
-    total_word_chars = F.aggregate(
-        ws, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
-    )
-    n_alpha_words = F.size(F.filter(ws, lambda w: w.rlike("[a-z]"))).cast("long")
-    n_sym = F.length(
-        F.regexp_replace(F.col(text_col), r"[A-Za-z0-9\s]", "")
-    ).cast("long")
-    mean_wlen = total_word_chars.cast("double") / n_words.cast("double")
-    sym_ratio = n_sym.cast("double") / n_words.cast("double")
-    alpha_frac = n_alpha_words.cast("double") / n_words.cast("double")
-    f_count = (n_words >= 5) & (n_words <= 10000)
-    f_wlen = (mean_wlen >= 2.0) & (mean_wlen <= 12.0)
-    f_sym = sym_ratio <= 0.5
-    f_alpha = alpha_frac >= 0.6
+    cols = gopher_flag_cols(F.col(text_col))
     return docs.select(
-        F.col(id_col),
-        n_words.alias("n_words"),
-        mean_wlen.alias("mean_word_len"),
-        sym_ratio.alias("symbol_word_ratio"),
-        alpha_frac.alias("alpha_word_frac"),
-        f_count.alias("ok_word_count"),
-        f_wlen.alias("ok_word_len"),
-        f_sym.alias("ok_symbols"),
-        f_alpha.alias("ok_alpha_words"),
-        (f_count & f_wlen & f_sym & f_alpha).alias("keep"),
+        F.col(id_col), *[c.alias(name) for name, c in cols.items()]
     )
 
 
