@@ -145,13 +145,22 @@ def bm25_topk(
             for i, t in enumerate(query_terms)
         ],
     )
-    # one row: N, total token count, per-query-term document frequency
-    stats = terms.agg(
-        F.countDistinct(id_col).cast("long").alias("n_docs"),
-        F.sum("tf").cast("long").alias("total_tokens"),
+    # one row: N, total token count, per-query-term document frequency —
+    # all derivable from per_doc (r16, guide §2.4): n_docs = one row per
+    # doc with >= 1 token, total_tokens = sum of the per-doc lengths,
+    # df_i = docs whose tf_i aggregate is non-null.  The r15 shape
+    # aggregated the (doc, term) table a second time (and its
+    # count(DISTINCT doc) forced an Expand over the full exploded
+    # table); because this form's stats leg is per_doc's own subtree,
+    # AQE stage reuse resolves it to a ReusedExchange of the scoring
+    # leg's doc_id shuffle at runtime — the tokenize+explode scan runs
+    # ONCE (verified in the final adaptive plan, plans/r16).
+    stats = per_doc.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_tokens"),
         *[
-            F.count(F.when(F.col("term") == t, F.lit(1))).cast("long").alias(f"df_{i}")
-            for i, t in enumerate(query_terms)
+            F.count(F.col(f"tf_{i}")).cast("long").alias(f"df_{i}")
+            for i in range(len(query_terms))
         ],
     )
     j = per_doc.crossJoin(F.broadcast(stats))
