@@ -1869,17 +1869,21 @@ def repeated_substring_spans(
         (F.col("__p0") + 1).alias("__pos"),
         (F.xxhash64("__w") if hashed else F.col("__w")).alias("__w"),
     )
-    # ">= 2 distinct docs" as min!=max: a single-pass aggregate that
-    # map-side combines to one row per window BEFORE the shuffle —
-    # countDistinct would plan a two-phase distinct expand shuffling
-    # every (window, doc) pair
-    cross = (
-        w.groupBy("__w")
-        .agg(F.min(id_col).alias("__lo"), F.max(id_col).alias("__hi"))
+    # ">= 2 distinct docs" as min!=max — computed as WINDOW aggregates
+    # over the window-keyed partition (r16, guide §2.4): the r15 shape
+    # aggregated (min, max) into a groupBy leg and joined it back,
+    # which shuffled the full (doc, pos, window) table on __w TWICE
+    # (map-side-combined agg + the join probe) and ran the
+    # posexplode scan twice.  One exchange on __w computes identical
+    # MIN/MAX per window key; countDistinct would still plan the
+    # two-phase distinct Expand this avoids.
+    ww = W.partitionBy("__w")
+    hits = (
+        w.withColumn("__lo", F.min(id_col).over(ww))
+        .withColumn("__hi", F.max(id_col).over(ww))
         .filter(F.col("__lo") != F.col("__hi"))
-        .select("__w")
+        .select(id_col, "__pos")
     )
-    hits = w.join(cross, "__w").select(id_col, "__pos")
     rn = F.row_number().over(Window.partitionBy(id_col).orderBy("__pos"))
     runs = hits.withColumn("__grp", F.col("__pos") - rn)
     return (

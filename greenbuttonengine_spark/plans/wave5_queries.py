@@ -205,11 +205,20 @@ def doc_containment(docs: DataFrame, threshold: float = _CONTAINMENT_T,
     sh = shingles if shingles is not None else _word_trigram_shingles(
         docs, hashed=hashed
     )
-    df_ok = (
-        sh.groupBy("s").agg(F.count("*").alias("df"))
-        .filter(F.col("df") <= df_cap).select("s")
+    # document frequency as a WINDOW count over the exploded table
+    # (r16, guide §2.4): the r15 shape aggregated df into its own
+    # groupBy leg and joined it back, shuffling the exploded table
+    # TWICE on s (once map-side-combined for the groupBy, once full
+    # for the join) and scanning/sphingling the corpus twice.  The
+    # window form shuffles the full table on s exactly once, and the
+    # s-keyed self-join below reuses that exchange+sort (same key,
+    # same partitioning).  COUNT over the partition is the same
+    # integer the groupBy computed, so results are bit-identical.
+    shf = (
+        sh.withColumn("__df", F.count("*").over(W.partitionBy("s")))
+        .filter(F.col("__df") <= df_cap)
+        .drop("__df")
     )
-    shf = sh.join(df_ok, "s")
     sizes = shf.groupBy("doc_id").agg(F.count("*").cast("long").alias("sz_a"))
     a = shf.select(F.col("doc_id").alias("doc_a"), "s")
     b = shf.select(F.col("doc_id").alias("doc_b"), "s")
@@ -277,12 +286,15 @@ def ngram_novelty(docs: DataFrame,
     sh = shingles if shingles is not None else _word_trigram_shingles(
         docs, hashed=hashed
     )
-    first = sh.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+    # first-occurrence doc as a WINDOW min over the exploded table
+    # (r16, guide §2.4) — the r15 groupBy+join-back shape shuffled the
+    # exploded table twice on s and ran the shingling scan twice; one
+    # window exchange computes the identical MIN per shingle.
     novel = F.sum(
         F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
     ).cast("long")
     return (
-        sh.join(first, "s")
+        sh.withColumn("first_doc", F.min("doc_id").over(W.partitionBy("s")))
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("long").alias("n_shingles"),
