@@ -1978,7 +1978,7 @@ def semantic_dedup_pairs_seeded(
     seeds = seeded_centroids(emb, n_clusters, vec_col, id_col)
     cell_scores = seeded_cell_scores(seeds)
     base = _with_norm(emb, vec_col, id_col).withColumn(
-        "__cell", -F.element_at(cell_scores(F.col("v")), 1)["nc"]
+        "__cell", -F.element_at(cell_scores("v"), 1)["nc"]
     )
     a, b = base.alias("a"), base.alias("b")
     cosine = _dot("a.v", "b.v") / (F.col("a.__norm") * F.col("b.__norm"))

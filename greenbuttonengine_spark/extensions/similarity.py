@@ -339,11 +339,40 @@ def seeded_centroids(
 
 def seeded_cell_scores(seeds):
     """Expression builder over ``seeded_centroids`` output: given a
-    vector column, returns the seeds ranked by cosine-to-seed as a
-    sorted struct array — struct(score, -cell), sort_array desc =>
-    score desc then cell asc, the same total order the DuckDB mirrors
-    use.  Pure scan-stage literals: assignment needs no shuffle."""
+    vector column (or a SQL expression string), returns the seeds
+    ranked by cosine-to-seed as a sorted struct array —
+    struct(score, -cell), sort_array desc => score desc then cell asc,
+    the same total order the DuckDB mirrors use.  Pure scan-stage
+    literals: assignment needs no shuffle.
+
+    Passing the vector as a SQL STRING builds the whole n_seeds-struct
+    tree with ONE parsed expression (r16, the ``_lit_double_array``
+    argument extended to the full builder): the Column form costs
+    ~10 py4j round trips per seed (zip_with/aggregate/struct
+    construction) — measured 0.45-0.68s per call at 16 seeds x 64
+    dims, paid TWICE per IVF-PQ build (corpus assign + query probe).
+    ``repr(float)`` literals and the identical
+    aggregate/zip_with/named_struct/sort_array tree keep every score
+    bit-identical to the Column form (pytest-pinned twins unchanged).
+    The raw SQL template is exposed as ``cell_scores.sql(v_sql)`` for
+    callers that inline it into a single ``selectExpr`` projection."""
+
+    def _sql(v_sql: str) -> str:
+        entries = []
+        for cell, sv, nrm in seeds:
+            arr = "array(" + ", ".join(f"{float(x)!r}D" for x in sv) + ")"
+            dot = (
+                f"aggregate(zip_with({v_sql}, {arr}, (x, y) -> x * y), "
+                f"0.0D, (acc, x) -> acc + x)"
+            )
+            entries.append(
+                f"named_struct('s', {dot} / {float(nrm)!r}D, 'nc', {-cell})"
+            )
+        return "sort_array(array(" + ", ".join(entries) + "), false)"
+
     def cell_scores(v):
+        if isinstance(v, str):
+            return F.expr(_sql(v))
         entries = [
             F.struct(
                 (_dot(v, _lit_double_array(sv)) / F.lit(nrm)).alias("s"),
@@ -353,6 +382,7 @@ def seeded_cell_scores(seeds):
         ]
         return F.sort_array(F.array(*entries), asc=False)
 
+    cell_scores.sql = _sql
     return cell_scores
 
 
@@ -412,7 +442,7 @@ def ivf_topk_seeded(
         "cv",
         "cnrm",
     )
-    c = c.withColumn("cell", -F.element_at(cell_scores(F.col("cv")), 1)["nc"])
+    c = c.withColumn("cell", -F.element_at(cell_scores("cv"), 1)["nc"])
     q = _with_norm(
         queries.select(
             F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
@@ -426,7 +456,7 @@ def ivf_topk_seeded(
         "qnrm",
         F.explode(
             F.transform(
-                F.slice(cell_scores(F.col("qv")), 1, n_probe), lambda s: -s["nc"]
+                F.slice(cell_scores("qv"), 1, n_probe), lambda s: -s["nc"]
             )
         ).alias("cell"),
     )

@@ -12,11 +12,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..extensions.similarity import _as_double, seeded_cell_scores, seeded_centroids
+from ..extensions.similarity import seeded_cell_scores, seeded_centroids
 from ..sources.catalog import load_table
 from .extension_queries import _seeded_cells_cte
 from .registry import register
 from .wave9_queries import (
+    _EMB_DOUBLE_SQL,
     _PQ_DIM,
     _PQ_GRID,
     _PQ_K,
@@ -145,19 +146,12 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"),
         *[F.col("subs")[j].alias(f"l{j}") for j in range(_PQ_SUBS)],
     )
-    qprobe = (
-        emb.filter(F.col("vec_id") < nq)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.explode(
-                F.transform(
-                    F.slice(
-                        cell_scores(_as_double("embedding")), 1, _IVFPQ_PROBE
-                    ),
-                    lambda s: -s["nc"],
-                )
-            ).alias("cell"),
-        )
+    # one selectExpr parse for the probe explode (r16: the Column form
+    # re-built the 16-seed cell_scores tree through py4j a second time)
+    qprobe = emb.filter(F.col("vec_id") < nq).selectExpr(
+        "vec_id AS query_id",
+        f"explode(transform(slice({cell_scores.sql(_EMB_DOUBLE_SQL)}, 1, "
+        f"{_IVFPQ_PROBE}), s -> -s.nc)) AS cell",
     )
     probes = qprobe.join(luts, "query_id")
     adc = " + ".join(f"l{j}[c{j}]" for j in range(_PQ_SUBS))

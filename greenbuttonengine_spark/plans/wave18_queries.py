@@ -34,8 +34,7 @@ from .wave9_queries import (
     _PQ_GRID,
     _PQ_K,
     _pq_centroids,
-    pq_codes_pandas,
-    pq_dists_pandas,
+    pq_train_sums_pandas,
     _pq_quantized,
 )
 
@@ -222,33 +221,20 @@ def _train_pq_codebook(spark: SparkSession, sf_dir: str) -> list[list[list[int]]
         for j in range(_PQT_SUBS)
     ]
     for _ in range(_PQT_ITERS):
-        codes = pq_codes_pandas(
-            qdf,
-            cents,
-            keep=(
-                "vec_id",
-                *[f"q{i}" for i in range(_PQT_SUBS * _PQT_DIM)],
-            ),
-        )
-        # (j, code, subvector dims) rows via stack — a small
-        # expression over the kernel's scalar code columns (the old
-        # form re-derived codes from the full distance tables with an
-        # interpreted HOF named_struct per row)
-        stack = ", ".join(
-            f"{j}, c{j}, "
-            + ", ".join(f"q{j * _PQT_DIM + d}" for d in range(_PQT_DIM))
-            for j in range(_PQT_SUBS)
-        )
-        qd_names = ", ".join(f"qd{d}" for d in range(_PQT_DIM))
-        exploded = codes.selectExpr(
-            f"stack({_PQT_SUBS}, {stack}) AS (j, s, {qd_names})"
-        )
+        # Lloyd sufficient statistics computed INSIDE the Arrow kernel
+        # (r16, guide §2.3/§4.1): the kernel emits at most subs*k
+        # partial (j, s, n, sums) rows per batch, so nothing
+        # corpus-sized crosses the Arrow boundary back or feeds the
+        # aggregate — the r15 round shipped all 64 quantized columns
+        # through the codes kernel and stack()-exploded subs rows per
+        # vector.  Integer sums are order-free: identical centroids.
         sums = (
-            exploded.groupBy("j", "s")
+            pq_train_sums_pandas(qdf, cents)
+            .groupBy("j", "s")
             .agg(
-                F.count("*").alias("n"),
+                F.sum("n").alias("n"),
                 *[
-                    F.sum(f"qd{d}").alias(f"s{d}")
+                    F.sum(f"s{d}").alias(f"s{d}")
                     for d in range(_PQT_DIM)
                 ],
             )
@@ -261,6 +247,103 @@ def _train_pq_codebook(spark: SparkSession, sf_dir: str) -> list[list[list[int]]
                 new[r["j"]][r["s"]][d] = -((-s) // n) if s < 0 else s // n
         cents = new
     return cents
+
+
+def _pq_codes2_pandas(
+    df: DataFrame,
+    cents_a: list[list[list[int]]],
+    cents_b: list[list[list[int]]],
+    keep: tuple[str, ...] = ("vec_id",),
+) -> DataFrame:
+    """Dual-codebook variant of ``pq_codes_pandas``: one Arrow pass
+    over the quantized corpus emits ct0..ct{S-1} (codebook A) and
+    cr0..cr{S-1} (codebook B) argmin code columns — the corpus is
+    scanned and Arrow-transposed ONCE for both codebooks (r16; the
+    per-codebook math is the identical exact int64 einsum + argmin,
+    so each column set matches its single-codebook twin bitwise)."""
+    import numpy as np
+    import pandas as pd
+
+    ca = np.asarray(cents_a, dtype=np.int64)
+    cb = np.asarray(cents_b, dtype=np.int64)
+    n_subs, _, n_dim = ca.shape
+    qcols = [f"q{i}" for i in range(n_subs * n_dim)]
+    keep = tuple(keep)
+    keep_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if f.name in keep
+    )
+    schema = (
+        keep_fields
+        + ", "
+        + ", ".join(f"ct{j} int" for j in range(n_subs))
+        + ", "
+        + ", ".join(f"cr{j} int" for j in range(n_subs))
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            q = (
+                pdf[qcols]
+                .to_numpy(dtype=np.int64)
+                .reshape(len(pdf), n_subs, n_dim)
+            )
+            out = {c: pdf[c] for c in keep}
+            for tag, cent in (("ct", ca), ("cr", cb)):
+                diff = q[:, :, None, :] - cent[None, :, :, :]
+                d2 = np.einsum("nskd,nskd->nsk", diff, diff)
+                codes = d2.argmin(axis=2)
+                for j in range(n_subs):
+                    out[f"{tag}{j}"] = codes[:, j].astype("int32")
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(gen, schema)
+
+
+def _pq_dists2_pandas(
+    df: DataFrame,
+    cents_a: list[list[list[int]]],
+    cents_b: list[list[list[int]]],
+    keep: tuple[str, ...] = ("vec_id",),
+) -> DataFrame:
+    """Dual-codebook variant of ``pq_dists_pandas``: one Arrow pass
+    over the (query-sized) input emits the full subs x k squared-
+    distance LUTs for BOTH codebooks (``subs_t`` / ``subs_r``).  Same
+    exact int64 arithmetic; bounded by the query count."""
+    import numpy as np
+    import pandas as pd
+
+    ca = np.asarray(cents_a, dtype=np.int64)
+    cb = np.asarray(cents_b, dtype=np.int64)
+    n_subs, _, n_dim = ca.shape
+    qcols = [f"q{i}" for i in range(n_subs * n_dim)]
+    keep = tuple(keep)
+    keep_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if f.name in keep
+    )
+    schema = (
+        f"{keep_fields}, subs_t array<array<bigint>>, "
+        "subs_r array<array<bigint>>"
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            q = (
+                pdf[qcols]
+                .to_numpy(dtype=np.int64)
+                .reshape(len(pdf), n_subs, n_dim)
+            )
+            out = {c: pdf[c] for c in keep}
+            for tag, cent in (("subs_t", ca), ("subs_r", cb)):
+                diff = q[:, :, None, :] - cent[None, :, :, :]
+                d2 = np.einsum("nskd,nskd->nsk", diff, diff)
+                out[tag] = d2.tolist()
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(gen, schema)
 
 
 @register(
@@ -322,62 +405,104 @@ def eval_pq_recall_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
 
-    def topk(cents) -> DataFrame:
-        codes = pq_codes_pandas(qdf, cents).withColumnRenamed(
-            "vec_id", "neighbor_id"
+    # BOTH codebooks (trained + seeded-random) ride ONE fused DAG
+    # (r16, guide §1.2 fewer passes / §2.1 fewer actions): one dual-
+    # codebook codes kernel over the corpus, one dual LUT kernel over
+    # the queries, one crossJoin computing both ADC columns, one
+    # shortlist exchange carrying two rank windows (same partitioning,
+    # one sort each), one re-rank join pair over the TAGGED shortlist
+    # union, one final (query, neighbor) join counted per tag.  The
+    # r15 shape ran the whole chain twice (2 corpus kernels, 2 LUT
+    # kernels, 2 crossJoins, 4 windows, 4 re-rank joins, 2 result
+    # joins).  Every per-branch selection uses the identical values
+    # and total order, so the result is bit-identical.
+    random_cb = _pq_centroids(subs=_PQT_SUBS, k=_PQ_K, dim=_PQT_DIM)
+    codes2 = _pq_codes2_pandas(qdf, trained, random_cb).withColumnRenamed(
+        "vec_id", "neighbor_id"
+    )
+    lut2 = _pq_dists2_pandas(
+        qdf.filter(F.col("vec_id") < _PQT_NQ), trained, random_cb
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        *[F.col("subs_t")[j].alias(f"lt{j}") for j in range(_PQT_SUBS)],
+        *[F.col("subs_r")[j].alias(f"lr{j}") for j in range(_PQT_SUBS)],
+    )
+    adc_t = " + ".join(f"lt{j}[ct{j}]" for j in range(_PQT_SUBS))
+    adc_r = " + ".join(f"lr{j}[cr{j}]" for j in range(_PQT_SUBS))
+    scored = (
+        codes2.crossJoin(F.broadcast(lut2))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.expr(adc_t).alias("adc_t"),
+            F.expr(adc_r).alias("adc_r"),
         )
-        lut = pq_dists_pandas(
-            qdf.filter(F.col("vec_id") < _PQT_NQ), cents
-        ).select(
-            F.col("vec_id").alias("query_id"),
-            *[F.col("subs")[j].alias(f"l{j}") for j in range(_PQT_SUBS)],
+    )
+    wq = W.partitionBy("query_id")
+    shorts = (
+        scored.withColumn(
+            "rk_t", F.row_number().over(wq.orderBy("adc_t", "neighbor_id"))
         )
-        adc = " + ".join(f"l{j}[c{j}]" for j in range(_PQT_SUBS))
-        scored = (
-            codes.crossJoin(F.broadcast(lut))
-            .filter(F.col("neighbor_id") != F.col("query_id"))
-            .select("query_id", "neighbor_id", F.expr(adc).alias("adc"))
+        .withColumn(
+            "rk_r", F.row_number().over(wq.orderBy("adc_r", "neighbor_id"))
         )
-        w = W.partitionBy("query_id").orderBy("adc", "neighbor_id")
-        short = (
-            scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= _PQT_SHORTLIST)
-            .select("query_id", "neighbor_id")
+        .filter(
+            (F.col("rk_t") <= _PQT_SHORTLIST) | (F.col("rk_r") <= _PQT_SHORTLIST)
         )
-        # exact quantized-dot re-rank of the shortlist (IVF-ADC+R):
-        # the query side is _PQT_NQ rows, broadcast; the neighbor side
-        # joins only shortlist ids
-        rer = (
-            short.join(F.broadcast(qa), "query_id")
-            .join(qn, "neighbor_id")
-            .select("query_id", "neighbor_id", F.expr(dotq).alias("dq"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.explode(
+                F.filter(
+                    F.array(
+                        F.struct(F.lit(0).alias("br"), F.col("rk_t").alias("rk")),
+                        F.struct(F.lit(1).alias("br"), F.col("rk_r").alias("rk")),
+                    ),
+                    lambda x: x["rk"] <= _PQT_SHORTLIST,
+                )
+            ).alias("__b"),
         )
-        w2 = W.partitionBy("query_id").orderBy(F.desc("dq"), "neighbor_id")
-        return (
-            rer.withColumn("rank", F.row_number().over(w2))
-            .filter(F.col("rank") <= _PQT_K)
-            .select("query_id", "neighbor_id")
-        )
+        .select("query_id", "neighbor_id", F.col("__b.br").alias("br"))
+    )
+    # exact quantized-dot re-rank of the tagged shortlists (IVF-ADC+R):
+    # the query side is _PQT_NQ rows, broadcast; the neighbor side
+    # joins only shortlist ids
+    rer = (
+        shorts.join(F.broadcast(qa), "query_id")
+        .join(qn, "neighbor_id")
+        .select("br", "query_id", "neighbor_id", F.expr(dotq).alias("dq"))
+    )
+    w2 = W.partitionBy("br", "query_id").orderBy(F.desc("dq"), "neighbor_id")
+    topk_all = (
+        rer.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= _PQT_K)
+        .select("br", "query_id", "neighbor_id")
+    )
 
     brute = similarity.cosine_topk(
         emb, emb.filter(F.col("vec_id") < _PQT_NQ), k=_PQT_K
     ).select("query_id", "neighbor_id")
-    tr = topk(trained).withColumn("__t", F.lit(1))
-    rr = topk(
-        _pq_centroids(subs=_PQT_SUBS, k=_PQ_K, dim=_PQT_DIM)
-    ).withColumn("__r", F.lit(1))
+    # one left join + per-tag counts: a brute row matching both tags
+    # contributes one row per tag, so the per-tag sums equal the r15
+    # two-join form's coalesced indicator sums exactly
     return (
-        brute.join(tr, ["query_id", "neighbor_id"], "left")
-        .join(rr, ["query_id", "neighbor_id"], "left")
+        brute.join(topk_all, ["query_id", "neighbor_id"], "left")
         .groupBy("query_id")
         .agg(
-            F.sum(F.coalesce("__t", F.lit(0))).cast("long").alias("hits_trained"),
+            F.sum(F.when(F.col("br") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("hits_trained"),
             (
-                F.sum(F.coalesce("__t", F.lit(0))).cast("double") / float(_PQT_K)
+                F.sum(F.when(F.col("br") == 0, 1).otherwise(0)).cast("double")
+                / float(_PQT_K)
             ).alias("recall_trained"),
-            F.sum(F.coalesce("__r", F.lit(0))).cast("long").alias("hits_random"),
+            F.sum(F.when(F.col("br") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("hits_random"),
             (
-                F.sum(F.coalesce("__r", F.lit(0))).cast("double") / float(_PQT_K)
+                F.sum(F.when(F.col("br") == 1, 1).otherwise(0)).cast("double")
+                / float(_PQT_K)
             ).alias("recall_random"),
         )
     )

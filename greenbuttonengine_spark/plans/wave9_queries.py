@@ -687,9 +687,93 @@ def pq_codes_pandas(
     return df.mapInPandas(gen, schema)
 
 
+def pq_train_sums_pandas(
+    df: DataFrame, cents: list[list[list[int]]]
+) -> DataFrame:
+    """Per-batch Lloyd sufficient statistics for PQ codebook training:
+    assign each row's subvectors to their argmin centroid (same exact
+    int64 einsum + argmin as :func:`pq_codes_pandas`) and emit the
+    PARTIAL (j, s, n, s0..s{dim-1}) count/coordinate sums per batch —
+    the groupBy(j, s).sum() downstream reduces them to the exact
+    per-cluster totals.
+
+    r16 (guide §2.3 "aggregate before you shuffle", §4.1 pass only
+    what the function needs): the r15 training round shipped all
+    subs*dim quantized columns THROUGH the codes kernel (keep=q0..q63
+    crossed the Arrow boundary both ways), stack()-exploded subs rows
+    per vector, and aggregated corpus-sized (j, s, qd0..) rows.  Here
+    the kernel returns at most subs*k rows per BATCH regardless of
+    corpus size, so the training aggregate's input is O(batches), not
+    O(corpus) — and integer sums are order-free, so the final
+    centroids are bit-identical."""
+    import numpy as np
+    import pandas as pd
+
+    cent = np.asarray(cents, dtype=np.int64)
+    n_subs, n_k, n_dim = cent.shape
+    qcols = [f"q{i}" for i in range(n_subs * n_dim)]
+    schema = "j int, s int, n bigint, " + ", ".join(
+        f"s{d} bigint" for d in range(n_dim)
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            q = (
+                pdf[qcols]
+                .to_numpy(dtype=np.int64)
+                .reshape(len(pdf), n_subs, n_dim)
+            )
+            diff = q[:, :, None, :] - cent[None, :, :, :]
+            d2 = np.einsum("nskd,nskd->nsk", diff, diff)
+            codes = d2.argmin(axis=2)  # ties -> first min, as pq_codes_pandas
+            out_j, out_s, out_n = [], [], []
+            out_sums = [[] for _ in range(n_dim)]
+            for j in range(n_subs):
+                cj = codes[:, j]
+                n_per = np.bincount(cj, minlength=n_k)
+                sums = np.zeros((n_k, n_dim), dtype=np.int64)
+                np.add.at(sums, cj, q[:, j, :])
+                present = np.nonzero(n_per)[0]
+                out_j.append(np.full(len(present), j, dtype="int32"))
+                out_s.append(present.astype("int32"))
+                out_n.append(n_per[present].astype("int64"))
+                for d in range(n_dim):
+                    out_sums[d].append(sums[present, d])
+            res = {
+                "j": np.concatenate(out_j),
+                "s": np.concatenate(out_s),
+                "n": np.concatenate(out_n),
+            }
+            for d in range(n_dim):
+                res[f"s{d}"] = np.concatenate(out_sums[d])
+            yield pd.DataFrame(res)
+
+    return df.mapInPandas(gen, schema)
+
+
+# SQL fragment equal to similarity._as_double("embedding") — inlined
+# into one-parse selectExpr projections (r16 driver-overhead cut)
+_EMB_DOUBLE_SQL = "transform(embedding, x -> CAST(x AS DOUBLE))"
+
+
+def pq_quant_exprs() -> list[str]:
+    """q0..q63 quantized BIGINT scalar columns over an ``embedding``
+    array column, as selectExpr STRINGS — one py4j call parses the
+    whole projection JVM-side (r16; 64 F.expr round trips measured
+    0.23-0.32s per build vs 0.12s for one selectExpr)."""
+    return [
+        f"CAST(floor(CAST(embedding[{i}] AS DOUBLE) * "
+        f"{float(_PQ_GRID)!r}D) AS BIGINT) AS q{i}"
+        for i in range(_PQ_SUBS * _PQ_DIM)
+    ]
+
+
 def pq_quant_cols() -> list:
     """q0..q63 quantized BIGINT scalar columns over an ``embedding``
-    array column — the shared input-quantization projection."""
+    array column — the shared input-quantization projection
+    (Column form; :func:`pq_quant_exprs` is the one-parse twin)."""
     return [
         F.expr(
             f"CAST(floor(CAST(embedding[{i}] AS DOUBLE) * "
@@ -713,7 +797,14 @@ def pq_code_cols() -> list:
 
 def pq_quant_with_cell(emb: DataFrame, cell_scores) -> DataFrame:
     """(vec_id, cell, q0..q63) — coarse Voronoi cell + the quantized
-    scalar projection, the shared front half of every IVF-PQ path."""
+    scalar projection, the shared front half of every IVF-PQ path.
+    One selectExpr parse builds the whole 66-column projection (r16:
+    the Column form paid ~0.5s of py4j round trips per build for the
+    16-seed cell expression alone)."""
+    sql = getattr(cell_scores, "sql", None)
+    if sql is not None:
+        cell = f"(-element_at({sql(_EMB_DOUBLE_SQL)}, 1).nc) AS cell"
+        return emb.selectExpr("vec_id", cell, *pq_quant_exprs())
     from ..extensions.similarity import _as_double
 
     return emb.select(
@@ -737,9 +828,10 @@ def pq_encode_codes(emb: DataFrame, cell_scores) -> DataFrame:
 
 
 def _pq_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, q0..q63 quantized BIGINT scalars) scan projection."""
+    """(vec_id, q0..q63 quantized BIGINT scalars) scan projection
+    (one selectExpr parse — r16)."""
     emb = load_table(spark, "embeddings", sf_dir)
-    return emb.select("vec_id", *pq_quant_cols())
+    return emb.selectExpr("vec_id", *pq_quant_exprs())
 
 
 @register(
