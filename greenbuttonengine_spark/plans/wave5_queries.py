@@ -1257,24 +1257,59 @@ def lm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     "word for word).",
 )
 def lm_bpe_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..extensions.bpe import bpe_tokenize, bpe_train
+    from ..extensions.bpe import bpe_train
 
     docs = load_table(spark, "documents", sf_dir)
-    merges, _ = bpe_train(docs, n_merges=20)
-    toks = bpe_tokenize(docs, merges)
-    return (
-        docs.select("doc_id", "lang", "n_chars")
-        .join(toks, "doc_id")
+    # Tokenize by SEGMENTATION LOOKUP instead of replaying the merge
+    # program per word occurrence (r16, guide §1.2): training already
+    # computed every distinct word's final segmentation (train/apply
+    # consistency is exact and pytest-pinned — applying the merges
+    # reproduces training's segmentation word for word, which is also
+    # how the oracle tokenizes), so per-word token counts come from
+    # the vocab-sized table bpe_train returns.  The r15 form compiled
+    # the 20 merges into a chain of 20 lookaround regexes evaluated
+    # per word occurrence inside an interpreted HOF — 3.1-4.4s at
+    # sf0.1 for 5k docs; the lookup form is one explode + one
+    # planner-chosen join against the vocab (broadcast at any
+    # realistic vocab size — shipping the tokenizer table is the
+    # standard inference shape) + a map-side-combined per-lang
+    # aggregate.  No per-doc intermediate: token totals aggregate
+    # straight to O(langs) rows, and the doc-level counts come from
+    # one docs scan.
+    _, final = bpe_train(docs, n_merges=20)
+    vocab_toks = final.select(
+        "word",
+        F.size(F.split(F.trim("syms"), " ")).cast("long").alias("n_toks"),
+    )
+    words = spread_scan(docs).select(
+        "lang",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.trim("text")), r"\s+"), lambda w: w != ""
+            )
+        ).alias("word"),
+    )
+    tok_by_lang = (
+        words.join(vocab_toks, "word")
         .groupBy("lang")
-        .agg(
-            F.count("*").cast("long").alias("n_docs"),
-            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        .agg(F.sum("n_toks").alias("total_tokens"))
+    )
+    doc_by_lang = docs.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+    total = F.coalesce(F.col("total_tokens"), F.lit(0)).cast("long")
+    return (
+        doc_by_lang.join(tok_by_lang, "lang", "left")
+        .select(
+            "lang",
+            "n_docs",
+            total.alias("total_tokens"),
             # guarded division: a lang whose docs all tokenize empty
             # yields NULL (not NaN/inf), matching the oracle's CASE
             F.when(
-                F.sum("n_tokens") > 0,
-                F.sum("n_chars").cast("double")
-                / F.sum("n_tokens").cast("double"),
+                total > 0,
+                F.col("sum_chars").cast("double") / total.cast("double"),
             ).alias("chars_per_token"),
         )
     )

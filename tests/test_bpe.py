@@ -183,3 +183,40 @@ def test_bpe_many_merges_incremental_vs_reference(spark):
     assert merges == ref_merges
     ref_seg = {"".join(s): s for s in ref_vocab}
     assert seg == ref_seg
+
+
+def test_tokenize_stats_lookup_matches_regex_chain(spark):
+    """r16 twin: lm_bpe_tokenize_stats now tokenizes by joining the
+    trained vocabulary segmentation instead of replaying the merge
+    regex program per word occurrence.  Pin the per-lang stats of the
+    lookup form against a recomputation through bpe_tokenize (the
+    regex-chain form) on the sf0.001 corpus — identical rows."""
+    from pyspark.sql import functions as F
+
+    from greenbuttonengine_spark.extensions.bpe import bpe_tokenize, bpe_train
+    from greenbuttonengine_spark.plans.wave5_queries import lm_bpe_tokenize_stats
+    from greenbuttonengine_spark.sources.catalog import load_table
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = load_table(spark, "documents", sf_dir)
+    merges, _ = bpe_train(docs, n_merges=20)
+    toks = bpe_tokenize(docs, merges)
+    old = (
+        docs.select("doc_id", "lang", "n_chars")
+        .join(toks, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.when(
+                F.sum("n_tokens") > 0,
+                F.sum("n_chars").cast("double")
+                / F.sum("n_tokens").cast("double"),
+            ).alias("chars_per_token"),
+        )
+    )
+    new = lm_bpe_tokenize_stats(spark, sf_dir)
+    key = lambda r: r.lang  # noqa: E731
+    old_rows = sorted(old.collect(), key=key)
+    new_rows = sorted(new.collect(), key=key)
+    assert [r.asDict() for r in old_rows] == [r.asDict() for r in new_rows]
