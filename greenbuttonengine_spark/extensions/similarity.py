@@ -43,6 +43,8 @@ double).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
@@ -66,8 +68,15 @@ def _lit_double_array(values) -> "F.Column":
     CreateArray(Literal double) tree: ``repr(float)`` round-trips
     exactly and Spark's parser applies Java's correctly-rounded
     Double.parseDouble, so every literal is bit-identical to the
-    F.lit form (the plane_weights docstring's argument, reused)."""
-    return F.expr("array(" + ", ".join(f"{float(x)!r}D" for x in values) + ")")
+    F.lit form (the plane_weights docstring's argument, reused).
+
+    Non-finite values render as 'nanD'/'infD', which the SQL parser
+    rejects — fall back to the per-element F.lit form for those (r16
+    ADVICE: a latent parse exception is worse than the slow path)."""
+    vals = [float(x) for x in values]
+    if not all(math.isfinite(x) for x in vals):
+        return F.array(*[F.lit(x) for x in vals])
+    return F.expr("array(" + ", ".join(f"{x!r}D" for x in vals) + ")")
 
 
 def _norm(v):
@@ -357,6 +366,12 @@ def seeded_cell_scores(seeds):
     The raw SQL template is exposed as ``cell_scores.sql(v_sql)`` for
     callers that inline it into a single ``selectExpr`` projection."""
 
+    finite = all(
+        math.isfinite(float(x)) and math.isfinite(float(nrm))
+        for _, sv, nrm in seeds
+        for x in sv
+    )
+
     def _sql(v_sql: str) -> str:
         entries = []
         for cell, sv, nrm in seeds:
@@ -372,7 +387,10 @@ def seeded_cell_scores(seeds):
 
     def cell_scores(v):
         if isinstance(v, str):
-            return F.expr(_sql(v))
+            if not finite:
+                v = F.expr(v)  # non-finite seeds: per-element fallback
+            else:
+                return F.expr(_sql(v))
         entries = [
             F.struct(
                 (_dot(v, _lit_double_array(sv)) / F.lit(nrm)).alias("s"),
@@ -382,7 +400,9 @@ def seeded_cell_scores(seeds):
         ]
         return F.sort_array(F.array(*entries), asc=False)
 
-    cell_scores.sql = _sql
+    # .sql is only offered when every literal renders ('nanD'/'infD'
+    # would fail the SQL parse — r16 ADVICE); callers getattr-guard it
+    cell_scores.sql = _sql if finite else None
     return cell_scores
 
 

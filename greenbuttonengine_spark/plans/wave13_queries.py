@@ -148,11 +148,26 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # one selectExpr parse for the probe explode (r16: the Column form
     # re-built the 16-seed cell_scores tree through py4j a second time)
-    qprobe = emb.filter(F.col("vec_id") < nq).selectExpr(
-        "vec_id AS query_id",
-        f"explode(transform(slice({cell_scores.sql(_EMB_DOUBLE_SQL)}, 1, "
-        f"{_IVFPQ_PROBE}), s -> -s.nc)) AS cell",
-    )
+    if cell_scores.sql is not None:
+        qprobe = emb.filter(F.col("vec_id") < nq).selectExpr(
+            "vec_id AS query_id",
+            f"explode(transform(slice({cell_scores.sql(_EMB_DOUBLE_SQL)}, 1, "
+            f"{_IVFPQ_PROBE}), s -> -s.nc)) AS cell",
+        )
+    else:  # non-finite seeds: per-element Column fallback
+        from ..extensions.similarity import _as_double
+
+        qprobe = emb.filter(F.col("vec_id") < nq).select(
+            F.col("vec_id").alias("query_id"),
+            F.explode(
+                F.transform(
+                    F.slice(
+                        cell_scores(_as_double("embedding")), 1, _IVFPQ_PROBE
+                    ),
+                    lambda s: -s["nc"],
+                )
+            ).alias("cell"),
+        )
     probes = qprobe.join(luts, "query_id")
     adc = " + ".join(f"l{j}[c{j}]" for j in range(_PQ_SUBS))
     scored = (

@@ -127,9 +127,10 @@ def _km_batch_q_and_d2(b, cols, cm):
     Distances use the algebraic identity qq - 2*q@C^T + cc — exact in
     int64 arithmetic (|q| <= ~2^13, so every term is < 2^40, far
     inside int64), hence bit-identical to the per-term (q - c)^2 fold
-    the oracle runs.  Nested-closure-only helper: callers embed it by
-    VALUE in their kernels (the similarity.py convention), so workers
-    never need the package importable."""
+    the oracle runs.  Module-level helper referenced as a GLOBAL from
+    the shipped kernels: cloudpickle serializes it by reference, so
+    every caller must run ``ensure_package_shipped`` before its kernel
+    executes (r16 ADVICE — both current callers do)."""
     import numpy as np
 
     idx = {n: i for i, n in enumerate(b.schema.names)}

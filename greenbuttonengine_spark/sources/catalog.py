@@ -9,6 +9,7 @@ column pruning and partition pruning all apply — verify with
 from __future__ import annotations
 
 import os
+import urllib.parse
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -92,6 +93,19 @@ def register_views(spark: SparkSession, sf_dir: str | None = None) -> None:
 _NARROW_NODES = frozenset({"Project", "Filter", "SubqueryAlias", "LogicalRelation"})
 
 
+def _parquet_row_groups(path: str) -> int:
+    """Row-group count from the parquet footer (pyarrow ships with
+    PySpark's pandas/Arrow support).  Non-parquet or unreadable files
+    report a huge count so the estimate falls back to byte-size splits
+    (the conservative no-op direction)."""
+    try:
+        import pyarrow.parquet as pq
+
+        return max(1, pq.ParquetFile(path).metadata.num_row_groups)
+    except Exception:
+        return 1 << 30
+
+
 def _parse_bytes(v: str) -> int:
     s = str(v).strip().lower().removesuffix("b")
     mult = 1
@@ -157,10 +171,23 @@ def spread_scan(df: DataFrame, min_factor: int = 2) -> DataFrame:
         )
         est_tasks = 0
         for uri in files:
-            path = uri.removeprefix("file://") if uri.startswith("file:") else None
-            if path is None or not os.path.exists(path):
+            # Hadoop paths surface as file:/..., file:///... or bare
+            # paths; urlparse handles every spelling (r16 ADVICE — the
+            # prefix-strip form silently no-op'd on 'file:/root/...')
+            parsed = urllib.parse.urlparse(uri)
+            if parsed.scheme not in ("", "file"):
                 return df  # non-local storage: trust the planner's layout
-            est_tasks += max(1, -(-os.path.getsize(path) // max_pb))
+            path = parsed.path or uri
+            if not os.path.exists(path):
+                return df
+            # A parquet split only yields rows to the range holding a
+            # row-group midpoint, so a file's task yield is bounded by
+            # its ROW-GROUP count, not its byte size (r16 ADVICE: a
+            # large single-row-group file previously estimated
+            # size/maxPartitionBytes tasks and the helper silently
+            # no-op'd on exactly the one-task pathology it targets).
+            size_splits = max(1, -(-os.path.getsize(path) // max_pb))
+            est_tasks += min(size_splits, _parquet_row_groups(path))
         if est_tasks * min_factor >= p:
             return df
         return df.repartition(p)

@@ -321,6 +321,27 @@ def test_spread_scan_spreads_scans_and_noops_elsewhere(spark, docs):
     assert spread_scan(agg) is agg
 
 
+def test_spread_scan_single_row_group_beats_size_estimate(spark, docs):
+    """r16 ADVICE (medium): a single-row-group parquet file always
+    scans as ONE task no matter how many byte-splits maxPartitionBytes
+    implies — the estimate must key on ROW GROUPS, not size/maxPB.
+    With maxPartitionBytes shrunk so the byte estimate alone says
+    'already parallel', the row-group bound must still fire the
+    spread.  Also pins the 'file:/...' single-slash URI spelling
+    (urlparse handles it; the old prefix-strip silently no-op'd)."""
+    from greenbuttonengine_spark.sources.catalog import spread_scan
+
+    p = spark.sparkContext.defaultParallelism
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        # tiny splits: size/maxPB >> parallelism, but one row group
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "1024")
+        spread = spread_scan(docs)
+        assert spread.rdd.getNumPartitions() == p
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+
 def test_pack_sequences_invariants(spark, docs):
     """Every doc lands in exactly one bin; non-oversize bins respect
     the budget; packing efficiency beats the trivial one-doc-per-bin

@@ -295,7 +295,7 @@ def test_repeated_substring_spans_hashed_path_identical(spark):
     assert raw == hashed and raw
 
 
-def test_trigram_consumers_hashed_path_identical(spark):
+def test_trigram_consumers_hashed_path_identical(spark, sf_correct_dir):
     """The hashed word-trigram path (_word_trigram_shingles hashed=True,
     the declared scale form of dedup_doc_containment /
     corpus_ngram_novelty) must emit exactly the raw-string result on
@@ -305,7 +305,9 @@ def test_trigram_consumers_hashed_path_identical(spark):
         ngram_novelty,
     )
 
-    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    from greenbuttonengine_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "documents", sf_correct_dir)
     for fn, keys in ((doc_containment, ("doc_a", "doc_b", "containment")),
                      (ngram_novelty, ("doc_id", "novelty_frac"))):
         raw = {tuple(getattr(r, k) for k in keys)
