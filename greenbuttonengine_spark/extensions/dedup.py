@@ -311,15 +311,16 @@ def minhash_signatures(
     The explode never shuffles raw shingles: partial min() aggregation
     collapses them map-side, so only num_perm longs per (doc,
     partition) cross the wire. Measured ~2x the HOF-fold form at sf0.1
-    and scales the same way (one narrow shuffle keyed by id)."""
+    and scales the same way (one narrow shuffle keyed by id).
+
+    The whole num_perm-way aggregation builds as ONE parsed expression
+    (array of min()s — r16 driver-overhead cut; same partial
+    aggregation, the array projection folds into the aggregate)."""
     ex = spread_scan(docs).select(
         F.col(id_col), F.explode(_shingles(text_col, k, distinct=False)).alias("__sh")
     ).select(F.col(id_col), F.xxhash64("__sh").alias("h0"))
-    mins = [F.min(F.xxhash64("h0", F.lit(j))).alias(f"__m{j}") for j in range(num_perm)]
-    return ex.groupBy(id_col).agg(*mins).select(
-        F.col(id_col),
-        F.array(*[F.col(f"__m{j}") for j in range(num_perm)]).alias("sig"),
-    )
+    mins = ", ".join(f"min(xxhash64(h0, {j}))" for j in range(num_perm))
+    return ex.groupBy(id_col).agg(F.expr(f"array({mins})").alias("sig"))
 
 
 def band_buckets(
@@ -333,14 +334,17 @@ def band_buckets(
     (``incremental_near_dedup``), so batch and stream agree on the
     bucket function by construction."""
     rows = num_perm // bands
-    band_cols = [
-        F.struct(
-            F.lit(bi).alias("band_idx"),
-            F.xxhash64(*[F.col("sig")[bi * rows + r] for r in range(rows)]).alias("band_hash"),
+    # one parsed expression for all bands (r16 driver-overhead cut)
+    band_structs = ", ".join(
+        "named_struct('band_idx', {bi}, 'band_hash', xxhash64({args}))".format(
+            bi=bi,
+            args=", ".join(f"sig[{bi * rows + r}]" for r in range(rows)),
         )
         for bi in range(bands)
-    ]
-    return sig.select(id_col, F.explode(F.array(*band_cols)).alias("b")).select(
+    )
+    return sig.select(
+        F.col(id_col), F.expr(f"explode(array({band_structs}))").alias("b")
+    ).select(
         id_col, F.col("b.band_idx").alias("band_idx"), F.col("b.band_hash").alias("band_hash")
     )
 
@@ -486,14 +490,14 @@ def minhash_signatures_seeded(
     ex = spread_scan(docs).select(
         F.col(id_col), F.explode(_shingles(text_col, k, distinct=False)).alias("__sh")
     ).select(F.col(id_col), (md5_hash32(F.col("__sh")) % F.lit(_MH_P)).alias("h0"))
-    mins = [
-        F.min((F.lit(a) * F.col("h0") + F.lit(b)) % F.lit(_MH_P)).alias(f"__m{j}")
-        for j, (a, b) in enumerate(params)
-    ]
-    return ex.groupBy(id_col).agg(*mins).select(
-        F.col(id_col),
-        F.array(*[F.col(f"__m{j}") for j in range(num_perm)]).alias("sig"),
+    # one parsed expression for the whole num_perm-way aggregation
+    # (r16 driver-overhead cut; the array projection folds into the
+    # aggregate, partial min() combine unchanged) — integer literals
+    # below 2^31 parse to the same IntegerType F.lit produced
+    mins = ", ".join(
+        f"min(({a} * h0 + {b}) % {_MH_P})" for a, b in params
     )
+    return ex.groupBy(id_col).agg(F.expr(f"array({mins})").alias("sig"))
 
 
 def band_buckets_seeded(
@@ -506,16 +510,21 @@ def band_buckets_seeded(
     xxhash64 band hash)."""
     rows = num_perm // bands
     weights = [_BAND_BASE**r for r in range(rows)]
-    band_cols = []
-    for bi in range(bands):
-        acc = None
-        for r, w in enumerate(weights):
-            term = F.col("sig")[bi * rows + r] * F.lit(w)
-            acc = term if acc is None else acc + term
-        band_cols.append(
-            F.struct(F.lit(bi).alias("band_idx"), acc.alias("band_hash"))
+    # one parsed expression for all bands (r16 driver-overhead cut);
+    # weights stay < 2^31 (1021^3), so the integer literals parse to
+    # the same IntegerType F.lit produced
+    band_structs = ", ".join(
+        "named_struct('band_idx', {bi}, 'band_hash', {acc})".format(
+            bi=bi,
+            acc=" + ".join(
+                f"sig[{bi * rows + r}] * {w}" for r, w in enumerate(weights)
+            ),
         )
-    return sig.select(id_col, F.explode(F.array(*band_cols)).alias("b")).select(
+        for bi in range(bands)
+    )
+    return sig.select(
+        F.col(id_col), F.expr(f"explode(array({band_structs}))").alias("b")
+    ).select(
         id_col, F.col("b.band_idx").alias("band_idx"),
         F.col("b.band_hash").alias("band_hash"),
     )

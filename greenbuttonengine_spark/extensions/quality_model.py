@@ -341,9 +341,12 @@ def fixed_point_quality(
         ).alias(f"z{j}")
         for j in range(nf)
     ]
-    # eager: materialized BEFORE the AQE toggle below, so the heavy
-    # scan+scale projection still plans under AQE
-    z = fx.select(F.col(id_col), *scaled, F.col("y")).localCheckpoint(eager=True)
+    # lazy: epoch 1's aggregate materializes it (consumers are strictly
+    # sequential, so no lazy-checkpoint race), saving one separate
+    # materialization action per build (r16).  AQE-off planning is
+    # immaterial here: fx is already checkpointed, so the z projection
+    # has no exchange for AQE to re-optimize.
+    z = fx.select(F.col(id_col), *scaled, F.col("y")).localCheckpoint(eager=False)
 
     spark = docs.sparkSession
     w = [0] * nf

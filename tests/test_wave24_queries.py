@@ -131,10 +131,10 @@ def test_diversity_indices_match_bruteforce(spark, sf_dir):
 
 def test_split_leakage_matches_candidates(spark, sf_dir):
     from greenbuttonengine_spark.extensions import dedup
-    from greenbuttonengine_spark.plans.registry import QUERIES
+    from greenbuttonengine_spark.plans.wave24_queries import eval_split_leakage
     from greenbuttonengine_spark.sources.catalog import load_table
 
-    rows = QUERIES["eval_split_leakage"].fn(spark, sf_dir).collect()
+    rows = eval_split_leakage(spark, sf_dir).collect()
     cand = dedup.minhash_lsh_pairs_seeded(
         load_table(spark, "documents", sf_dir), threshold=0.0
     ).select("id_a", "id_b").collect()
