@@ -176,13 +176,27 @@ def ngram_jaccard_pairs_prefix(
     ~25% faster end-to-end (6.3s -> 4.8s: string sort/compare leaves
     the verify shuffle too).
     """
-    # spread the scan before per-row shingling (guide §2.5; r15)
-    ex = spread_scan(docs).select(
-        F.col(id_col), F.explode(_shingles(text_col, k)).alias("__sh")
-    ).withColumn("__h", F.xxhash64("__sh"))
+    # Per-doc DISTINCT shingle-set ARRAYS materialize at the (spread)
+    # scan stage and everything derives from them (r16): the exploded
+    # table the candidate stage needs is one narrow explode away, and
+    # the verify stage joins the set table DIRECTLY — the r15 shape
+    # checkpointed the exploded rows and re-AGGREGATED them back into
+    # per-doc sets (broadcast semi + groupBy collect_list: one more
+    # full exchange of the candidate docs' shingles + an agg pass).
+    # Set content is identical (array_distinct before hashing, same
+    # per-doc duplicates-after-collision behavior), so jaccard values
+    # are unchanged.  hashed=True maps the array through xxhash64 in
+    # the same projection — strings still never leave the scan stage.
+    set_col = _shingles(text_col, k)
     if hashed:
-        ex = ex.drop("__sh")  # strings never leave the scan stage
-    ex = ex.localCheckpoint(eager=False)  # feeds prefix build + verify pass
+        set_col = F.transform(set_col, lambda s: F.xxhash64(s))
+    sets = spread_scan(docs).select(
+        F.col(id_col), set_col.alias("__set")
+    ).localCheckpoint(eager=False)  # feeds candidate explode + verify
+    key = "__h" if hashed else "__sh"
+    ex = sets.select(F.col(id_col), F.explode("__set").alias(key))
+    if not hashed:
+        ex = ex.withColumn("__h", F.xxhash64("__sh"))
 
     # global order: ascending document frequency, hash (+ shingle when
     # carried) as tiebreak — total either way for the rows that matter.
@@ -243,20 +257,23 @@ def ngram_jaccard_pairs_prefix(
     )
 
     # verify: one full intersection count per candidate pair.  The
-    # exploded table is pruned to documents appearing in ANY candidate
-    # (broadcast semi-join on the small candidate-id set), each doc's
-    # shingle set gathered once, and |A∩B| computed per pair with
-    # array_intersect — no per-pair row stream, no re-aggregation.
-    key = "__h" if hashed else "__sh"
+    # CHECKPOINTED per-doc set table is pruned to documents appearing
+    # in ANY candidate (broadcast semi-join on the small candidate-id
+    # set) and |A∩B| computed with array_intersect per pair — no
+    # per-pair row stream, and since r16 no re-aggregation either:
+    # the r15 shape rebuilt each candidate doc's set from the exploded
+    # rows (groupBy collect_list = one more full exchange of the
+    # candidate docs' shingles).  Set sizes read off the materialized
+    # arrays, the same integers the exploded count produced.
     cand_ids = (
         cand.select(F.col("id_a").alias(id_col))
         .unionByName(cand.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    arrs = (
-        ex.join(F.broadcast(cand_ids), id_col, "left_semi")
-        .groupBy(id_col)
-        .agg(F.collect_list(key).alias("__set"), F.count("*").alias("n"))
+    arrs = sets.join(F.broadcast(cand_ids), id_col, "left_semi").select(
+        F.col(id_col),
+        F.col("__set"),
+        F.size("__set").cast("long").alias("n"),
     )
     aa = arrs.select(
         F.col(id_col).alias("id_a"), F.col("__set").alias("__sa"), F.col("n").alias("na")
