@@ -135,7 +135,8 @@ _DRIVER_CHECKED = frozenset(
         # reduction), so the changed oracle re-verifies as oracle-new
         # alongside eval_split_leakage / lm_heldout_surprisal
         "embedding_label_centroids", "multimodal_hist_verify",
-        "text_postings_stats", "text_tfidf_topk", "search_bm25_topk",
+        "text_postings_stats", "text_tfidf_topk",
+        # search_bm25_topk REMOVED for r16 (per_doc stats-leg rework)
         "arr1_array_functions", "arr2_posexplode",
         "text_word_count",
         # r05 greens (q12_priority_shipping stays out: its r5 row was red —
@@ -161,7 +162,7 @@ _DRIVER_CHECKED = frozenset(
         "ts1_gap_fill_daily", "w5_moving_avg_time_range",
         # r06 greens (50/50 gate: 26 first-time + q12 re-verify; the
         # rotated re-checks were already listed above)
-        "dedup_semantic",
+        # dedup_semantic REMOVED for r16 (one-parse cell_scores path)
         "q12_priority_shipping", "user_event_transitions",
         "o11_latest_per_key", "embedding_centroid_similarity",
         "dq_events_expectations", "scd2_user_type_intervals",
@@ -208,7 +209,8 @@ _DRIVER_CHECKED = frozenset(
         # + corpus_diversity_indices (degenerate 0/0 guards),
         # eval_split_leakage + lm_heldout_surprisal (shared pmod-exact
         # split-CASE builder).
-        "pack_sequences_docs", "lm_bpe_tokenize_stats",
+        "pack_sequences_docs",
+        # lm_bpe_tokenize_stats REMOVED for r16 (segmentation-lookup rewrite)
         "attribution_interval_join",
         "lm_kneser_ney_bigram", "corpus_heaps_curve",
         "pack_concat_chunks", "approx_cms_heavy_hitters",
@@ -261,6 +263,33 @@ _DRIVER_CHECKED = frozenset(
         "graph_knn_cosine", "graph_pagerank_knn", "embedding_knn_classify",
         "ann_hard_negatives", "graph_label_propagation",
         "graph_triangle_count", "graph_link_prediction",
+        # r15 greens (50/50 gate) whose plans are untouched in r16 —
+        # verified mechanically (normalized analyzed-plan diff of all
+        # 262 queries between the r15 verdict commit and round-final
+        # HEAD, plus changed-helper reachability for checkpoint-blind
+        # plans).  The other r15 greens stay OUT because r16 changed
+        # them: window-aggregate rewrites (dedup_doc_containment,
+        # corpus_ngram_novelty, dedup_repeated_substrings,
+        # pipeline_curation_v2), the prefix-Jaccard set-table verify +
+        # inherited window counts (dedup_ngram_jaccard(+_prefix),
+        # dedup_clusters(+_lsh), dedup_keeper_decisions, dedup_cascade,
+        # dedup_incremental_near), the fused dual-codebook PQ DAG
+        # (eval_pq_recall(+_trained), ann_ivf_pq_topk), the one-parse
+        # cell_scores consumers (ann_ivf_topk, pipeline_rag_index),
+        # the quality-scan fusion (pipeline_learned_quality,
+        # eval_quality_calibration), the candidate-direct
+        # eval_split_leakage, and the BM25 stats-leg rework
+        # (search_bm25_topk, search_hybrid_rrf).  Three older greens
+        # (dedup_semantic, lm_bpe_tokenize_stats, search_bm25_topk)
+        # are REMOVED from their blocks above for the same reason.
+        "ann_bruteforce_topk", "ann_ivf_hier_topk", "ann_lsh_topk",
+        "ann_pq_adc_topk", "ann_pq_codes", "decontam_bloom",
+        "dedup_minhash_lsh", "dedup_simhash", "embedding_kmeans_fixed",
+        "embedding_matryoshka_eval", "espi_multi_ltp_scope_resolution",
+        "eval_ann_hier_recall", "eval_ann_recall",
+        "eval_bitext_ann_agreement", "eval_bitext_ann_agreement_clustered",
+        "eval_kmeans_silhouette", "eval_minhash_precision",
+        "eval_retrieval_ndcg", "mine_bitext_margin", "mine_bitext_margin_ann",
     }
 )
 
